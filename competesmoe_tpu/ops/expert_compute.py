@@ -1,0 +1,229 @@
+"""Expert computation paths: dense (all-experts) and grouped (sorted
+ragged GEMM) — the TPU-native role of the reference's CVMM Triton kernel
+(ref: moe_pretrain_model/layers/cvmm.py).
+
+Design
+------
+The CVMM kernel's structure is: sort token-slots by expert id, run one GEMM
+per expert over its contiguous slice, then weighted-scatter the results back
+to token order. On TPU we express exactly that as:
+
+  1. `sort_by_expert` — stable argsort of the flattened selection (the
+     analog of `cvmm_prepare_sel2`), producing a permutation, per-expert
+     group sizes, and token ids (all static shapes, jit-friendly);
+  2. `jax.lax.ragged_dot` — XLA's grouped GEMM over the expert-sorted rows
+     (a Pallas kernel, `ops.gmm_pallas`, provides a hand-tuned alternative);
+  3. a segment scatter-add that folds in the top-k combine weights (the
+     analog of CVMM's fused `reduction_weight`).
+
+For small expert counts (the multimodal tree: 4 experts, top-2) computing
+ALL experts densely on the MXU and gathering the top-k is faster than any
+dispatch, so dense paths are provided and selected automatically.
+
+Everything here is shape-static and differentiable (ragged_dot has
+JVP/transpose rules; the scatter-add is a standard XLA op), replacing the
+reference's custom autograd.Function + atomic-add backward
+(cvmm.py:460-551) with deterministic compiler-generated gradients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+Activation = Callable[[jax.Array], jax.Array]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GroupedSel:
+    """Sorted dispatch metadata (the analog of the reference's CVMMSel,
+    cvmm.py:431-457). All arrays have static shapes.
+
+    perm:        [T*k] slot permutation such that sel.ravel()[perm] is sorted
+    token_ids:   [T*k] source row in x for each sorted slot (= perm // k)
+    sel_sorted:  [T*k] expert id of each sorted slot
+    group_sizes: [E]   tokens assigned to each expert
+    """
+
+    perm: jax.Array
+    token_ids: jax.Array
+    sel_sorted: jax.Array
+    group_sizes: jax.Array
+
+
+def sort_by_expert(sel: jax.Array, n_experts: int) -> GroupedSel:
+    """Build grouped-dispatch metadata from a top-k selection.
+
+    Args:
+      sel: [T, k] (or any leading shape + k) integer expert ids.
+      n_experts: number of experts E.
+    """
+    k = sel.shape[-1]
+    sel_flat = sel.reshape(-1).astype(jnp.int32)
+    # Stable sort keeps slot order within an expert — same visit order as the
+    # reference's `sel.sort(stable=True)` in cvmm_prepare_sel2.
+    perm = jnp.argsort(sel_flat, stable=True).astype(jnp.int32)
+    sel_sorted = sel_flat[perm]
+    group_sizes = jnp.bincount(sel_flat, length=n_experts).astype(jnp.int32)
+    token_ids = perm // k
+    return GroupedSel(perm=perm, token_ids=token_ids, sel_sorted=sel_sorted,
+                      group_sizes=group_sizes)
+
+
+def _ragged_dot(x: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Array:
+    """Grouped GEMM: x [M, d] against per-group w [E, d, out] where the first
+    group_sizes[0] rows use w[0], etc. Accumulates in f32, returns x.dtype."""
+    out = jax.lax.ragged_dot(x, w, group_sizes,
+                             preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+def combine_topk(expert_outputs: jax.Array, sel: jax.Array,
+                 weights: jax.Array) -> jax.Array:
+    """Weighted combine of per-expert outputs.
+
+    expert_outputs: [T, E, v]; sel: [T, k]; weights: [T, k] → [T, v]
+    """
+    gathered = jnp.take_along_axis(expert_outputs, sel[..., None], axis=-2)
+    return jnp.sum(gathered * weights[..., None].astype(expert_outputs.dtype),
+                   axis=-2)
+
+
+def gather_topk_outputs(expert_outputs: jax.Array, sel: jax.Array) -> jax.Array:
+    """[T, E, v], [T, k] → [T, k, v] (the reference's torch.gather over the
+    expert dim, competesmoe.py:256-258)."""
+    return jnp.take_along_axis(expert_outputs, sel[..., None], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Dense all-expert paths (small E / competition policy)
+# ---------------------------------------------------------------------------
+
+def dense_all_experts_kv(x: jax.Array, keys: jax.Array, values: jax.Array,
+                         activation: Activation,
+                         b1: Optional[jax.Array] = None) -> jax.Array:
+    """Run ALL experts on every token with MoEUT-style keys/values.
+
+    x: [T, d]; keys: [E, d, e]; values: [E, e, v] → [T, E, v]
+    (the TPU form of competition_policy_mlp_faster's two batched matmuls,
+    layers/moe/competesmoe.py:381-414)
+    """
+    h = jnp.einsum("td,edh->teh", x, keys,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if b1 is not None:
+        h = h + b1[None, :, :].astype(h.dtype)
+    h = activation(h)
+    out = jnp.einsum("teh,ehv->tev", h, values,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+def dense_all_experts_mlp2(x: jax.Array, w1: jax.Array, b1: jax.Array,
+                           w2: jax.Array, b2: jax.Array,
+                           activation: Activation = jax.nn.gelu) -> jax.Array:
+    """Run ALL experts on every token with 2-layer Linear/GELU/Linear experts
+    (the multimodal tree's nn.Sequential experts, moe_model/model/moe/moe.py:34-44).
+
+    x: [T, d]; w1: [E, d, h]; b1: [E, h]; w2: [E, h, v]; b2: [E, v] → [T, E, v]
+    """
+    h = jnp.einsum("td,edh->teh", x, w1,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + b1[None].astype(h.dtype)
+    h = activation(h)
+    out = jnp.einsum("teh,ehv->tev", h, w2,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return out + b2[None].astype(out.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Grouped (sparse) paths
+# ---------------------------------------------------------------------------
+
+def grouped_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
+                   keys: jax.Array, values: jax.Array,
+                   activation: Activation,
+                   b1: Optional[jax.Array] = None,
+                   gs: Optional[GroupedSel] = None) -> jax.Array:
+    """Sparse MoE FFN with MoEUT-style stacked keys/values.
+
+    x: [T, d]; sel/weights: [T, k]; keys: [E, d, e]; values: [E, e, v].
+    Returns [T, v]. Equivalent to the CVMM double-GEMM with fused
+    reduction-weight combine (layers/moe/moe.py:397-435).
+    """
+    T = x.shape[0]
+    n_experts = keys.shape[0]
+    if gs is None:
+        gs = sort_by_expert(sel, n_experts)
+    xs = jnp.take(x, gs.token_ids, axis=0)
+    h = _ragged_dot(xs, keys, gs.group_sizes)
+    if b1 is not None:
+        h = h + jnp.take(b1, gs.sel_sorted, axis=0).astype(h.dtype)
+    h = activation(h)
+    o = _ragged_dot(h, values, gs.group_sizes)
+    w_flat = jnp.take(weights.reshape(-1), gs.perm, axis=0)
+    o = o * w_flat[:, None].astype(o.dtype)
+    out = jax.ops.segment_sum(o, gs.token_ids, num_segments=T)
+    return out.astype(x.dtype)
+
+
+def grouped_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
+                     w1: jax.Array, b1: jax.Array, w2: jax.Array,
+                     b2: jax.Array, activation: Activation = jax.nn.gelu,
+                     gs: Optional[GroupedSel] = None) -> jax.Array:
+    """Sparse MoE FFN with 2-layer Linear/GELU/Linear experts (the multimodal
+    tree's loop-over-experts dispatch, moe.py:172-213, as one grouped GEMM)."""
+    T = x.shape[0]
+    n_experts = w1.shape[0]
+    if gs is None:
+        gs = sort_by_expert(sel, n_experts)
+    xs = jnp.take(x, gs.token_ids, axis=0)
+    h = _ragged_dot(xs, w1, gs.group_sizes)
+    h = h + jnp.take(b1, gs.sel_sorted, axis=0).astype(h.dtype)
+    h = activation(h)
+    o = _ragged_dot(h, w2, gs.group_sizes)
+    o = o + jnp.take(b2, gs.sel_sorted, axis=0).astype(o.dtype)
+    w_flat = jnp.take(weights.reshape(-1), gs.perm, axis=0)
+    o = o * w_flat[:, None].astype(o.dtype)
+    out = jax.ops.segment_sum(o, gs.token_ids, num_segments=T)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Auto-dispatch
+# ---------------------------------------------------------------------------
+
+def moe_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
+               keys: jax.Array, values: jax.Array, activation: Activation,
+               b1: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
+    """MoE FFN dispatcher (keys/values parameterization).
+
+    impl: 'auto' | 'dense' | 'grouped'. 'auto' computes all experts densely
+    when the overcompute factor E/k <= 2 (MXU-friendly, zero dispatch cost),
+    otherwise sorts + grouped-GEMMs.
+    """
+    n_experts, k = keys.shape[0], sel.shape[-1]
+    if impl == "auto":
+        impl = "dense" if n_experts <= 2 * k else "grouped"
+    if impl == "dense":
+        outs = dense_all_experts_kv(x, keys, values, activation, b1=b1)
+        return combine_topk(outs, sel, weights)
+    return grouped_ffn_kv(x, sel, weights, keys, values, activation, b1=b1)
+
+
+def moe_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
+                 w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
+                 activation: Activation = jax.nn.gelu,
+                 impl: str = "auto") -> jax.Array:
+    """MoE FFN dispatcher (2-layer GELU expert parameterization)."""
+    n_experts, k = w1.shape[0], sel.shape[-1]
+    if impl == "auto":
+        impl = "dense" if n_experts <= 2 * k else "grouped"
+    if impl == "dense":
+        outs = dense_all_experts_mlp2(x, w1, b1, w2, b2, activation)
+        return combine_topk(outs, sel, weights)
+    return grouped_ffn_mlp2(x, sel, weights, w1, b1, w2, b2, activation)
