@@ -1,0 +1,97 @@
+"""Benchmark: MoE dispatch + expert GEMM time per layer on the TPU chip.
+
+Measures the pretrain-tree MoE FFN (the CVMM role) at the reference's 154M
+SlimPajama config (d=512, E=64, expert_size=128, top-k=8;
+sweeps/slimpajama_moe_no_attmoe_154M_competesmoe.yaml) in bfloat16.
+
+Methodology: the per-call RPC latency to the tunneled TPU is ~30 ms, so the
+kernel is iterated inside jit (`lax.fori_loop` with a data dependence
+between iterations) and per-iteration time is taken as the slope between an
+N-iteration call and a 1-iteration call.
+
+Prints ONE JSON line:
+  metric       "moe_dispatch_gemm_us_per_layer"
+  value        microseconds per MoE layer forward (grouped path)
+  vs_baseline  speedup over the dense all-experts baseline on the same chip
+               (the E/k = 8x overcompute path a naive port would use)
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+B, T, D, E, ES, K = 8, 1024, 512, 64, 128, 8
+N_ITERS = 50
+
+
+def _timed_loop_fn(layer_fn, n_iters):
+    """Build jitted fn running layer_fn n_iters times with a data dep."""
+    @jax.jit
+    def run(x, sel, wk, keys_w, values_w):
+        def body(_, acc):
+            out = layer_fn(acc, sel, wk, keys_w, values_w)
+            return out.astype(acc.dtype)
+        return jax.lax.fori_loop(0, n_iters, body, x).sum()
+    return run
+
+
+def _delta_time(layer_fn, args, n_iters=N_ITERS, reps=3):
+    f1 = _timed_loop_fn(layer_fn, 1)
+    fn = _timed_loop_fn(layer_fn, n_iters + 1)
+    for _ in range(2):
+        float(f1(*args)); float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(f1(*args))
+    t1 = time.perf_counter()
+    for _ in range(reps):
+        float(fn(*args))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / reps / n_iters
+
+
+def main():
+    from competesmoe_tpu.ops import expert_compute as ec
+
+    tokens = B * T
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (tokens, D), jnp.bfloat16)
+    keys_w = jax.random.normal(ks[1], (E, D, ES), jnp.bfloat16) * 0.04
+    values_w = jax.random.normal(ks[2], (E, ES, D), jnp.bfloat16) * 0.01
+    weights = jax.nn.softmax(jax.random.normal(ks[3], (tokens, E)))
+    wk, sel = jax.lax.top_k(weights, K)
+    wk = (wk / wk.sum(-1, keepdims=True)).astype(jnp.bfloat16)
+    args = (x, sel, wk, keys_w, values_w)
+
+    def grouped(x, sel, wk, keys_w, values_w):
+        return ec.grouped_ffn_kv(x, sel, wk, keys_w, values_w, jax.nn.relu)
+
+    def dense(x, sel, wk, keys_w, values_w):
+        outs = ec.dense_all_experts_kv(x, keys_w, values_w, jax.nn.relu)
+        return ec.combine_topk(outs, sel, wk)
+
+    t_grouped = _delta_time(grouped, args)
+    t_dense = _delta_time(dense, args)
+
+    # Speed-of-light reference: sparse path moves 2 GEMMs per selected slot.
+    flops = tokens * K * (D * ES * 2) * 2
+    print(json.dumps({
+        "metric": "moe_dispatch_gemm_us_per_layer",
+        "value": round(t_grouped * 1e6, 2),
+        "unit": "us",
+        "vs_baseline": round(t_dense / t_grouped, 3),
+        "detail": {
+            "tokens": tokens, "d_model": D, "n_experts": E,
+            "expert_size": ES, "topk": K, "dtype": "bfloat16",
+            "dense_us": round(t_dense * 1e6, 2),
+            "sparse_gflop": round(flops / 1e9, 2),
+            "sparse_tflops": round(flops / t_grouped / 1e12, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

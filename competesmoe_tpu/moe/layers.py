@@ -341,7 +341,7 @@ class CompeteSMoELayer(MoeLayerBase):
 
     @nn.compact
     def __call__(self, x, *, step=None, train: bool = False,
-                 return_id_experts: bool = False):
+                 return_id_experts: bool = False, flips=None):
         kernel, _ = self._gate_param()
         params = self._expert_params()
 
@@ -381,12 +381,12 @@ class CompeteSMoELayer(MoeLayerBase):
                                gate_softmax=comp["affinity_softmax"],
                                selected_experts=comp["selected_experts"])
 
-        use_schedule = (train and step is not None
-                        and self.flip_schedule is not None)
+        schedule = flips if flips is not None else self.flip_schedule
+        use_schedule = train and step is not None and schedule is not None
         if not use_schedule:
             return router_branch(x)
 
-        sched = jnp.asarray(np.asarray(self.flip_schedule, dtype=bool))
+        sched = jnp.asarray(np.asarray(schedule, dtype=bool))
         step = jnp.asarray(step, jnp.int32)
         rel = step - self.step_warm
         idx = jnp.clip(rel, 0, sched.shape[0] - 1)

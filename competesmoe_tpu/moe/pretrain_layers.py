@@ -323,7 +323,7 @@ class PretrainCompeteSMoE(MoEUTBase):
 
     @nn.compact
     def __call__(self, x, *, step=None, train: bool = False,
-                 return_id_experts: bool = False):
+                 return_id_experts: bool = False, flips=None):
         w_gate, keys, values, b1, o_bias = self._params()
         logits = self.compute_gate(x, w_gate)
         gate_weights, gate_sel, gate_softmax = self.route(x, logits)
@@ -400,12 +400,12 @@ class PretrainCompeteSMoE(MoEUTBase):
             return out, MoEAux(aux_loss=total, losses=losses,
                                gate_softmax=aff_sg, selected_experts=sel)
 
-        use_schedule = (train and step is not None
-                        and self.flip_schedule is not None)
+        schedule = flips if flips is not None else self.flip_schedule
+        use_schedule = train and step is not None and schedule is not None
         if not use_schedule:
             return router_branch(x)
 
-        sched = jnp.asarray(np.asarray(self.flip_schedule, dtype=bool))
+        sched = jnp.asarray(np.asarray(schedule, dtype=bool))
         step_a = jnp.asarray(step, jnp.int32)
         rel = step_a - self.step_warm
         idx = jnp.clip(rel, 0, sched.shape[0] - 1)

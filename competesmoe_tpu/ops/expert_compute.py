@@ -51,6 +51,7 @@ class GroupedSel:
     """
 
     perm: jax.Array
+    inv_perm: jax.Array
     token_ids: jax.Array
     sel_sorted: jax.Array
     group_sizes: jax.Array
@@ -71,16 +72,38 @@ def sort_by_expert(sel: jax.Array, n_experts: int) -> GroupedSel:
     sel_sorted = sel_flat[perm]
     group_sizes = jnp.bincount(sel_flat, length=n_experts).astype(jnp.int32)
     token_ids = perm // k
-    return GroupedSel(perm=perm, token_ids=token_ids, sel_sorted=sel_sorted,
-                      group_sizes=group_sizes)
+    # inv_perm[slot] = position of slot in the sorted order, so the combine
+    # can be a gather (fast) instead of a scatter-add (slow on TPU).
+    n = perm.shape[0]
+    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    return GroupedSel(perm=perm, inv_perm=inv_perm, token_ids=token_ids,
+                      sel_sorted=sel_sorted, group_sizes=group_sizes)
+
+
+# Grouped-GEMM backend: 'xla' = jax.lax.ragged_dot (XLA's grouped GEMM,
+# fastest as of jax 0.9 on v5e), 'pallas' = ops.gmm_pallas.gmm (hand-written
+# kernel with deterministic custom VJP). Switch globally for experiments.
+GMM_BACKEND = "xla"
+
+
+def set_gmm_backend(name: str) -> None:
+    global GMM_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown gmm backend {name!r}")
+    GMM_BACKEND = name
 
 
 def _ragged_dot(x: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Array:
     """Grouped GEMM: x [M, d] against per-group w [E, d, out] where the first
-    group_sizes[0] rows use w[0], etc. Accumulates in f32, returns x.dtype."""
-    out = jax.lax.ragged_dot(x, w, group_sizes,
-                             preferred_element_type=jnp.float32)
-    return out.astype(x.dtype)
+    group_sizes[0] rows use w[0], etc. Output in x.dtype (the TPU MXU
+    accumulates in f32 internally; keeping the output in bf16 halves the HBM
+    traffic of the intermediate)."""
+    if GMM_BACKEND == "pallas":
+        from .gmm_pallas import gmm
+        return gmm(x, w, group_sizes)
+    return jax.lax.ragged_dot(x, w, group_sizes,
+                              preferred_element_type=x.dtype)
 
 
 def combine_topk(expert_outputs: jax.Array, sel: jax.Array,
@@ -157,6 +180,7 @@ def grouped_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
     """
     T = x.shape[0]
     n_experts = keys.shape[0]
+    k = sel.shape[-1]
     if gs is None:
         gs = sort_by_expert(sel, n_experts)
     xs = jnp.take(x, gs.token_ids, axis=0)
@@ -165,9 +189,11 @@ def grouped_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
         h = h + jnp.take(b1, gs.sel_sorted, axis=0).astype(h.dtype)
     h = activation(h)
     o = _ragged_dot(h, values, gs.group_sizes)
-    w_flat = jnp.take(weights.reshape(-1), gs.perm, axis=0)
-    o = o * w_flat[:, None].astype(o.dtype)
-    out = jax.ops.segment_sum(o, gs.token_ids, num_segments=T)
+    # Combine via inverse-permutation gather + per-token reduction — every
+    # token owns exactly k sorted slots, so no scatter-add is needed.
+    o = jnp.take(o, gs.inv_perm, axis=0).reshape(T, k, o.shape[-1])
+    out = jnp.einsum("tkv,tk->tv", o, weights.astype(o.dtype),
+                     preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
 
 
@@ -179,6 +205,7 @@ def grouped_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
     tree's loop-over-experts dispatch, moe.py:172-213, as one grouped GEMM)."""
     T = x.shape[0]
     n_experts = w1.shape[0]
+    k = sel.shape[-1]
     if gs is None:
         gs = sort_by_expert(sel, n_experts)
     xs = jnp.take(x, gs.token_ids, axis=0)
@@ -187,9 +214,9 @@ def grouped_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
     h = activation(h)
     o = _ragged_dot(h, w2, gs.group_sizes)
     o = o + jnp.take(b2, gs.sel_sorted, axis=0).astype(o.dtype)
-    w_flat = jnp.take(weights.reshape(-1), gs.perm, axis=0)
-    o = o * w_flat[:, None].astype(o.dtype)
-    out = jax.ops.segment_sum(o, gs.token_ids, num_segments=T)
+    o = jnp.take(o, gs.inv_perm, axis=0).reshape(T, k, o.shape[-1])
+    out = jnp.einsum("tkv,tk->tv", o, weights.astype(o.dtype),
+                     preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
 
 

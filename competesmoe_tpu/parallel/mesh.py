@@ -1,0 +1,72 @@
+"""Device mesh construction and sharding rules.
+
+TPU-native replacement for the reference's NCCL substrate
+(moe_pretrain_model/framework/helpers/distributed.py, SURVEY.md §2h):
+one global jit program over a Mesh with axes
+
+  data   — batch (data parallel; gradient reduction compiled by XLA)
+  expert — expert parallel: every stacked expert tensor ([E, ...] leading
+           dim) is sharded over this axis, so expert dispatch becomes XLA
+           all-to-all over ICI instead of replicated expert weights.
+
+The reference replicates experts per rank and only synchronizes aux losses
+(distributed_ops.py); expert sharding here is the first-class upgrade the
+north star asks for.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Parameter names whose leading dim is the expert dim.
+EXPERT_PARAM_NAMES = (
+    "keys", "values", "bias",
+    "experts_w1", "experts_b1", "experts_w2", "experts_b2",
+)
+
+
+def make_mesh(n_expert: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with ('data', 'expert') axes; expert axis size n_expert."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % n_expert != 0:
+        raise ValueError(f"{n} devices not divisible by expert={n_expert}")
+    arr = np.asarray(devices).reshape(n // n_expert, n_expert)
+    return Mesh(arr, ("data", "expert"))
+
+
+def param_spec(path_names: Sequence[str], leaf) -> P:
+    """Sharding rule for one parameter, keyed by its path."""
+    name = path_names[-1] if path_names else ""
+    if name in EXPERT_PARAM_NAMES and leaf.ndim >= 1:
+        return P("expert", *([None] * (leaf.ndim - 1)))
+    return P()
+
+
+def make_param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings for a model's params."""
+    def to_spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        return NamedSharding(mesh, param_spec(names, leaf))
+    return jax.tree_util.tree_map_with_path(to_spec, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the batch dim over the full mesh (data-major). Using both axes
+    for the batch keeps all devices busy on non-expert ops while expert
+    tensors live on the expert axis."""
+    return NamedSharding(mesh, P(("data", "expert")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Device_put params according to the expert/replicated rules."""
+    return jax.device_put(params, make_param_shardings(mesh, params))

@@ -1,0 +1,141 @@
+"""LM pretraining step: optimizer, LR schedules, jitted train/eval steps.
+
+Re-design of `moe_pretrain_model/framework/task/{task,simple_task}.py`'s
+loop internals as pure jitted functions:
+
+- cosine LR + linear warmup (task.py:172-186 `set_lr` equivalents)
+- bf16 forward with f32 params/optimizer (simple_task.py's autocast+scaler;
+  bf16 needs no loss scaling on TPU)
+- aux-reg collection folded into the loss (LayerRegularizer.get,
+  regularized_layer.py:92-104)
+- manual per-tensor grad all-reduce (simple_task.py:403-413) is subsumed by
+  jit-over-mesh: gradients of replicated params are reduced by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.lm import MoELanguageModel, lm_loss_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    """Mirrors the reference sweep's optimizer block
+    (sweeps/slimpajama_moe_no_attmoe_154M_competesmoe.yaml: lr 2.5e-4,
+    lr_sched cos, lr_warmup, grad clip)."""
+
+    lr: float = 2.5e-4
+    lr_sched: str = "cos"          # 'cos' | 'step' | 'constant'
+    warmup_steps: int = 0
+    total_steps: int = 100_000
+    final_lr_fraction: float = 0.1
+    grad_clip: float = 0.25
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+
+
+def make_lr_schedule(cfg: OptConfig) -> optax.Schedule:
+    if cfg.lr_sched == "constant":
+        base = optax.constant_schedule(cfg.lr)
+    elif cfg.lr_sched == "cos":
+        base = optax.cosine_decay_schedule(
+            cfg.lr, max(cfg.total_steps - cfg.warmup_steps, 1),
+            alpha=cfg.final_lr_fraction)
+    else:
+        raise ValueError(f"unknown lr_sched {cfg.lr_sched!r}")
+    if cfg.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+        return optax.join_schedules([warm, base], [cfg.warmup_steps])
+    return base
+
+
+def make_optimizer(cfg: OptConfig) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg)
+    chain = []
+    if cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.weight_decay > 0:
+        chain.append(optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                 eps=cfg.adam_eps,
+                                 weight_decay=cfg.weight_decay))
+    else:
+        chain.append(optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                eps=cfg.adam_eps))
+    return optax.chain(*chain)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+
+    @classmethod
+    def create(cls, params, optimizer):
+        return cls(params=params, opt_state=optimizer.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: MoELanguageModel,
+                    optimizer: optax.GradientTransformation,
+                    ignore_index: int = -100,
+                    donate: bool = True) -> Callable:
+    """Returns jitted `train_step(state, tokens) -> (state, metrics)`.
+
+    tokens: [B, T+1] int32 — inputs tokens[:, :-1], targets tokens[:, 1:]
+    (the reference's shift, language_model_interface.py:58-74).
+    """
+
+    def step_fn(state: TrainState, tokens: jax.Array):
+        inputs = tokens[:, :-1]
+        targets = tokens[:, 1:]
+
+        def loss_fn(params):
+            logits, aux = model.apply({"params": params}, inputs,
+                                      step=state.step, train=True)
+            ce, n_tok = lm_loss_fn(logits, targets, ignore_index)
+            total = ce + aux["total_aux_loss"]
+            return total, (ce, aux, n_tok)
+
+        (total, (ce, aux, n_tok)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss/total": total,
+            "loss/ce": ce,
+            "loss/reg": aux["total_aux_loss"],
+            "n_tokens": n_tok,
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: MoELanguageModel,
+                   ignore_index: int = -100) -> Callable:
+    """Jitted `eval_step(params, tokens) -> (sum_nll, n_tokens)` for
+    perplexity accumulation (task.py validation loop equivalent)."""
+
+    def step_fn(params, tokens):
+        inputs = tokens[:, :-1]
+        targets = tokens[:, 1:]
+        logits, _ = model.apply({"params": params}, inputs, train=False)
+        ce, n_tok = lm_loss_fn(logits, targets, ignore_index)
+        return ce * n_tok, n_tok
+
+    return jax.jit(step_fn)

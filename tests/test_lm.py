@@ -1,0 +1,114 @@
+"""Language-model + trainer + sharding tests (virtual 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from competesmoe_tpu.models.lm import LMConfig, MoELanguageModel, lm_loss_fn
+from competesmoe_tpu.moe import MoEArgs, build_flip_schedule
+from competesmoe_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    make_param_shardings,
+)
+from competesmoe_tpu.train import OptConfig, TrainState, make_optimizer, \
+    make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=128, d_model=32, n_layers=2, n_heads=2,
+                n_experts=4, expert_size=8, moe_topk=2,
+                moe_name="smoe", moe_args=MoEArgs())
+    base.update(kw)
+    return LMConfig(**base)
+
+
+def test_lm_forward_shapes():
+    cfg = tiny_cfg()
+    model = MoELanguageModel(cfg)
+    tokens = jnp.zeros((2, 9), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    logits, aux = model.apply(params, tokens, train=True)
+    assert logits.shape == (2, 9, 128)
+    assert "total_aux_loss" in aux
+    assert np.isfinite(float(aux["total_aux_loss"]))
+
+
+def test_lm_universal_sharing_reduces_params():
+    cfg_full = tiny_cfg(n_layers=4)
+    cfg_shared = tiny_cfg(n_layers=4, universal_group_size=2)
+    tokens = jnp.zeros((1, 5), jnp.int32)
+    p_full = MoELanguageModel(cfg_full).init(jax.random.PRNGKey(0), tokens)
+    p_shared = MoELanguageModel(cfg_shared).init(jax.random.PRNGKey(0),
+                                                 tokens)
+    n_full = sum(x.size for x in jax.tree_util.tree_leaves(p_full))
+    n_shared = sum(x.size for x in jax.tree_util.tree_leaves(p_shared))
+    assert n_shared < n_full
+
+
+def test_lm_layer_order():
+    cfg = tiny_cfg(n_layers=4, universal_group_size=2,
+                   universal_group_type="abab")
+    assert cfg.layer_order() == [0, 1, 0, 1]
+    cfg = tiny_cfg(n_layers=4, universal_group_size=2,
+                   universal_group_type="aabb")
+    assert cfg.layer_order() == [0, 0, 1, 1]
+
+
+def test_lm_loss_ignore_index():
+    logits = jnp.zeros((1, 4, 8))
+    targets = jnp.array([[1, 2, -100, 3]])
+    loss, n = lm_loss_fn(logits, targets)
+    assert int(n) == 3
+    np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-5)
+
+
+def test_competesmoe_lm_train_step_on_mesh():
+    """Full CompeteSMoE LM train step over a (data=4, expert=2) mesh."""
+    cfg = tiny_cfg(moe_name="competesmoe", n_experts=8, moe_topk=2)
+    sched = build_flip_schedule(cfg.n_layers, 10, 0.0, 1.0, 4, seed=0)
+    model = MoELanguageModel(cfg, flip_schedule=sched)
+    mesh = make_mesh(n_expert=2)
+    tokens = jnp.zeros((8, 9), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens[:, :-1])["params"]
+    optimizer = make_optimizer(OptConfig(total_steps=10, warmup_steps=2))
+    with mesh:
+        params = jax.device_put(params, make_param_shardings(mesh, params))
+        state = TrainState.create(params, optimizer)
+        tokens = jax.device_put(tokens, batch_sharding(mesh))
+        train_step = make_train_step(model, optimizer, donate=False)
+        state1, m1 = train_step(state, tokens)
+        state2, m2 = train_step(state1, tokens)
+    assert int(state2.step) == 2
+    assert np.isfinite(float(m2["loss/total"]))
+    # Expert params must actually be sharded over the expert axis.
+    keys = state2.params["blocks_0"]["moe"]["keys"]
+    spec = keys.sharding.spec
+    assert spec[0] == "expert", spec
+
+
+def test_expert_sharding_rules():
+    mesh = make_mesh(n_expert=2)
+    cfg = tiny_cfg()
+    tokens = jnp.zeros((2, 5), jnp.int32)
+    params = MoELanguageModel(cfg).init(jax.random.PRNGKey(0),
+                                        tokens)["params"]
+    shardings = make_param_shardings(mesh, params)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    seen_expert = False
+    for path, sh in flat:
+        names = [getattr(p, "key", "") for p in path]
+        if names[-1] in ("keys", "values"):
+            assert sh.spec[0] == "expert"
+            seen_expert = True
+    assert seen_expert
+
+
+def test_lr_schedule_shapes():
+    from competesmoe_tpu.train import make_lr_schedule
+    sched = make_lr_schedule(OptConfig(lr=1e-3, warmup_steps=10,
+                                       total_steps=100))
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    assert float(sched(99)) < 1e-3
