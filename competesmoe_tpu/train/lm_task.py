@@ -1,0 +1,349 @@
+"""LM pretraining task: the full train/validate/checkpoint loop.
+
+Re-design of `moe_pretrain_model/framework/task/{task,simple_task}.py` +
+`tasks/{lm_base,transformer_lm_mixin,*_transformer}.py`:
+
+- `@task` registry keyed by snake-case name (task/task_db.py)
+- deterministic flip-schedule construction chained across layers
+  (transformer_lm_mixin.py:257-268) — here a pure function of the seed
+- train loop: batch fetch -> jitted step (bf16, microbatch accumulation,
+  aux-reg fold-in) -> timing meters -> metric log -> saver tick
+- periodic validation perplexity; NaN guard (simple_task.py:314-324)
+- auto-resume from the latest checkpoint, restoring sampler position and
+  run args (training_helper.py:195-242)
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.lm_data import (
+    InfiniteRandomSampler,
+    SequentialMultibatchSampler,
+    SyntheticLMDataset,
+    open_chunk_dir,
+)
+from ..models.lm import LMConfig, MoELanguageModel
+from ..moe import MoEArgs, build_flip_schedule
+from ..parallel import batch_sharding, make_mesh, make_param_shardings
+from ..utils.argparser import ArgumentParser, DotDict, args
+from .checkpoint import Saver
+from .lm_trainer import (
+    OptConfig,
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from .logger import ElapsedTimeMeter, MetricLogger
+
+TASK_REGISTRY: Dict[str, type] = {}
+
+
+def task(name: Optional[str] = None):
+    def decorate(cls):
+        key = name or _snake(cls.__name__)
+        TASK_REGISTRY[key] = cls
+        return cls
+    return decorate
+
+
+def get_task(name: str) -> type:
+    try:
+        return TASK_REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown task {name!r}; registered: "
+                         f"{', '.join(sorted(TASK_REGISTRY))}") from None
+
+
+def _snake(name: str) -> str:
+    out = []
+    for i, c in enumerate(name):
+        if c.isupper() and i > 0:
+            out.append("_")
+        out.append(c.lower())
+    return "".join(out)
+
+
+@args
+def _task_args(parser: ArgumentParser):
+    parser.add_argument("-task", default="synthetic_transformer")
+    parser.add_argument("-name", default="run")
+    parser.add_argument("-run_dir", default="runs")
+    parser.add_argument("-seed", default=0)
+    parser.add_argument("-restore", default="",
+                        parser=parser.str_or_none_parser)
+    parser.add_argument("-test_only", default=False)
+    parser.add_argument("-stop_after", default=1000)
+    parser.add_argument("-batch_size", default=64)
+    parser.add_argument("-n_microbatch", default=1)
+    parser.add_argument("-lr", default=2.5e-4)
+    parser.add_argument("-lr_sched.type", default="cos",
+                        choice=["cos", "constant"])
+    parser.add_argument("-lr_warmup", default=0)
+    parser.add_argument("-grad_clip", default=0.25)
+    parser.add_argument("-wd", default=0.0)
+    parser.add_argument("-amp", default=True)  # bf16 activations
+    parser.add_argument("-save_interval", default=1000)
+    parser.add_argument("-keep_last", default=2)
+    parser.add_argument("-log_interval", default=10)
+    parser.add_argument("-valid_interval", default=500)
+    parser.add_argument("-valid_batches", default=10)
+    parser.add_argument("-n_expert_shards", default=1)
+    # lm
+    parser.add_argument("-lm.unroll", default=1024)
+    parser.add_argument("-lm.vocab_size", default=8000)
+    parser.add_argument("-lm.data_dir", default="")
+    # transformer
+    parser.add_argument("-state_size", default=512)
+    parser.add_argument("-transformer.encoder_n_layers", default=16)
+    parser.add_argument("-transformer.n_heads", default=4)
+    parser.add_argument("-transformer.head_projection_size", default="none",
+                        parser=parser.int_or_none_parser)
+    parser.add_argument("-transformer.universal.group_size", default=1)
+    parser.add_argument("-transformer.universal.group_type", default="abab",
+                        choice=["abab", "aabb"])
+    parser.add_argument("-dropout", default=0.0)
+    # rope
+    parser.add_argument("-rope.rotate_fraction", default=0.5)
+    parser.add_argument("-rope.base", default=10000.0)
+    # moe
+    parser.add_argument("-moe_name", default="competesmoe")
+    parser.add_argument("-moe.n_experts", default=64)
+    parser.add_argument("-moe.expert_size", default=128)
+    parser.add_argument("-pkm.n_heads", default=8)
+    parser.add_argument("-moe.impl", default="auto",
+                        choice=["auto", "dense", "grouped"])
+    # moe losses / competesmoe schedule (names match the reference flags,
+    # transformer_lm_mixin.py:76-92)
+    parser.add_argument("-balance_loss_coef", default=0.01)
+    parser.add_argument("-balance_loss_coef_comp", default=0.01)
+    parser.add_argument("-router_z_loss_coef", default=0.001)
+    parser.add_argument("-router_loss_coef", default=0.01)
+    parser.add_argument("-max_compete_in_iter", default=2)
+    parser.add_argument("-warm_up", default=0.05)
+    parser.add_argument("-rate_flip", default=0.07)
+    parser.add_argument("-router_theta", default=0.1)
+    parser.add_argument("-scale_weight", default=1.0)
+    parser.add_argument("-hybrid", default=False)
+    parser.add_argument("-tribrid", default=False)
+    parser.add_argument("-in_topk", default=False)
+    parser.add_argument("-balance_affinity", default=False)
+    parser.add_argument("-is_cosine", default=False)
+    parser.add_argument("-is_norm_weight", default=False)
+    parser.add_argument("-norm_sigmoid", default=False)
+
+
+def moe_args_from(a: DotDict) -> MoEArgs:
+    return MoEArgs(
+        balance_loss_coef=a.balance_loss_coef,
+        balance_loss_coef_comp=a.balance_loss_coef_comp,
+        router_z_loss_coef=a.router_z_loss_coef,
+        router_loss_coef=a.router_loss_coef,
+        max_compete_in_iter=a.max_compete_in_iter,
+        warm_up=a.warm_up, rate_flip=a.rate_flip,
+        router_theta=a.router_theta, scale_weight=a.scale_weight,
+        hybrid=a.hybrid, tribrid=a.tribrid, in_topk=a.in_topk,
+        balance_affinity=a.balance_affinity, is_cosine=a.is_cosine,
+        is_norm_weight=a.is_norm_weight, norm_sigmoid=a.norm_sigmoid,
+        schedule_seed=a.seed,
+    ).validate()
+
+
+def lm_config_from(a: DotDict) -> LMConfig:
+    return LMConfig(
+        vocab_size=a.lm.vocab_size, d_model=a.state_size,
+        n_layers=a.transformer.encoder_n_layers,
+        n_heads=a.transformer.n_heads,
+        head_dim=a.transformer.head_projection_size,
+        dropout=a.dropout, moe_name=a.moe_name,
+        n_experts=a.moe.n_experts, expert_size=a.moe.expert_size,
+        moe_topk=a.pkm.n_heads, moe_args=moe_args_from(a),
+        moe_impl=a.moe.impl,
+        rotate_fraction=a.rope.rotate_fraction, rope_base=a.rope.base,
+        universal_group_size=a.transformer.universal.group_size,
+        universal_group_type=a.transformer.universal.group_type,
+        dtype=jnp.bfloat16 if a.amp else jnp.float32,
+    )
+
+
+@task("synthetic_transformer")
+class SyntheticTransformerTask:
+    """LM pretraining on the synthetic corpus (offline stand-in for the
+    reference's {c4,slimpajama,pes2o,thestack}_transformer tasks)."""
+
+    def __init__(self, a: DotDict):
+        self.a = a
+        self.run_dir = Path(a.run_dir) / a.name
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = MetricLogger(self.run_dir,
+                                   stdout_interval=a.log_interval)
+        self.dataset, self.valid_dataset = self.create_datasets()
+        self.sampler = SequentialMultibatchSampler(
+            n_items=len(self.dataset), batch_size=a.batch_size)
+
+        cfg = lm_config_from(a)
+        self.cfg = cfg
+        schedule = None
+        if cfg.moe_name == "competesmoe" and not a.test_only:
+            schedule = build_flip_schedule(
+                cfg.n_layers, a.stop_after, a.warm_up, a.rate_flip,
+                a.max_compete_in_iter, seed=a.seed)
+        self.schedule = schedule
+        self.model = MoELanguageModel(cfg, flip_schedule=schedule)
+
+        self.mesh = make_mesh(n_expert=a.n_expert_shards)
+        self.optimizer = make_optimizer(OptConfig(
+            lr=a.lr, lr_sched=a.lr_sched.type, warmup_steps=a.lr_warmup,
+            total_steps=a.stop_after, grad_clip=a.grad_clip,
+            weight_decay=a.wd))
+
+        with self.mesh:
+            tokens0 = jnp.zeros((a.batch_size, a.lm.unroll + 1), jnp.int32)
+            params = self.model.init(jax.random.PRNGKey(a.seed),
+                                     tokens0[:, :-1])["params"]
+            params = jax.device_put(params,
+                                    make_param_shardings(self.mesh, params))
+            self.state = TrainState.create(params, self.optimizer)
+        self.train_step = make_train_step(self.model, self.optimizer,
+                                          n_microbatch=a.n_microbatch)
+        self.eval_step = make_eval_step(self.model)
+
+        self.saver = Saver(self.run_dir / "checkpoint",
+                           save_interval=a.save_interval,
+                           keep_last=a.keep_last)
+        self.saver["state"] = self.state
+        self.saver["sampler"] = self.sampler
+        self.saver["args"] = ArgumentParser.namespace_to_dict(a)
+        if schedule is not None:
+            from ..moe.schedule import schedule_to_dict
+            self.saver["flip_schedule"] = schedule_to_dict(schedule)
+        self.start_step = 0
+        if a.restore:
+            self.start_step = self.restore(a.restore)
+        elif self.saver.latest_step() is not None:
+            self.start_step = self.restore()
+
+    # -- data --
+
+    def create_datasets(self):
+        a = self.a
+        train = SyntheticLMDataset(a.lm.vocab_size, a.lm.unroll,
+                                   n_windows=1 << 16, seed=a.seed)
+        valid = SyntheticLMDataset(a.lm.vocab_size, a.lm.unroll,
+                                   n_windows=1 << 10, seed=a.seed + 1)
+        return train, valid
+
+    # -- checkpoint --
+
+    def restore(self, path_or_step=None) -> int:
+        step = None
+        if isinstance(path_or_step, str) and path_or_step:
+            step = int(path_or_step)
+        self.saver["state"] = self.state
+        restored = self.saver.restore(step)
+        self.state = self.saver["state"]
+        # The competition schedule is part of training state: a resumed run
+        # must keep the ORIGINAL schedule even if stop_after changed
+        # (the reference serializes prob_flips as a buffer,
+        # competesmoe.py:32). Rebuild the model/steps if it differs.
+        if self.schedule is not None and "flip_schedule" in \
+                self.saver._elements:
+            from ..moe.schedule import schedule_from_dict, schedule_to_dict
+            saved = schedule_from_dict(self.saver["flip_schedule"])
+            if not np.array_equal(saved.flips, self.schedule.flips):
+                print("restoring original flip schedule from checkpoint")
+                self.schedule = saved
+                self.model = MoELanguageModel(self.cfg, flip_schedule=saved)
+                self.train_step = make_train_step(
+                    self.model, self.optimizer,
+                    n_microbatch=self.a.n_microbatch)
+                self.eval_step = make_eval_step(self.model)
+                self.saver["flip_schedule"] = schedule_to_dict(saved)
+        print(f"restored checkpoint at step {restored}")
+        return restored
+
+    # -- loops --
+
+    def fetch_batch(self) -> jax.Array:
+        idx = next(self.sampler)
+        batch = self.dataset.batch(idx)
+        return jax.device_put(jnp.asarray(batch), batch_sharding(self.mesh))
+
+    def validate(self) -> float:
+        total_nll, total_tok = 0.0, 0
+        sampler = SequentialMultibatchSampler(
+            n_items=len(self.valid_dataset), batch_size=self.a.batch_size)
+        with self.mesh:
+            for _ in range(self.a.valid_batches):
+                batch = jnp.asarray(self.valid_dataset.batch(next(sampler)))
+                batch = jax.device_put(batch, batch_sharding(self.mesh))
+                nll, n = self.eval_step(self.state.params, batch)
+                total_nll += float(nll)
+                total_tok += int(n)
+        return math.exp(total_nll / max(total_tok, 1))
+
+    def train(self) -> None:
+        a = self.a
+        iter_meter = ElapsedTimeMeter()
+        load_meter = ElapsedTimeMeter()
+        with self.mesh:
+            for step in range(self.start_step, a.stop_after):
+                with load_meter:
+                    batch = self.fetch_batch()
+                with iter_meter:
+                    self.state, metrics = self.train_step(self.state, batch)
+                    if step % a.log_interval == 0 or step == a.stop_after - 1:
+                        metrics = {k: float(v) for k, v in metrics.items()}
+                if not math.isfinite(metrics.get("loss/total", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {metrics}")
+                if step % a.log_interval == 0 or step == a.stop_after - 1:
+                    tokens = a.batch_size * a.lm.unroll
+                    ms = iter_meter.mean_ms
+                    metrics.update({
+                        "timing/ms_per_iter": ms,
+                        "timing/ms_per_load": load_meter.mean_ms,
+                        "timing/ms_per_token": ms / tokens,
+                        "step_tokens_per_second": tokens / (ms / 1000.0)
+                        if ms else 0.0,
+                    })
+                    self.logger.log(step, metrics)
+                    iter_meter.reset()
+                    load_meter.reset()
+                if a.valid_interval and step and step % a.valid_interval == 0:
+                    ppl = self.validate()
+                    self.logger.log(step, {"valid/perplexity": ppl},
+                                    to_stdout=True)
+                self.saver["state"] = self.state
+                self.saver.tick(step + 1)
+            self.saver["state"] = self.state
+            self.saver.save(a.stop_after)
+
+    def test(self) -> Dict[str, float]:
+        return {"valid/perplexity": self.validate()}
+
+
+@task("chunked_transformer")
+class ChunkedTransformerTask(SyntheticTransformerTask):
+    """LM pretraining over pre-tokenized uint16 mmap chunk dirs
+    (-lm.data_dir), the offline equivalent of the reference's streaming
+    dataset tasks once `tokenize_to_chunks` has run."""
+
+    def create_datasets(self):
+        a = self.a
+        if not a.lm.data_dir:
+            raise ValueError("chunked_transformer requires -lm.data_dir")
+        d = Path(a.lm.data_dir)
+        train = open_chunk_dir(d / "train", a.lm.unroll)
+        valid_dir = d / "valid"
+        valid = (open_chunk_dir(valid_dir, a.lm.unroll)
+                 if valid_dir.exists() else train)
+        return train, valid

@@ -89,33 +89,70 @@ class TrainState:
 def make_train_step(model: MoELanguageModel,
                     optimizer: optax.GradientTransformation,
                     ignore_index: int = -100,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    n_microbatch: int = 1) -> Callable:
     """Returns jitted `train_step(state, tokens) -> (state, metrics)`.
 
     tokens: [B, T+1] int32 — inputs tokens[:, :-1], targets tokens[:, 1:]
     (the reference's shift, language_model_interface.py:58-74).
+
+    n_microbatch > 1 accumulates gradients over B/n_microbatch slices via
+    lax.scan before one optimizer update (simple_task.py's run_ubatch
+    microbatching, :286-312), keeping peak activation memory bounded.
     """
 
-    def step_fn(state: TrainState, tokens: jax.Array):
+    def loss_for(params, step, tokens):
         inputs = tokens[:, :-1]
         targets = tokens[:, 1:]
 
         def loss_fn(params):
             logits, aux = model.apply({"params": params}, inputs,
-                                      step=state.step, train=True)
+                                      step=step, train=True)
             ce, n_tok = lm_loss_fn(logits, targets, ignore_index)
             total = ce + aux["total_aux_loss"]
-            return total, (ce, aux, n_tok)
+            return total, (ce, aux["total_aux_loss"], n_tok)
 
-        (total, (ce, aux, n_tok)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def step_fn(state: TrainState, tokens: jax.Array):
+        if n_microbatch > 1:
+            b = tokens.shape[0]
+            if b % n_microbatch:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"{n_microbatch} microbatches")
+            micro = tokens.reshape(n_microbatch, b // n_microbatch,
+                                   *tokens.shape[1:])
+
+            def scan_body(carry, mb):
+                acc_grads, acc = carry
+                (total, (ce, reg, n_tok)), grads = loss_for(
+                    state.params, state.step, mb)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                acc = (acc[0] + total, acc[1] + ce, acc[2] + reg,
+                       acc[3] + n_tok)
+                return (acc_grads, acc), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            zeros = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+                     jnp.zeros((), jnp.int32))
+            (grads, acc), _ = jax.lax.scan(scan_body, (zero_grads, zeros),
+                                           micro)
+            inv = 1.0 / n_microbatch
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            total, ce, reg, n_tok = (acc[0] * inv, acc[1] * inv,
+                                     acc[2] * inv, acc[3])
+        else:
+            (total, (ce, reg, n_tok)), grads = loss_for(
+                state.params, state.step, tokens)
+
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss/total": total,
             "loss/ce": ce,
-            "loss/reg": aux["total_aux_loss"],
+            "loss/reg": reg,
             "n_tokens": n_tok,
             "grad_norm": optax.global_norm(grads),
         }
