@@ -1,0 +1,391 @@
+"""HF-style causal decoder LMs in JAX: Phi-3.5, Llama, Mistral, SmolLM
+(all llama-family), plus an optional registry-MoE FFN per block (the role
+of the reference's Mixtral `initialize_smoe_modules` monkey patch,
+moe_model/model/language_model/smoe_mixtral_helper.py:20-77).
+
+Re-designs the decoder side of `moe_model/model/language_model/*` — the
+reference wraps unmodified HF torch models; here the decoder is native JAX
+so the whole multimodal forward jits into one XLA program.
+
+Covers: RMSNorm, rotary embeddings (plain + Phi-3 longrope su-scaling),
+GQA/MHA, fused (`qkv_proj`/`gate_up_proj`, Phi-3) or split
+(`q/k/v`/`gate/up`, llama) projections, SiLU-gated MLP, optional sliding
+window (Mistral), KV-cache decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..moe.config import MoEArgs
+from ..moe.layers import MoEAux, zero_aux
+from ..moe.registry import get_moe
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32064
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 131072
+    original_max_position_embeddings: int = 4096
+    # 'longrope' with per-dim factors (Phi-3.5) or None (llama/mistral)
+    rope_scaling_type: Optional[str] = None
+    rope_short_factor: Optional[Tuple[float, ...]] = None
+    rope_long_factor: Optional[Tuple[float, ...]] = None
+    partial_rotary_factor: float = 1.0
+    sliding_window: Optional[int] = None
+    tie_word_embeddings: bool = False
+    fused_qkv: bool = False        # Phi-3 qkv_proj / gate_up_proj layout
+    attention_bias: bool = False
+    # Optional MoE FFN (mixtral-style blocks routed via our registry)
+    moe_name: Optional[str] = None
+    num_experts: int = 8
+    num_selected: int = 2
+    moe_args: MoEArgs = MoEArgs()
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def phi35_mini_config(dtype=jnp.bfloat16) -> "DecoderConfig":
+    """microsoft/Phi-3.5-mini-instruct geometry (the CompeteSMoE-5.1B
+    decoder, scripts/train/phi35mini/siglip/sft.sh)."""
+    # longrope factors from the released config.json
+    short = (1.0,) * 48
+    long = (1.0799999237060547, 1.0999999046325684, 1.1199998855590820,
+            1.1399998664855957, 1.1599998474121094, 1.1799998283386230,
+            1.1999998092651367, 1.2199997901916504, 1.2399997711181641,
+            1.2599997520446777, 1.2799997329711914, 1.2999997138977051,
+            1.3199996948242188, 1.3399996757507324, 1.3599996566772461,
+            1.3799996376037598, 1.3999996185302734, 1.4199995994567871,
+            1.4399995803833008, 1.4599995613098145, 1.4799995422363281,
+            1.4999995231628418, 1.5199995040893555, 1.5399994850158691,
+            1.5599994659423828, 1.5799994468688965, 1.5999994277954102,
+            1.6199994087219238, 1.6399993896484375, 1.6599993705749512,
+            1.6799993515014648, 1.6999993324279785, 1.7199993133544922,
+            1.7399992942810059, 1.7599992752075195, 1.7799992561340332,
+            1.7999992370605469, 1.8199992179870605, 1.8399991989135742,
+            1.8599991798400879, 1.8799991607666016, 1.8999991416931152,
+            1.9199991226196289, 1.9399991035461426, 1.9599990844726562,
+            1.9799990653991699, 1.9999990463256836, 2.0999990701675415)
+    return DecoderConfig(
+        vocab_size=32064, hidden_size=3072, intermediate_size=8192,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=32, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=131072,
+        original_max_position_embeddings=4096,
+        rope_scaling_type="longrope", rope_short_factor=short,
+        rope_long_factor=long, fused_qkv=True, tie_word_embeddings=False,
+        dtype=dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        # exact 1/sqrt (lax.rsqrt is an approximation, ~1e-5 off torch)
+        xf = xf / jnp.sqrt(var + self.eps)
+        return (xf * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(cfg: DecoderConfig, positions: jax.Array, seq_len_cap: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given positions ([..., T]).
+
+    Implements plain RoPE and Phi-3 longrope su-scaling: per-dim frequency
+    factors (short when the runtime context fits the original window, long
+    otherwise) plus the sqrt(1 + log(s)/log(orig)) magnitude factor.
+    """
+    rot = int(cfg.head_dim * cfg.partial_rotary_factor)
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, rot, 2,
+                                                   dtype=np.float64) / rot))
+    attn_factor = 1.0
+    if cfg.rope_scaling_type in ("longrope", "su"):
+        if seq_len_cap > cfg.original_max_position_embeddings:
+            factors = np.asarray(cfg.rope_long_factor, np.float64)
+        else:
+            factors = np.asarray(cfg.rope_short_factor, np.float64)
+        inv_freq = inv_freq / factors
+        scale = (cfg.max_position_embeddings
+                 / cfg.original_max_position_embeddings)
+        if scale > 1.0:
+            attn_factor = math.sqrt(
+                1.0 + math.log(scale)
+                / math.log(cfg.original_max_position_embeddings))
+    freqs = positions[..., None].astype(jnp.float32) * jnp.asarray(
+        inv_freq, jnp.float32)[None]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return (jnp.cos(emb) * attn_factor), (jnp.sin(emb) * attn_factor)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, T, H, D]; cos/sin: [B, T, rot] (HF non-interleaved)."""
+    rot = cos.shape[-1]
+    xr, xp = x[..., :rot], x[..., rot:]
+    x1, x2 = jnp.split(xr, 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    out = xr * cos + rotated * sin
+    return jnp.concatenate([out, xp], axis=-1) if xp.shape[-1] else out
+
+
+@flax.struct.dataclass
+class KVCache:
+    k: jax.Array  # [L, B, max_len, kv_heads, head_dim]
+    v: jax.Array
+    pos: jax.Array  # [B] current length per sequence
+
+    @classmethod
+    def create(cls, cfg: DecoderConfig, batch: int, max_len: int):
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, cfg.dtype),
+                   v=jnp.zeros(shape, cfg.dtype),
+                   pos=jnp.zeros((batch,), jnp.int32))
+
+
+class DecoderAttention(nn.Module):
+    cfg: DecoderConfig
+
+    def _proj(self, x):
+        cfg = self.cfg
+        d = cfg.hidden_size
+        kvd = cfg.num_key_value_heads * cfg.head_dim
+        if cfg.fused_qkv:
+            qkv = nn.Dense(d + 2 * kvd, use_bias=cfg.attention_bias,
+                           dtype=cfg.dtype, name="qkv_proj")(x)
+            q, k, v = jnp.split(qkv, [d, d + kvd], axis=-1)
+        else:
+            q = nn.Dense(d, use_bias=cfg.attention_bias, dtype=cfg.dtype,
+                         name="q_proj")(x)
+            k = nn.Dense(kvd, use_bias=cfg.attention_bias, dtype=cfg.dtype,
+                         name="k_proj")(x)
+            v = nn.Dense(kvd, use_bias=cfg.attention_bias, dtype=cfg.dtype,
+                         name="v_proj")(x)
+        return q, k, v
+
+    @nn.compact
+    def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
+                 cache_idx=None):
+        """mask: [B, Tq, Tk] bool (True = attend). cache_kv: (k, v) past
+        buffers [B, max_len, h_kv, d]; cache_idx: [B, T] slot for each
+        current token (pad tokens point at the dump slot max_len-1, which
+        is only legitimately written by the final token — so stale pad
+        K/V is never attended)."""
+        cfg = self.cfg
+        B, T, _ = x.shape
+        h, hk, p = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                    cfg.head_dim)
+        q, k, v = self._proj(x)
+        q = q.reshape(B, T, h, p)
+        k = k.reshape(B, T, hk, p)
+        v = v.reshape(B, T, hk, p)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.vmap(lambda c, u, i: c.at[i].set(u))(ck, k, cache_idx)
+            cv = jax.vmap(lambda c, u, i: c.at[i].set(u))(cv, v, cache_idx)
+            k, v = ck, cv
+            new_cache = (ck, cv)
+
+        if hk != h:
+            rep = h // hk
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(p)
+        if mask is not None:
+            scores = jnp.where(mask[:, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(B, T, h * p)
+        out = nn.Dense(cfg.hidden_size, use_bias=cfg.attention_bias,
+                       dtype=cfg.dtype, name="o_proj")(out)
+        return out, new_cache
+
+
+class DecoderMLP(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        if cfg.fused_qkv:  # phi3 layout pairs fused attn with gate_up_proj
+            gu = nn.Dense(2 * cfg.intermediate_size, use_bias=False,
+                          dtype=cfg.dtype, name="gate_up_proj")(x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                            dtype=cfg.dtype, name="gate_proj")(x)
+            up = nn.Dense(cfg.intermediate_size, use_bias=False,
+                          dtype=cfg.dtype, name="up_proj")(x)
+        h = jax.nn.silu(gate) * up
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                        name="down_proj")(h)
+
+
+class DecoderLayer(nn.Module):
+    cfg: DecoderConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.input_layernorm = RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+        self.post_attention_layernorm = RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+        self.self_attn = DecoderAttention(cfg)
+        if cfg.moe_name is not None:
+            self.moe = get_moe(cfg.moe_name)(
+                in_dim=cfg.hidden_size, out_dim=cfg.hidden_size,
+                n_experts=cfg.num_experts, n_selected=cfg.num_selected,
+                args=cfg.moe_args,
+                expert_hidden_dim=cfg.intermediate_size)
+        else:
+            self.mlp = DecoderMLP(cfg)
+
+    def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
+                 cache_idx=None, step=None, train=False):
+        res = x
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
+                                      mask=mask, cache_kv=cache_kv,
+                                      cache_idx=cache_idx)
+        x = res + h
+        res = x
+        h = self.post_attention_layernorm(x)
+        if self.cfg.moe_name is not None:
+            h, aux = self.moe(h, step=step, train=train)
+        else:
+            h, aux = self.mlp(h), zero_aux(h)
+        return res + h, new_cache, aux
+
+
+class DecoderLM(nn.Module):
+    """The full decoder: embed -> layers -> norm -> lm_head.
+
+    __call__ supports three modes:
+      * training/prefill without cache: inputs [B, T]
+      * prefill with cache: pass `cache`, returns updated cache
+      * decode: T=1 slices against the cache
+    `inputs_embeds` bypasses the embedding (the LLaVA image splice feeds
+    embeddings directly, llava_arch.py:198-384).
+    """
+
+    cfg: DecoderConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size,
+            embedding_init=nn.initializers.normal(0.02))
+        self.layers = [DecoderLayer(cfg)
+                       for _ in range(cfg.num_hidden_layers)]
+        self.norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    name="lm_head")
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids).astype(self.cfg.dtype)
+
+    def __call__(self, input_ids=None, *, inputs_embeds=None,
+                 attention_mask=None, position_ids=None,
+                 cache: Optional[KVCache] = None, step=None, train=False,
+                 seq_len_cap: Optional[int] = None):
+        cfg = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed(input_ids)
+        x = inputs_embeds
+        B, T, _ = x.shape
+
+        cache_idx = None
+        if cache is not None:
+            valid = (attention_mask.astype(jnp.int32)
+                     if attention_mask is not None
+                     else jnp.ones((B, T), jnp.int32))
+            cum = jnp.cumsum(valid, axis=1) - 1              # [B, T]
+            kv_len = cache.k.shape[2]
+            # pad tokens write to the dump slot kv_len-1 (see
+            # DecoderAttention) so their K/V never shadow real positions
+            cache_idx = jnp.where(valid.astype(bool),
+                                  cache.pos[:, None] + cum, kv_len - 1)
+            if position_ids is None:
+                position_ids = cache.pos[:, None] + jnp.maximum(cum, 0)
+        elif position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+        cap = seq_len_cap or (cache.k.shape[2] if cache is not None else T)
+        cos, sin = rope_tables(cfg, position_ids, cap)
+
+        # Build the attention mask [B, Tq, Tk].
+        if cache is not None:
+            kpos = jnp.arange(kv_len)[None, None]           # [1,1,K]
+            qpos = (cache.pos[:, None] + jnp.maximum(cum, 0))[:, :, None]
+            mask = kpos <= qpos
+            if cfg.sliding_window:
+                mask = mask & (kpos > qpos - cfg.sliding_window)
+        else:
+            qpos = position_ids[:, :, None]
+            kpos = position_ids[:, None, :]
+            mask = kpos <= qpos
+            if cfg.sliding_window:
+                mask = mask & (kpos > qpos - cfg.sliding_window)
+            if attention_mask is not None:
+                mask = mask & attention_mask[:, None, :].astype(bool)
+
+        new_k, new_v = [], []
+        total_aux = jnp.zeros((), jnp.float32)
+        auxes: List[MoEAux] = []
+        for li, layer in enumerate(self.layers):
+            cache_kv = (cache.k[li], cache.v[li]) if cache is not None \
+                else None
+            x, updated, aux = layer(
+                x, cos, sin, mask=mask, cache_kv=cache_kv,
+                cache_idx=cache_idx, step=step, train=train)
+            total_aux = total_aux + aux.aux_loss
+            auxes.append(aux)
+            if updated is not None:
+                new_k.append(updated[0])
+                new_v.append(updated[1])
+
+        x = self.norm(x)
+        if cfg.tie_word_embeddings:
+            logits = x.astype(jnp.float32) @ \
+                self.embed_tokens.embedding.T.astype(jnp.float32)
+        else:
+            logits = self.lm_head(x.astype(jnp.float32))
+
+        new_cache = None
+        if cache is not None:
+            if attention_mask is not None:
+                advance = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+            else:
+                advance = jnp.full((B,), T, jnp.int32)
+            new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
+                                pos=cache.pos + advance)
+        return logits, new_cache, {"total_aux_loss": total_aux,
+                                   "layers": auxes}

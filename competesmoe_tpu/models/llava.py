@@ -1,0 +1,298 @@
+"""LLaVA-style multimodal meta-model: vision tower + mm projector +
+decoder LM, with the image-token splice and KV-cache generation.
+
+Re-design of `moe_model/model/llava_arch.py` + `language_model/llava_phi.py`:
+
+- the variable-length python splice loop (llava_arch.py:287-370) becomes a
+  STATIC-SHAPE vectorized splice: with one image per sample and a fixed
+  patch count P, output length is always L-1+P and the embed/label/mask
+  rebuild is pure gather arithmetic — jit-friendly, no host sync;
+- training forward adds `aux_mlp + aux_clip` to the CE loss
+  (llava_phi.py:112-143);
+- `generate` = spliced prefill into a KV cache + jitted decode steps
+  (greedy or temperature sampling), returning routing telemetry when
+  `return_id_experts` (llava_phi.py:147-220's returns).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..moe.config import MoEArgs
+from .decoder import DecoderConfig, DecoderLM, KVCache
+from .projector import ProjectorConfig, VisionProjector
+from .vision import SiglipSMoEVisionTower, VisionConfig
+
+IGNORE_INDEX = -100
+IMAGE_TOKEN_INDEX = -200
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    vision: VisionConfig = VisionConfig()
+    projector: ProjectorConfig = ProjectorConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    image_token_index: int = IMAGE_TOKEN_INDEX
+    tokenizer_model_max_length: Optional[int] = 2048
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.vision.num_patches
+
+
+def splice_image_tokens(input_ids: jax.Array, text_embeds: jax.Array,
+                        image_features: jax.Array,
+                        labels: Optional[jax.Array] = None,
+                        attention_mask: Optional[jax.Array] = None,
+                        image_token_index: int = IMAGE_TOKEN_INDEX
+                        ) -> Dict[str, jax.Array]:
+    """Static-shape single-image splice.
+
+    input_ids: [B, L] with at most one `image_token_index` per row.
+    text_embeds: [B, L, D] (embed of input_ids with the image token zeroed).
+    image_features: [B, P, D].
+    Returns dict with embeds [B, L-1+P, D], labels, attention_mask,
+    position_ids (right-padded layout, llava_arch.py:340-370).
+    """
+    B, L = input_ids.shape
+    P = image_features.shape[1]
+    D = text_embeds.shape[-1]
+    Lout = L - 1 + P
+
+    is_img = input_ids == image_token_index
+    has_img = jnp.any(is_img, axis=1)                    # [B]
+    p = jnp.argmax(is_img, axis=1)                       # [B]
+    p = jnp.where(has_img, p, L)                         # no image: never hit
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, L), bool)
+    else:
+        attention_mask = attention_mask.astype(bool)
+    if labels is None:
+        labels = jnp.full((B, L), IGNORE_INDEX, jnp.int32)
+
+    j = jnp.arange(Lout)[None, :]                        # [1, Lout]
+    pj = p[:, None]
+    in_image = (j >= pj) & (j < pj + P)
+    after = j >= pj + P
+    text_idx = jnp.where(after, j - (P - 1), j)
+    text_idx = jnp.clip(text_idx, 0, L - 1)
+
+    emb_text = jnp.take_along_axis(text_embeds, text_idx[..., None], axis=1)
+    img_idx = jnp.clip(j - pj, 0, P - 1)
+    emb_img = jnp.take_along_axis(image_features, img_idx[..., None], axis=1)
+    embeds = jnp.where(in_image[..., None], emb_img, emb_text)
+
+    lab_text = jnp.take_along_axis(labels, text_idx, axis=1)
+    new_labels = jnp.where(in_image, IGNORE_INDEX, lab_text)
+    mask_text = jnp.take_along_axis(attention_mask, text_idx, axis=1)
+    new_mask = jnp.where(in_image, True, mask_text)
+    # rows without an image only have L real positions
+    no_img_tail = (~has_img[:, None]) & (j >= L)
+    new_mask = jnp.where(no_img_tail, False, new_mask)
+    new_labels = jnp.where(no_img_tail, IGNORE_INDEX, new_labels)
+    embeds = jnp.where(no_img_tail[..., None], 0.0, embeds)
+
+    position_ids = jnp.cumsum(new_mask.astype(jnp.int32), axis=1) - 1
+    position_ids = jnp.maximum(position_ids, 0)
+    return {"embeds": embeds, "labels": new_labels,
+            "attention_mask": new_mask, "position_ids": position_ids}
+
+
+@flax.struct.dataclass
+class LlavaOutput:
+    logits: jax.Array
+    loss: Optional[jax.Array]
+    aux_mlp: jax.Array
+    aux_clip: jax.Array
+    labels: Optional[jax.Array] = None
+    vision_auxes: Any = None
+    projector_aux: Any = None
+    cache: Optional[KVCache] = None
+
+
+class LlavaModel(nn.Module):
+    """Vision tower -> projector -> decoder with image splice."""
+
+    cfg: LlavaConfig
+    vision_flip_schedule: Any = dataclasses.field(
+        default=None, compare=False, hash=False)
+    projector_flip_schedule: Any = dataclasses.field(
+        default=None, compare=False, hash=False)
+
+    def setup(self):
+        self.vision_tower = SiglipSMoEVisionTower(
+            self.cfg.vision, flip_schedule=self.vision_flip_schedule)
+        self.mm_projector = VisionProjector(self.cfg.projector)
+        self.language_model = DecoderLM(self.cfg.decoder)
+
+    def encode_images(self, pixel_values, *, step=None, train=False,
+                      return_id_experts=False):
+        feats, aux_clip, v_auxes = self.vision_tower(
+            pixel_values, step=step, train=train,
+            return_id_experts=return_id_experts)
+        feats = feats.astype(self.cfg.decoder.dtype)
+        proj, p_aux = self.mm_projector(
+            feats, step=step, train=train,
+            return_id_experts=return_id_experts)
+        return proj.astype(self.cfg.decoder.dtype), aux_clip, v_auxes, p_aux
+
+    def __call__(self, input_ids, pixel_values=None, labels=None,
+                 attention_mask=None, *, step=None, train=False,
+                 return_id_experts=False, cache=None) -> LlavaOutput:
+        lm = self.language_model
+        if pixel_values is None:
+            logits, new_cache, aux = lm(
+                jnp.maximum(input_ids, 0), attention_mask=attention_mask,
+                cache=cache, step=step, train=train)
+            return LlavaOutput(
+                logits=logits, loss=None,
+                aux_mlp=jnp.zeros((), jnp.float32),
+                aux_clip=jnp.zeros((), jnp.float32), labels=labels,
+                cache=new_cache)
+
+        img_feats, aux_clip, v_auxes, p_aux = self.encode_images(
+            pixel_values, step=step, train=train,
+            return_id_experts=return_id_experts)
+        text_embeds = lm.embed(jnp.maximum(input_ids, 0))
+        text_embeds = jnp.where(
+            (input_ids == self.cfg.image_token_index)[..., None],
+            0.0, text_embeds)
+        sp = splice_image_tokens(input_ids, text_embeds, img_feats, labels,
+                                 attention_mask,
+                                 self.cfg.image_token_index)
+        maxlen = self.cfg.tokenizer_model_max_length
+        embeds, sp_labels = sp["embeds"], sp["labels"]
+        sp_mask, sp_pos = sp["attention_mask"], sp["position_ids"]
+        if maxlen is not None and embeds.shape[1] > maxlen:
+            embeds = embeds[:, :maxlen]
+            sp_labels = sp_labels[:, :maxlen]
+            sp_mask = sp_mask[:, :maxlen]
+            sp_pos = sp_pos[:, :maxlen]
+
+        logits, new_cache, _ = lm(
+            inputs_embeds=embeds, attention_mask=sp_mask,
+            position_ids=sp_pos if cache is None else None,
+            cache=cache, step=step, train=train)
+
+        loss = None
+        if labels is not None:
+            from .lm import lm_loss_fn
+            shift_logits = logits[:, :-1]
+            shift_labels = jnp.where(sp_mask[:, 1:], sp_labels[:, 1:],
+                                     IGNORE_INDEX)
+            ce, _ = lm_loss_fn(shift_logits, shift_labels, IGNORE_INDEX)
+            loss = ce + aux_clip + p_aux.aux_loss
+        return LlavaOutput(
+            logits=logits, loss=loss, aux_mlp=p_aux.aux_loss,
+            aux_clip=aux_clip, labels=sp_labels,
+            vision_auxes=v_auxes if return_id_experts else None,
+            projector_aux=p_aux if return_id_experts else None,
+            cache=new_cache)
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+def make_generate_fns(model: LlavaModel, cfg: LlavaConfig, max_len: int):
+    """Build jitted (prefill, decode_step) for incremental generation."""
+
+    def prefill(params, input_ids, pixel_values, attention_mask):
+        B = input_ids.shape[0]
+        cache = KVCache.create(cfg.decoder, B, max_len)
+        out = model.apply(params, input_ids, pixel_values,
+                          attention_mask=attention_mask, cache=cache,
+                          return_id_experts=True)
+        # last valid position per row
+        lengths = out.cache.pos
+        last = jnp.take_along_axis(
+            out.logits, (lengths - 1)[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
+        return last, out
+
+    def decode_step(params, token, cache):
+        out = model.apply(params, token[:, None], None, cache=cache)
+        return out.logits[:, 0], out.cache
+
+    return jax.jit(prefill), jax.jit(decode_step)
+
+
+def sample_token(logits: jax.Array, rng: Optional[jax.Array],
+                 temperature: float = 0.0, top_p: float = 1.0) -> jax.Array:
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def generate(model: LlavaModel, params, input_ids: np.ndarray,
+             pixel_values: Optional[np.ndarray],
+             attention_mask: Optional[np.ndarray] = None,
+             max_new_tokens: int = 64, temperature: float = 0.0,
+             top_p: float = 1.0, eos_token_id: Optional[int] = None,
+             rng: Optional[jax.Array] = None,
+             stop_token_ids: Optional[List[int]] = None
+             ) -> Tuple[np.ndarray, LlavaOutput]:
+    """Host-driven generation loop with jitted prefill/decode.
+
+    Returns (generated ids [B, <=max_new_tokens], prefill output with
+    routing telemetry) — the role of `LlavaPhiForCausalLM.generate`
+    (llava_phi.py:147-220)."""
+    cfg = model.cfg
+    B, L = input_ids.shape
+    P = cfg.num_image_tokens if pixel_values is not None else 0
+    prompt_len = L - 1 + P if pixel_values is not None else L
+    max_len = prompt_len + max_new_tokens
+    prefill, decode_step = make_generate_fns(model, cfg, max_len)
+    if attention_mask is None:
+        attention_mask = np.ones_like(input_ids)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if pixel_values is not None:
+        last_logits, out = prefill(params, jnp.asarray(input_ids),
+                                   jnp.asarray(pixel_values),
+                                   jnp.asarray(attention_mask))
+    else:
+        cache = KVCache.create(cfg.decoder, B, max_len)
+        res = model.apply(params, jnp.asarray(input_ids), None,
+                          attention_mask=jnp.asarray(attention_mask),
+                          cache=cache)
+        lengths = res.cache.pos
+        last_logits = jnp.take_along_axis(
+            res.logits, (lengths - 1)[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
+        out = res
+    cache = out.cache
+
+    stops = set(stop_token_ids or [])
+    if eos_token_id is not None:
+        stops.add(int(eos_token_id))
+    tokens = []
+    finished = np.zeros(B, bool)
+    cur = sample_token(last_logits, rng, temperature, top_p)
+    for t in range(max_new_tokens):
+        cur_np = np.asarray(cur)
+        tokens.append(cur_np)
+        finished |= np.isin(cur_np, list(stops)) if stops else False
+        if finished.all():
+            break
+        rng, sub = jax.random.split(rng)
+        logits, cache = decode_step(params, cur, cache)
+        cur = sample_token(logits, sub, temperature, top_p)
+    return np.stack(tokens, axis=1), out

@@ -84,6 +84,13 @@ class MoeLayerBase(nn.Module):
     args: MoEArgs = MoEArgs()
     impl: str = "auto"
     gate_bias: bool = False
+    # Expert MLP shape/activation. Defaults give the reference's built-in
+    # expert Sequential(Linear(in,out), GELU, Linear(out,out)) (moe.py:34-38);
+    # sparse upcycling passes the dense block's geometry instead (e.g.
+    # SiglipMLP: hidden=intermediate_size, act=gelu_pytorch_tanh,
+    # siglip_smoe.py:86-97).
+    expert_hidden_dim: Optional[int] = None
+    expert_act: str = "gelu"
 
     def _gate_param(self):
         kernel = self.param(
@@ -95,15 +102,27 @@ class MoeLayerBase(nn.Module):
                               (self.n_experts,))
         return kernel, bias
 
+    @property
+    def hidden_dim(self) -> int:
+        return self.expert_hidden_dim or self.out_dim
+
+    def _act(self):
+        if self.expert_act == "gelu":
+            return gelu_exact
+        if self.expert_act == "gelu_tanh":
+            return lambda x: jax.nn.gelu(x, approximate=True)
+        raise ValueError(f"unknown expert_act {self.expert_act!r}")
+
     def _expert_params(self, n_experts: Optional[int] = None):
         e = n_experts if n_experts is not None else self.n_experts
+        h = self.hidden_dim
         w1 = self.param("experts_w1", torch_linear_init(self.in_dim),
-                        (e, self.in_dim, self.out_dim))
+                        (e, self.in_dim, h))
         b1 = self.param("experts_b1", torch_linear_init(self.in_dim),
-                        (e, self.out_dim))
-        w2 = self.param("experts_w2", torch_linear_init(self.out_dim),
-                        (e, self.out_dim, self.out_dim))
-        b2 = self.param("experts_b2", torch_linear_init(self.out_dim),
+                        (e, h))
+        w2 = self.param("experts_w2", torch_linear_init(h),
+                        (e, h, self.out_dim))
+        b2 = self.param("experts_b2", torch_linear_init(h),
                         (e, self.out_dim))
         return w1, b1, w2, b2
 
@@ -122,7 +141,7 @@ class MoeLayerBase(nn.Module):
         out = ec.moe_ffn_mlp2(
             x3d.reshape(b * n, d), sel.reshape(b * n, -1),
             weights.reshape(b * n, -1).astype(x3d.dtype),
-            w1, b1, w2, b2, activation=gelu_exact, impl=self.impl)
+            w1, b1, w2, b2, activation=self._act(), impl=self.impl)
         return out.reshape(b, n, self.out_dim)
 
     def combine_loss(self, sel, gate_softmax, gate_logits,
@@ -283,7 +302,7 @@ class SharedExpertV2(MoeLayerBase):
         b, n, d = x.shape
         shared = ec.dense_all_experts_mlp2(
             x.reshape(b * n, d), w1[n_routed:], b1[n_routed:],
-            w2[n_routed:], b2[n_routed:], activation=gelu_exact)
+            w2[n_routed:], b2[n_routed:], activation=self._act())
         shared = shared.reshape(b, n, self.out_dim)
         out = self._combine(shared, routed)
         aux = zero_aux(x)
@@ -399,7 +418,7 @@ class CompeteSMoELayer(MoeLayerBase):
         w1, b1, w2, b2 = params
         b, n, d = x.shape
         expert_outputs = ec.dense_all_experts_mlp2(
-            x.reshape(b * n, d), w1, b1, w2, b2, activation=gelu_exact)
+            x.reshape(b * n, d), w1, b1, w2, b2, activation=self._act())
         expert_outputs = expert_outputs.reshape(b, n, self.n_experts,
                                                 self.out_dim)
         # Affinity = mean(softplus(out)) per expert, in x dtype

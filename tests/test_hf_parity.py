@@ -1,0 +1,146 @@
+"""Golden parity vs. HuggingFace torch implementations (random weights,
+built offline from configs): decoder logits and vision-tower features."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from competesmoe_tpu.models.decoder import DecoderConfig, DecoderLM, KVCache
+from competesmoe_tpu.models.hf_loader import (
+    convert_decoder,
+    convert_siglip_tower,
+)
+from competesmoe_tpu.models.vision import SiglipSMoEVisionTower, VisionConfig
+
+torch.manual_seed(0)
+
+
+def _sd(model):
+    return {k: v.detach().float().numpy()
+            for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def phi3_pair():
+    from transformers import Phi3Config, Phi3ForCausalLM
+    hf_cfg = Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=512, original_max_position_embeddings=512,
+        rope_theta=10000.0, tie_word_embeddings=False, pad_token_id=0)
+    hf = Phi3ForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=512, original_max_position_embeddings=512,
+        fused_qkv=True, dtype=jnp.float32)
+    params = convert_decoder(_sd(hf), cfg)
+    return hf, cfg, params
+
+
+def test_phi3_logits_parity(phi3_pair):
+    hf, cfg, params = phi3_pair
+    ids = torch.randint(0, 128, (2, 9))
+    with torch.no_grad():
+        want = hf(ids).logits.numpy()
+    model = DecoderLM(cfg)
+    logits, _, _ = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_phi3_kv_cache_decode_matches_full_forward(phi3_pair):
+    hf, cfg, params = phi3_pair
+    model = DecoderLM(cfg)
+    ids = np.random.default_rng(0).integers(0, 128, (2, 8)).astype(np.int32)
+    full_logits, _, _ = model.apply({"params": params}, jnp.asarray(ids))
+
+    cache = KVCache.create(cfg, batch=2, max_len=16)
+    prefill, cache, _ = model.apply({"params": params},
+                                    jnp.asarray(ids[:, :5]), cache=cache)
+    np.testing.assert_allclose(np.asarray(prefill),
+                               np.asarray(full_logits[:, :5]), rtol=2e-4,
+                               atol=2e-4)
+    for t in range(5, 8):
+        step_logits, cache, _ = model.apply(
+            {"params": params}, jnp.asarray(ids[:, t:t + 1]), cache=cache)
+        np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                                   np.asarray(full_logits[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_llama_logits_parity():
+    from transformers import LlamaConfig, LlamaForCausalLM
+    hf_cfg = LlamaConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, original_max_position_embeddings=256,
+        rms_norm_eps=1e-6,  # HF Llama default; Phi-3 uses 1e-5
+        fused_qkv=False, dtype=jnp.float32)
+    params = convert_decoder(_sd(hf), cfg)
+    ids = torch.randint(0, 96, (2, 7))
+    with torch.no_grad():
+        want = hf(ids).logits.numpy()
+    model = DecoderLM(cfg)
+    logits, _, _ = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_siglip_dense_tower_parity():
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=14)
+    hf = SiglipVisionModel(hf_cfg).eval()
+    cfg = VisionConfig(hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=3, num_attention_heads=2,
+                       image_size=28, patch_size=14, moe_name=None)
+    params = convert_siglip_tower(_sd(hf), cfg)
+    px = torch.randn(2, 3, 28, 28)
+    with torch.no_grad():
+        # reference parity: tower output = hidden state ENTERING the last
+        # block (siglip_smoe.py encoder_states[-1]) == HF hidden_states[-2]
+        want = hf(px, output_hidden_states=True
+                  ).hidden_states[-2].numpy()
+    tower = SiglipSMoEVisionTower(cfg)
+    feats, aux, _ = tower.apply(
+        {"params": params}, jnp.asarray(px.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_siglip_moe_upcycled_matches_dense_at_init():
+    """Sparse upcycling: every expert = the dense MLP, so (weights sum to 1)
+    the MoE tower's output equals the dense tower's at init."""
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14)
+    hf = SiglipVisionModel(hf_cfg).eval()
+    sd = _sd(hf)
+    dense_cfg = VisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             image_size=28, patch_size=14, moe_name=None)
+    moe_cfg = VisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=28, patch_size=14, moe_name="smoe",
+                           num_experts=4, num_selected=2)
+    p_dense = convert_siglip_tower(sd, dense_cfg)
+    p_moe = convert_siglip_tower(sd, moe_cfg, upcycle=True)
+    px = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 28, 28, 3)).astype(np.float32))
+    f_dense, _, _ = SiglipSMoEVisionTower(dense_cfg).apply(
+        {"params": p_dense}, px)
+    f_moe, _, _ = SiglipSMoEVisionTower(moe_cfg).apply(
+        {"params": p_moe}, px)
+    np.testing.assert_allclose(np.asarray(f_moe), np.asarray(f_dense),
+                               rtol=2e-4, atol=2e-4)
