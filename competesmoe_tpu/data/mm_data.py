@@ -1,0 +1,228 @@
+"""Multimodal supervised-finetuning data pipeline.
+
+Re-design of `moe_model/train/train.py`'s data side:
+- `preprocess_phi35` conversation tokenization with assistant-only label
+  masking (train.py:444-560 semantics, reproduced round-splitting exactly)
+- `preprocess_plain` for the projector-pretrain stage (image + caption)
+- `LazySupervisedDataset` over LLaVA-style conversation json + image dir
+  (train.py:1071-1168)
+- `SupervisedCollator` right-padding to the batch max (train.py:1170-1201)
+- `LengthGroupedSampler` by modality (llava_trainer.py:140-232)
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from ..multimodal import conversation as conversation_lib
+from ..multimodal.mm_utils import (
+    ImageProcessorConfig,
+    expand2square,
+    process_images,
+    tokenizer_image_token,
+)
+
+
+def _apply_template(sources, conv):
+    roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+    conversations = []
+    for source in sources:
+        if roles[source[0]["from"]] != conv.roles[0]:
+            source = source[1:]
+        conv.messages = []
+        for j, sentence in enumerate(source):
+            role = roles[sentence["from"]]
+            assert role == conv.roles[j % 2], "conversation roles must alternate"
+            conv.append_message(role, sentence["value"])
+        conversations.append(conv.get_prompt())
+    return conversations
+
+
+def preprocess_phi35(sources, tokenizer, has_image: bool = False,
+                     model_max_length: int = 2048) -> Dict[str, List[np.ndarray]]:
+    """Phi-3.5 chat-format tokenization + label masking
+    (train.py preprocess_phi35). Returns variable-length int32 arrays."""
+    conv = conversation_lib.conv_templates["phi35"].copy()
+    conversations = _apply_template(sources, conv)
+
+    def tok(text):
+        if has_image:
+            return tokenizer_image_token(text, tokenizer)
+        return list(tokenizer(text).input_ids)
+
+    input_ids = [np.asarray(tok(c)[:model_max_length], np.int32)
+                 for c in conversations]
+    targets = [ids.copy() for ids in input_ids]
+    sep = "<|end|>\n"
+
+    for conversation, target in zip(conversations, targets):
+        total_len = len(target)
+        rounds = conversation.split(conv.sep2)
+        cur_len = 1
+        target[:cur_len] = IGNORE_INDEX
+        for i in range(1, len(rounds) - 1, 2):
+            if i == 1:
+                rou = rounds[i - 1] + sep + rounds[i] + sep + rounds[i + 1]
+                parts0 = rounds[i - 1] + sep + rounds[i]
+            else:
+                rou = rounds[i] + sep + rounds[i + 1]
+                parts0 = rounds[i]
+            parts0 += sep
+            round_len = len(tok(rou))
+            instruction_len = len(tok(parts0)) - 1
+            target[cur_len:cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            # tokenization mismatch: drop the sample's loss (reference
+            # behavior, train.py "Phi3 tokenization mismatch" warning)
+            target[:] = IGNORE_INDEX
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess_plain(sources, tokenizer) -> Dict[str, List[np.ndarray]]:
+    """Projector-pretrain format: '<image>\ncaption'; only the caption is
+    supervised (train.py preprocess_plain semantics)."""
+    input_ids, labels = [], []
+    for source in sources:
+        assert len(source) == 2
+        caption = source[1]["value"]
+        ids = [IMAGE_TOKEN_INDEX] + list(
+            tokenizer(caption + "\n").input_ids)
+        ids = np.asarray(ids, np.int32)
+        tgt = ids.copy()
+        tgt[0] = IGNORE_INDEX
+        input_ids.append(ids)
+        labels.append(tgt)
+    return {"input_ids": input_ids, "labels": labels}
+
+
+PREPROCESSORS = {"phi35": preprocess_phi35, "plain": preprocess_plain}
+
+
+class LazySupervisedDataset:
+    """LLaVA-format conversation json + image folder (train.py:1071-1168)."""
+
+    def __init__(self, data_path, image_folder, tokenizer,
+                 image_processor: Optional[ImageProcessorConfig] = None,
+                 version: str = "phi35",
+                 image_aspect_ratio: Optional[str] = "pad",
+                 model_max_length: int = 2048):
+        self.records = json.loads(Path(data_path).read_text())
+        self.image_folder = Path(image_folder) if image_folder else None
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor or ImageProcessorConfig()
+        self.version = version
+        self.image_aspect_ratio = image_aspect_ratio
+        self.model_max_length = model_max_length
+
+    def __len__(self):
+        return len(self.records)
+
+    @property
+    def modality_lengths(self) -> List[int]:
+        """Positive = has image, negative = text-only (train.py:1109-1118)."""
+        out = []
+        for rec in self.records:
+            n = sum(len(c["value"].split())
+                    for c in rec["conversations"])
+            out.append(n if "image" in rec else -n)
+        return out
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        rec = self.records[i]
+        has_image = "image" in rec
+        sources = [copy.deepcopy(rec["conversations"])]
+        if self.version == "plain":
+            d = preprocess_plain(sources, self.tokenizer)
+        else:
+            d = PREPROCESSORS[self.version](
+                sources, self.tokenizer, has_image=has_image,
+                model_max_length=self.model_max_length)
+        out = {"input_ids": d["input_ids"][0], "labels": d["labels"][0]}
+        if has_image:
+            from PIL import Image
+            img = Image.open(self.image_folder / rec["image"])
+            out["image"] = process_images(
+                [img], self.image_processor,
+                image_aspect_ratio=self.image_aspect_ratio)[0]
+        return out
+
+
+@dataclasses.dataclass
+class SupervisedCollator:
+    """Right-pad input_ids/labels; stack images; build attention masks
+    (train.py:1170-1201). Pads to `pad_to` when given (static shapes for
+    jit) else to the batch max."""
+
+    pad_token_id: int
+    pad_to: Optional[int] = None
+    image_shape: Optional[tuple] = None  # (H, W, C) dummy for text-only
+
+    def __call__(self, samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        max_len = self.pad_to or max(len(s["input_ids"]) for s in samples)
+        B = len(samples)
+        input_ids = np.full((B, max_len), self.pad_token_id, np.int32)
+        labels = np.full((B, max_len), IGNORE_INDEX, np.int32)
+        mask = np.zeros((B, max_len), np.int32)
+        images = []
+        for b, s in enumerate(samples):
+            ids = s["input_ids"][:max_len]
+            lab = s["labels"][:max_len]
+            input_ids[b, :len(ids)] = ids
+            labels[b, :len(lab)] = lab
+            mask[b, :len(ids)] = 1
+            if "image" in s:
+                images.append(s["image"])
+            elif self.image_shape is not None:
+                images.append(np.zeros(self.image_shape, np.float32))
+        out = {"input_ids": input_ids, "labels": labels,
+               "attention_mask": mask}
+        if images:
+            out["images"] = np.stack(images)
+        return out
+
+
+class LengthGroupedSampler:
+    """Megabatch shuffling grouped by modality then length
+    (llava_trainer.py:140-232): multimodal and text-only samples land in
+    separate megabatches, each sorted by length for padding efficiency."""
+
+    def __init__(self, lengths: Sequence[int], batch_size: int,
+                 world_mult: int = 1, seed: int = 0):
+        self.lengths = list(lengths)
+        self.batch_size = batch_size
+        self.mega = batch_size * max(world_mult, 1) * 4
+        self.seed = seed
+        self.epoch = 0
+
+    def __iter__(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        self.epoch += 1
+        mm = [i for i, l in enumerate(self.lengths) if l > 0]
+        txt = [i for i, l in enumerate(self.lengths) if l <= 0]
+        order = []
+        for group in (mm, txt):
+            if not group:
+                continue
+            perm = rng.permutation(len(group))
+            shuffled = [group[j] for j in perm]
+            # Keep batches modality-pure (static batch structure on TPU):
+            # drop each modality's sub-batch remainder.
+            n = (len(shuffled) // self.batch_size) * self.batch_size
+            shuffled = shuffled[:n]
+            for s in range(0, len(shuffled), self.mega):
+                chunk = shuffled[s:s + self.mega]
+                chunk.sort(key=lambda i: abs(self.lengths[i]), reverse=True)
+                order.append(chunk)
+        rng.shuffle(order)
+        flat = [i for chunk in order for i in chunk]
+        for s in range(0, len(flat) - self.batch_size + 1, self.batch_size):
+            yield flat[s:s + self.batch_size]

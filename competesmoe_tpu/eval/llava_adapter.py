@@ -1,0 +1,196 @@
+"""JAX LLaVA model adapter for the eval harness.
+
+Re-design of `evaluate/lmms_eval/models/llava.py:69-572`: batched
+`generate_until` with conversation templates + `process_images` +
+`tokenizer_image_token`, `loglikelihood` scoring, and post-hoc per-layer
+routing telemetry (gate-softmax entropy, top-1/top-2 expert histograms —
+llava.py:497-537).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import IMAGE_TOKEN_INDEX
+from ..models.llava import LlavaModel, generate
+from ..multimodal.conversation import conv_templates
+from ..multimodal.mm_utils import (
+    ImageProcessorConfig,
+    process_images,
+    tokenizer_image_token,
+)
+from .collator import Collator
+from .instance import Instance
+
+
+def routing_telemetry(auxes) -> Dict[str, Any]:
+    """Per-layer routing stats from a list of MoEAux
+    (models/llava.py:497-537 scrape)."""
+    out: Dict[str, Any] = {}
+    for li, aux in enumerate(auxes or []):
+        if aux is None or aux.gate_softmax is None:
+            continue
+        p = np.asarray(aux.gate_softmax, np.float64)
+        p = p.reshape(-1, p.shape[-1])
+        eps = 1e-12
+        entropy = float((-p * np.log(p + eps)).sum(-1).mean())
+        sel = np.asarray(aux.selected_experts).reshape(
+            -1, np.asarray(aux.selected_experts).shape[-1])
+        n_exp = p.shape[-1]
+        top1 = np.bincount(sel[:, 0], minlength=n_exp).tolist()
+        top2 = (np.bincount(sel[:, 1], minlength=n_exp).tolist()
+                if sel.shape[1] > 1 else None)
+        out[f"layer_{li}"] = {
+            "entropy": entropy,
+            "top1_hist": top1,
+            "top2_hist": top2,
+            "losses": {k: float(v) for k, v in aux.losses.items()},
+        }
+    return out
+
+
+class JaxLlava:
+    """The `lmms`-style model interface (api/model.py:18-203) over
+    models.llava.LlavaModel."""
+
+    def __init__(self, model: LlavaModel, params, tokenizer,
+                 image_processor: Optional[ImageProcessorConfig] = None,
+                 conv_template: str = "phi35", batch_size: int = 1,
+                 max_new_tokens: int = 128,
+                 stop_token_ids: Optional[List[int]] = None):
+        self.model = model
+        # accept either raw params or the full variables dict
+        self.params = params if "params" in params else {"params": params}
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor or ImageProcessorConfig(
+            size=model.cfg.vision.image_size)
+        self.conv_template = conv_template
+        self.batch_size = batch_size
+        self.max_new_tokens = max_new_tokens
+        self.stop_token_ids = stop_token_ids or []
+        self.time_inference: List[float] = []
+
+    # -- prompt building --
+
+    def _build_prompt(self, context: str, has_image: bool) -> List[int]:
+        conv = conv_templates[self.conv_template].copy()
+        text = context
+        if has_image and "<image>" not in text:
+            text = "<image>\n" + text
+        conv.append_message(conv.roles[0], text)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+        return tokenizer_image_token(prompt, self.tokenizer)
+
+    def tokenizer_ids_for_prompt(self, prompt: str,
+                                 has_image: bool) -> List[int]:
+        """Tokenize an already-templated prompt (serve worker path)."""
+        if has_image:
+            return tokenizer_image_token(prompt, self.tokenizer)
+        return list(self.tokenizer(prompt).input_ids)
+
+    def _pad_batch(self, id_lists: List[List[int]]):
+        pad = getattr(self.tokenizer, "pad_token_id", 0) or 0
+        L = max(len(x) for x in id_lists)
+        ids = np.full((len(id_lists), L), pad, np.int32)
+        mask = np.zeros((len(id_lists), L), np.int32)
+        for b, x in enumerate(id_lists):
+            ids[b, :len(x)] = x
+            mask[b, :len(x)] = 1
+        return ids, mask
+
+    # -- request types --
+
+    def generate_until(self, requests: List[Instance],
+                       return_id_experts: bool = False) -> List[str]:
+        collator = Collator(
+            requests,
+            sort_fn=lambda r: -len(r.arguments[0]),
+            batch_size=self.batch_size)
+        results: List[str] = []
+        batched_insts: List[Instance] = []
+        for chunk in collator:
+            ctxs = [r.arguments[0] for r in chunk]
+            gen_kwargs = chunk[0].arguments[1] or {}
+            visuals = [r.arguments[2] for r in chunk]
+            has_image = any(v for v in visuals)
+            id_lists = [self._build_prompt(c, bool(v))
+                        for c, v in zip(ctxs, visuals)]
+            ids, mask = self._pad_batch(id_lists)
+            px = None
+            if has_image:
+                imgs = [v[0] for v in visuals]
+                px = process_images(imgs, self.image_processor)
+            t0 = time.perf_counter()
+            toks, out = generate(
+                self.model, self.params, ids, px, attention_mask=mask,
+                max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                              self.max_new_tokens),
+                temperature=gen_kwargs.get("temperature", 0.0),
+                top_p=gen_kwargs.get("top_p", 1.0),
+                eos_token_id=getattr(self.tokenizer, "eos_token_id", None),
+                stop_token_ids=self.stop_token_ids)
+            self.time_inference.append(time.perf_counter() - t0)
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            for b, row in enumerate(toks):
+                row = list(row)
+                for stop in ([eos] if eos is not None else []) + \
+                        self.stop_token_ids:
+                    if stop in row:
+                        row = row[:row.index(stop)]
+                text = self.tokenizer.decode(row, skip_special_tokens=True)
+                # reference cleans the phi '<|end|>' leftover (llava.py:553)
+                text = text.split("<|end|>")[0].strip()
+                results.append(text)
+                if return_id_experts:
+                    chunk[b].logs_metrics_vision = routing_telemetry(
+                        out.vision_auxes)
+                    pa = out.projector_aux
+                    chunk[b].logs_metrics_mlp = routing_telemetry(
+                        [pa] if pa is not None else [])
+            batched_insts.extend(chunk)
+        ordered = collator.get_original(results)
+        for inst, resp in zip(requests, ordered):
+            inst.resps.append(resp)
+        return ordered
+
+    def loglikelihood(self, requests: List[Instance],
+                      return_id_experts: bool = False
+                      ) -> List[Tuple[float, bool]]:
+        results = []
+        for req in requests:
+            ctx, target, visuals = req.arguments
+            prompt_ids = self._build_prompt(ctx, bool(visuals))
+            tgt_ids = list(self.tokenizer(target).input_ids)
+            bos = getattr(self.tokenizer, "bos_token_id", None)
+            if tgt_ids and bos is not None and tgt_ids[0] == bos:
+                tgt_ids = tgt_ids[1:]
+            ids = np.asarray([prompt_ids + tgt_ids], np.int32)
+            px = None
+            if visuals:
+                px = process_images([visuals[0]], self.image_processor)
+            out = self.model.apply(self.params, jnp.asarray(ids),
+                                   jnp.asarray(px) if px is not None
+                                   else None)
+            logits = np.asarray(out.logits, np.float32)[0]
+            # image splice shifts the target region by P-1
+            offset = (self.model.cfg.num_image_tokens - 1
+                      if px is not None and
+                      (ids == IMAGE_TOKEN_INDEX).any() else 0)
+            start = len(prompt_ids) + offset
+            lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+            lp = np.asarray(lp)
+            total, greedy = 0.0, True
+            for t, tok in enumerate(tgt_ids):
+                pos = start + t - 1  # logits at pos predict token pos+1
+                total += float(lp[pos, tok])
+                if int(np.argmax(lp[pos])) != tok:
+                    greedy = False
+            results.append((total, greedy))
+            req.resps.append((total, greedy))
+        return results

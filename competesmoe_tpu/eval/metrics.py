@@ -1,0 +1,143 @@
+"""Metric and aggregation registry.
+
+Re-design of `evaluate/lmms_eval/api/{metrics,registry}.py`: string-keyed
+metric/aggregation/filter registries plus the core metric implementations
+(exact match, ANLS, accuracy, perplexity aggregations).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import statistics
+from typing import Callable, Dict, List
+
+METRIC_REGISTRY: Dict[str, Callable] = {}
+AGGREGATION_REGISTRY: Dict[str, Callable] = {}
+FILTER_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_metric(name):
+    def deco(fn):
+        METRIC_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def register_aggregation(name):
+    def deco(fn):
+        AGGREGATION_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def register_filter(name):
+    def deco(fn):
+        FILTER_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_metric(name):
+    return METRIC_REGISTRY[name]
+
+
+def get_aggregation(name):
+    return AGGREGATION_REGISTRY[name]
+
+
+# -- aggregations --
+
+@register_aggregation("mean")
+def agg_mean(xs: List[float]) -> float:
+    return float(statistics.fmean(xs)) if xs else float("nan")
+
+
+@register_aggregation("median")
+def agg_median(xs: List[float]) -> float:
+    return float(statistics.median(xs)) if xs else float("nan")
+
+
+@register_aggregation("sum")
+def agg_sum(xs: List[float]) -> float:
+    return float(sum(xs))
+
+
+@register_aggregation("perplexity")
+def agg_perplexity(xs: List[float]) -> float:
+    # xs are total log-likelihoods per token
+    return float(math.exp(-statistics.fmean(xs))) if xs else float("nan")
+
+
+# -- metrics (doc-level) --
+
+def _normalize_text(s: str, ignore_case=True, ignore_punct=False) -> str:
+    if ignore_case:
+        s = s.lower()
+    if ignore_punct:
+        s = re.sub(r"[^\w\s]", "", s)
+    return " ".join(s.split())
+
+
+@register_metric("exact_match")
+def exact_match(pred: str, target: str, ignore_case=True,
+                ignore_punctuation=False) -> float:
+    return float(_normalize_text(pred, ignore_case, ignore_punctuation)
+                 == _normalize_text(target, ignore_case,
+                                    ignore_punctuation))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@register_metric("anls")
+def anls(pred: str, targets, threshold: float = 0.5) -> float:
+    """Average Normalized Levenshtein Similarity (api/metrics.py anls)."""
+    if isinstance(targets, str):
+        targets = [targets]
+    best = 0.0
+    for t in targets:
+        a, b = pred.strip().lower(), t.strip().lower()
+        denom = max(len(a), len(b))
+        sim = 1.0 - (_levenshtein(a, b) / denom) if denom else 1.0
+        best = max(best, sim)
+    return best if best >= threshold else 0.0
+
+
+@register_metric("accuracy")
+def accuracy(pred, target) -> float:
+    return float(pred == target)
+
+
+# -- filters (response post-processing pipeline) --
+
+@register_filter("regex")
+def regex_filter(resp: str, pattern: str, group: int = 1,
+                 fallback: str = "[invalid]") -> str:
+    m = re.search(pattern, resp)
+    if m is None:
+        return fallback
+    try:
+        return m.group(group)
+    except IndexError:
+        return m.group(0)
+
+
+@register_filter("take_first_line")
+def take_first_line(resp: str) -> str:
+    return resp.strip().split("\n")[0]
+
+
+@register_filter("strip")
+def strip_filter(resp: str) -> str:
+    return resp.strip()

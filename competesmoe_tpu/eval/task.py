@@ -1,0 +1,173 @@
+"""Evaluation tasks: config-driven request building and scoring.
+
+Re-design of `evaluate/lmms_eval/api/task.py:53-1301` — TaskConfig
+(yaml/dict-driven with doc_to_* hooks), ConfigurableTask building Instances
+per doc, rank/world splitting, filter pipeline, and metric aggregation —
+plus the task registry (`register_task`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Union
+
+from .instance import Instance
+from .metrics import (
+    AGGREGATION_REGISTRY,
+    FILTER_REGISTRY,
+    METRIC_REGISTRY,
+    get_aggregation,
+    get_metric,
+)
+
+TASK_REGISTRY: Dict[str, "TaskConfig"] = {}
+
+
+def register_task(name: str, cfg: Union["TaskConfig", dict]):
+    if isinstance(cfg, dict):
+        cfg = TaskConfig(**cfg)
+    TASK_REGISTRY[name] = cfg
+    return cfg
+
+
+def get_task_config(name: str) -> "TaskConfig":
+    try:
+        return TASK_REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown task {name!r}; registered: "
+                         f"{', '.join(sorted(TASK_REGISTRY))}") from None
+
+
+def _resolve(fn):
+    """Resolve a '!function module.attr'-style hook (api/task.py yaml
+    `!function` support) or pass callables through."""
+    if callable(fn) or fn is None:
+        return fn
+    if isinstance(fn, str) and fn.startswith("!function "):
+        modname, attr = fn[len("!function "):].rsplit(".", 1)
+        return getattr(importlib.import_module(modname), attr)
+    return fn
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    """Mirror of the reference's yaml-driven TaskConfig (api/task.py:53-152
+    fields that the live pipeline uses)."""
+
+    task: str = ""
+    dataset_path: Optional[str] = None       # HF datasets path or None
+    dataset_name: Optional[str] = None
+    test_split: str = "test"
+    output_type: str = "generate_until"      # or 'loglikelihood'
+    doc_to_text: Any = None                  # callable(doc) -> str
+    doc_to_visual: Any = None                # callable(doc) -> list[PIL]
+    doc_to_target: Any = None                # callable(doc) -> str
+    process_results: Any = None              # callable(doc, resps) -> dict
+    generation_kwargs: Dict[str, Any] = dataclasses.field(
+        default_factory=dict)
+    metric_list: List[Dict[str, Any]] = dataclasses.field(
+        default_factory=lambda: [{"metric": "exact_match",
+                                  "aggregation": "mean"}])
+    filter_list: List[Dict[str, Any]] = dataclasses.field(
+        default_factory=list)
+    # offline escape hatch: explicit documents instead of dataset download
+    docs: Optional[List[dict]] = None
+
+
+class ConfigurableTask:
+    """Builds requests from docs, applies filters, scores and aggregates."""
+
+    def __init__(self, cfg: TaskConfig, limit: Optional[int] = None):
+        self.cfg = cfg
+        self.doc_to_text = _resolve(cfg.doc_to_text)
+        self.doc_to_visual = _resolve(cfg.doc_to_visual)
+        self.doc_to_target = _resolve(cfg.doc_to_target)
+        self.process_results = _resolve(cfg.process_results)
+        self._docs = self._load_docs(limit)
+        self.instances: List[Instance] = []
+
+    def _load_docs(self, limit):
+        if self.cfg.docs is not None:
+            docs = list(self.cfg.docs)
+        elif self.cfg.dataset_path:
+            import datasets
+            ds = datasets.load_dataset(self.cfg.dataset_path,
+                                       self.cfg.dataset_name,
+                                       split=self.cfg.test_split)
+            docs = list(ds)
+        else:
+            raise ValueError(f"task {self.cfg.task}: no docs or dataset")
+        return docs[:limit] if limit else docs
+
+    @property
+    def docs(self):
+        return self._docs
+
+    def build_all_requests(self, rank: int = 0, world_size: int = 1
+                           ) -> List[Instance]:
+        """Instances for this rank's slice (evaluator.py:257 semantics)."""
+        self.instances = []
+        for doc_id, doc in enumerate(self._docs):
+            if doc_id % world_size != rank:
+                continue
+            ctx = self.doc_to_text(doc) if self.doc_to_text else ""
+            visuals = self.doc_to_visual(doc) if self.doc_to_visual else []
+            if self.cfg.output_type == "generate_until":
+                arguments = (ctx, self.cfg.generation_kwargs, visuals)
+            else:
+                target = self.doc_to_target(doc) if self.doc_to_target \
+                    else ""
+                arguments = (ctx, target, visuals)
+            self.instances.append(Instance(
+                request_type=self.cfg.output_type, arguments=arguments,
+                idx=0, metadata=(self.cfg.task, doc_id, 1)))
+        return self.instances
+
+    def apply_filters(self) -> None:
+        """Run the filter pipeline over responses (filters/*)."""
+        specs = self.cfg.filter_list or [{"name": "none"}]
+        for inst in self.instances:
+            resps = list(inst.resps)
+            for spec in self.cfg.filter_list:
+                fn = FILTER_REGISTRY[spec["filter"]]
+                kwargs = {k: v for k, v in spec.items() if k != "filter"}
+                resps = [fn(r, **kwargs) if isinstance(r, str) else r
+                         for r in resps]
+            inst.filtered_resps["default"] = resps
+        del specs
+
+    def score(self) -> Dict[str, float]:
+        """Per-doc metrics -> aggregation (evaluator.py:330-560 role)."""
+        per_metric: Dict[str, List[float]] = {}
+        for inst in self.instances:
+            doc = self._docs[inst.doc_id]
+            resps = inst.filtered_resps.get("default", inst.resps)
+            if self.process_results is not None:
+                results = self.process_results(doc, resps)
+                for k, v in results.items():
+                    per_metric.setdefault(k, []).append(float(v))
+                continue
+            target = self.doc_to_target(doc) if self.doc_to_target else ""
+            for spec in self.cfg.metric_list:
+                fn = get_metric(spec["metric"])
+                kwargs = {k: v for k, v in spec.items()
+                          if k not in ("metric", "aggregation")}
+                if self.cfg.output_type == "generate_until":
+                    val = fn(resps[0], target, **kwargs)
+                else:
+                    # loglikelihood responses: (ll, is_greedy)
+                    val = float(resps[0][1])
+                per_metric.setdefault(spec["metric"], []).append(val)
+        out = {}
+        for spec in self.cfg.metric_list:
+            name = spec["metric"]
+            if name not in per_metric:
+                continue
+            agg = get_aggregation(spec.get("aggregation", "mean"))
+            out[name] = agg(per_metric[name])
+        for name, vals in per_metric.items():
+            if name not in out:
+                out[name] = get_aggregation("mean")(vals)
+        return out

@@ -1,0 +1,164 @@
+"""Model worker: loads a JAX LLaVA model and serves streaming generation.
+
+Re-design of `moe_model/serve/model_worker.py:37-291` on the stdlib:
+semaphore-limited streaming `/worker_generate_stream` (token chunks
+terminated by \\0, FastChat protocol), `/worker_get_status`, controller
+registration + heartbeat thread.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Iterator, List, Optional
+from urllib import request as urlrequest
+
+import numpy as np
+
+from ..constants import WORKER_HEART_BEAT_INTERVAL
+from ..multimodal.mm_utils import load_image_from_base64, process_images
+
+
+class ModelWorker:
+    def __init__(self, controller_addr: Optional[str], worker_addr: str,
+                 model_names: List[str], generate_fn,
+                 limit_model_concurrency: int = 5,
+                 register: bool = True):
+        """generate_fn(params: dict) -> iterator of partial text strings."""
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = str(uuid.uuid4())[:6]
+        self.model_names = model_names
+        self.generate_fn = generate_fn
+        self.semaphore = threading.Semaphore(limit_model_concurrency)
+        self.queue_length = 0
+        self._hb_thread = None
+        if register and controller_addr:
+            self.register_to_controller()
+            self._hb_thread = threading.Thread(
+                target=self._heartbeat_loop, daemon=True)
+            self._hb_thread.start()
+
+    def get_status(self) -> dict:
+        return {"model_names": self.model_names, "speed": 1,
+                "queue_length": self.queue_length}
+
+    def register_to_controller(self) -> None:
+        data = {"worker_name": self.worker_addr, "check_heart_beat": True,
+                "worker_status": self.get_status()}
+        req = urlrequest.Request(
+            self.controller_addr + "/register_worker",
+            data=json.dumps(data).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
+        with urlrequest.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+
+    def _heartbeat_loop(self) -> None:
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            try:
+                data = {"worker_name": self.worker_addr,
+                        "queue_length": self.queue_length}
+                req = urlrequest.Request(
+                    self.controller_addr + "/receive_heart_beat",
+                    data=json.dumps(data).encode(), method="POST",
+                    headers={"Content-Type": "application/json"})
+                with urlrequest.urlopen(req, timeout=5) as r:
+                    if not json.loads(r.read()).get("exist", False):
+                        self.register_to_controller()
+            except Exception:
+                pass
+
+    def generate_stream(self, params: dict) -> Iterator[bytes]:
+        self.queue_length += 1
+        acquired = self.semaphore.acquire(timeout=60)
+        try:
+            if not acquired:
+                yield json.dumps({"text": "server overloaded",
+                                  "error_code": 1}).encode() + b"\0"
+                return
+            for text in self.generate_fn(params):
+                yield json.dumps({"text": text,
+                                  "error_code": 0}).encode() + b"\0"
+        except Exception as e:  # noqa: BLE001 — report errors to client
+            yield json.dumps({"text": f"error: {e}",
+                              "error_code": 1}).encode() + b"\0"
+        finally:
+            if acquired:
+                self.semaphore.release()
+            self.queue_length -= 1
+
+
+def jax_llava_generate_fn(adapter):
+    """Build a worker generate_fn from an eval.JaxLlava adapter: prompt +
+    optional base64 images in, incremental text out."""
+    from ..models.llava import generate
+
+    def fn(params: dict) -> Iterator[str]:
+        prompt = params["prompt"]
+        images = params.get("images") or []
+        max_new = int(params.get("max_new_tokens", 128))
+        temperature = float(params.get("temperature", 0.0))
+        top_p = float(params.get("top_p", 1.0))
+        ids = adapter.tokenizer_ids_for_prompt(prompt, bool(images))
+        px = None
+        if images:
+            pil = [load_image_from_base64(b) for b in images]
+            px = process_images(pil, adapter.image_processor)
+        arr = np.asarray([ids], np.int32)
+        toks, _ = generate(
+            adapter.model, adapter.params, arr, px,
+            max_new_tokens=max_new, temperature=temperature, top_p=top_p,
+            eos_token_id=getattr(adapter.tokenizer, "eos_token_id", None),
+            stop_token_ids=adapter.stop_token_ids)
+        text = ""
+        for t in range(toks.shape[1]):
+            text = adapter.tokenizer.decode(list(toks[0, :t + 1]),
+                                            skip_special_tokens=True)
+            yield text.split("<|end|>")[0]
+    return fn
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/worker_get_status":
+                self._json(200, worker.get_status())
+            elif self.path == "/worker_generate_stream":
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
+                self.end_headers()
+                for chunk in worker.generate_stream(data):
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+    return Handler
+
+
+def serve_worker(worker: ModelWorker, host: str = "0.0.0.0",
+                 port: int = 21002, background: bool = False):
+    httpd = ThreadingHTTPServer((host, port), make_handler(worker))
+    if background:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd
+    httpd.serve_forever()

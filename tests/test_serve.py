@@ -1,0 +1,117 @@
+"""Serving-layer tests: controller registry/dispatch + worker streaming
+over real localhost HTTP, and the CLI chat loop."""
+
+import io
+import json
+import socket
+import time
+from urllib import request as urlrequest
+
+import numpy as np
+import pytest
+
+import jax
+
+from competesmoe_tpu.eval import JaxLlava
+from competesmoe_tpu.models.llava import LlavaModel
+from competesmoe_tpu.multimodal.mm_utils import ImageProcessorConfig
+from competesmoe_tpu.serve.controller import serve_controller
+from competesmoe_tpu.serve.model_worker import (
+    ModelWorker,
+    jax_llava_generate_fn,
+    serve_worker,
+)
+from tests.test_eval_harness import EvalTok
+from tests.test_llava import tiny_llava_cfg
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def post(url, data, timeout=10):
+    req = urlrequest.Request(url, data=json.dumps(data).encode(),
+                             method="POST",
+                             headers={"Content-Type": "application/json"})
+    with urlrequest.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    cfg = tiny_llava_cfg(moe=False)
+    model = LlavaModel(cfg)
+    tok = EvalTok()
+    tok("hello world red cat what is this")
+    ids = np.full((1, 6), 2, np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, None)
+    return JaxLlava(model, params, tok, ImageProcessorConfig(size=28),
+                    max_new_tokens=3)
+
+
+def test_controller_and_worker_http(adapter):
+    cport, wport = free_port(), free_port()
+    controller, chttpd = serve_controller("127.0.0.1", cport,
+                                          background=True)
+    caddr = f"http://127.0.0.1:{cport}"
+    waddr = f"http://127.0.0.1:{wport}"
+
+    worker = ModelWorker(caddr, waddr, ["tiny-llava"],
+                         jax_llava_generate_fn(adapter), register=False)
+    whttpd = serve_worker(worker, "127.0.0.1", wport, background=True)
+    try:
+        # register via HTTP
+        r = post(caddr + "/register_worker", {
+            "worker_name": waddr, "check_heart_beat": True,
+            "worker_status": worker.get_status()})
+        assert r["success"]
+        models = post(caddr + "/list_models", {})["models"]
+        assert models == ["tiny-llava"]
+        addr = post(caddr + "/get_worker_address",
+                    {"model": "tiny-llava"})["address"]
+        assert addr == waddr
+        # heartbeat
+        r = post(caddr + "/receive_heart_beat",
+                 {"worker_name": waddr, "queue_length": 3})
+        assert r["exist"]
+        # streaming generate through the controller proxy
+        req = urlrequest.Request(
+            caddr + "/worker_generate_stream",
+            data=json.dumps({"model": "tiny-llava", "prompt": "hello",
+                             "max_new_tokens": 2}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"})
+        chunks = []
+        with urlrequest.urlopen(req, timeout=60) as resp:
+            buf = resp.read()
+        for part in buf.split(b"\0"):
+            if part:
+                chunks.append(json.loads(part))
+        assert chunks, "no streamed chunks"
+        assert all(c["error_code"] == 0 for c in chunks)
+        # missing model -> error chunk
+        req2 = urlrequest.Request(
+            caddr + "/worker_generate_stream",
+            data=json.dumps({"model": "nope", "prompt": "x"}).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        with urlrequest.urlopen(req2, timeout=10) as resp:
+            err = json.loads(resp.read().split(b"\0")[0])
+        assert err["error_code"] == 2
+    finally:
+        chttpd.shutdown()
+        whttpd.shutdown()
+
+
+def test_cli_chat_loop(adapter):
+    from competesmoe_tpu.serve.cli import chat_loop
+    inp = io.StringIO("hello world\nexit\n")
+    out = io.StringIO()
+    conv = chat_loop(adapter, image_path=None, max_new_tokens=2,
+                     in_stream=inp, out_stream=out)
+    text = out.getvalue()
+    assert "USER:" in text and "ASSISTANT:" in text
+    assert conv.messages[-1][1] is not None
