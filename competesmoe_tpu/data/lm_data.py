@@ -60,7 +60,54 @@ class TokenChunkDataset:
                           dtype=np.int32)
 
     def batch(self, indices: np.ndarray) -> np.ndarray:
-        return np.stack([self[int(i)] for i in indices])
+        """Batch gather through the native C++ assembler when available
+        (native/dataloader.cpp), else per-window numpy."""
+        from .native_loader import assemble_batch, native_available
+        if not native_available():
+            return np.stack([self[int(i)] for i in indices])
+        indices = np.asarray(indices, np.int64)
+        chunk_ids = (np.searchsorted(self.cum_windows, indices,
+                                     side="right") - 1).astype(np.int64)
+        local_ids = indices - np.asarray(self.cum_windows)[chunk_ids]
+        return assemble_batch(self.chunks, chunk_ids, local_ids,
+                              self.window)
+
+
+class BackgroundFetcher:
+    """Background-thread batch prefetcher (the reference's
+    StoppingParallelProducer role, framework/task/simple_task.py:175-180)."""
+
+    def __init__(self, fetch_fn, depth: int = 2):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.is_set():
+                try:
+                    item = fetch_fn()
+                except Exception as e:  # surface errors to the consumer
+                    self._q.put(e)
+                    return
+                self._q.put(item)
+
+        self._t = threading.Thread(target=loop, daemon=True)
+        self._t.start()
+
+    def get(self):
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
 
 
 class SyntheticLMDataset:
@@ -207,3 +254,66 @@ def open_chunk_dir(d: os.PathLike, unroll_len: int) -> TokenChunkDataset:
     manifest = json.loads((d / "manifest.json").read_text())
     return TokenChunkDataset([d / name for name in manifest["chunks"]],
                              unroll_len)
+
+
+@dataclasses.dataclass
+class BucketedSampler:
+    """Length-bucketed batch sampler (framework/loader/sampler.py
+    `BucketedSampler` role): groups indices of similar length to minimize
+    padding; deterministic per epoch, checkpointable."""
+
+    lengths: list
+    batch_size: int
+    bucket_size_mult: int = 100
+    seed: int = 0
+    epoch: int = 0
+    drop_last: bool = True
+
+    def __iter__(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        self.epoch += 1
+        order = rng.permutation(len(self.lengths))
+        bucket = self.batch_size * self.bucket_size_mult
+        for s in range(0, len(order), bucket):
+            chunk = sorted(order[s:s + bucket],
+                           key=lambda i: self.lengths[i])
+            batches = [chunk[i:i + self.batch_size]
+                       for i in range(0, len(chunk), self.batch_size)]
+            if self.drop_last and batches and \
+                    len(batches[-1]) < self.batch_size:
+                batches.pop()
+            rng.shuffle(batches)
+            for b in batches:
+                yield np.asarray(b)
+
+    def state_dict(self):
+        return {"epoch": self.epoch, "seed": self.seed}
+
+    def load_state_dict(self, d):
+        self.epoch = int(d["epoch"])
+        self.seed = int(d["seed"])
+
+
+def var_length_collate(samples, pad_value: int = 0,
+                       ignore_index: int = -100):
+    """Pad a list of {key: 1-D array} dicts to the batch max per key
+    (framework/loader/collate.py `VarLengthCollate` role). 'labels' pads
+    with ignore_index, everything else with pad_value; emits
+    '<key>_len' arrays with the true lengths."""
+    out = {}
+    keys = samples[0].keys()
+    for k in keys:
+        arrs = [np.asarray(s[k]) for s in samples]
+        if arrs[0].ndim == 0:
+            out[k] = np.stack(arrs)
+            continue
+        max_len = max(a.shape[0] for a in arrs)
+        fill = ignore_index if k == "labels" else pad_value
+        batch = np.full((len(arrs), max_len) + arrs[0].shape[1:], fill,
+                        arrs[0].dtype)
+        for i, a in enumerate(arrs):
+            batch[i, :a.shape[0]] = a
+        out[k] = batch
+        out[f"{k}_len"] = np.asarray([a.shape[0] for a in arrs],
+                                     np.int32)
+    return out

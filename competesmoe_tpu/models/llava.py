@@ -225,6 +225,31 @@ def make_generate_fns(model: LlavaModel, cfg: LlavaConfig, max_len: int):
     return jax.jit(prefill), jax.jit(decode_step)
 
 
+def make_scan_decode(model: LlavaModel, n_tokens: int,
+                     temperature: float = 0.0):
+    """Jitted fully-on-device decode: generates n_tokens with lax.scan
+    (one device launch for the whole generation — the per-call RPC latency
+    of host-loop decode would otherwise dominate on a tunneled TPU).
+
+    Returns fn(params, first_token [B], cache, rng) -> tokens [B, n].
+    """
+
+    def decode(params, first_token, cache, rng):
+        def step(carry, _):
+            token, cache, rng = carry
+            out = model.apply(params, token[:, None], None, cache=cache)
+            logits = out.logits[:, 0]
+            rng, sub = jax.random.split(rng)
+            nxt = sample_token(logits, sub, temperature)
+            return (nxt, out.cache, rng), nxt
+
+        (_, cache, _), toks = jax.lax.scan(
+            step, (first_token, cache, rng), None, length=n_tokens)
+        return jnp.swapaxes(toks, 0, 1), cache
+
+    return jax.jit(decode)
+
+
 def sample_token(logits: jax.Array, rng: Optional[jax.Array],
                  temperature: float = 0.0, top_p: float = 1.0) -> jax.Array:
     if temperature <= 0.0:
@@ -246,10 +271,15 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
              max_new_tokens: int = 64, temperature: float = 0.0,
              top_p: float = 1.0, eos_token_id: Optional[int] = None,
              rng: Optional[jax.Array] = None,
-             stop_token_ids: Optional[List[int]] = None
+             stop_token_ids: Optional[List[int]] = None,
+             scan_decode: bool = True
              ) -> Tuple[np.ndarray, LlavaOutput]:
-    """Host-driven generation loop with jitted prefill/decode.
+    """Generation: jitted prefill + decode.
 
+    scan_decode=True (default) generates all tokens in ONE device program
+    (lax.scan) and truncates at stop tokens on the host — the TPU-native
+    fast path. scan_decode=False is a host loop with early exit per step
+    (better when stops hit early and top_p is needed).
     Returns (generated ids [B, <=max_new_tokens], prefill output with
     routing telemetry) — the role of `LlavaPhiForCausalLM.generate`
     (llava_phi.py:147-220)."""
@@ -283,9 +313,25 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
     stops = set(stop_token_ids or [])
     if eos_token_id is not None:
         stops.add(int(eos_token_id))
+    cur = sample_token(last_logits, rng, temperature, top_p)
+
+    if scan_decode and max_new_tokens > 1 and top_p >= 1.0:
+        decode_n = make_scan_decode(model, max_new_tokens - 1, temperature)
+        rng, sub = jax.random.split(rng)
+        rest, _ = decode_n(params, cur, cache, sub)
+        all_toks = np.concatenate(
+            [np.asarray(cur)[:, None], np.asarray(rest)], axis=1)
+        if stops:
+            # truncate to the shortest row still containing live tokens
+            stop_mask = np.isin(all_toks, list(stops))
+            first_stop = np.where(stop_mask.any(1), stop_mask.argmax(1),
+                                  all_toks.shape[1])
+            keep = int(first_stop.max()) + 1
+            all_toks = all_toks[:, :min(keep, all_toks.shape[1])]
+        return all_toks, out
+
     tokens = []
     finished = np.zeros(B, bool)
-    cur = sample_token(last_logits, rng, temperature, top_p)
     for t in range(max_new_tokens):
         cur_np = np.asarray(cur)
         tokens.append(cur_np)

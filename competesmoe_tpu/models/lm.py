@@ -63,6 +63,13 @@ class LMConfig:
     # universal transformer sharing
     universal_group_size: int = 1        # 1 -> no sharing
     universal_group_type: str = "abab"
+    # Transformer-XL style context carry (lm.trafo.context_blocks,
+    # transformer_language_model.py:56-63,106-140); 0 = off (the shipped
+    # sweeps' setting)
+    n_prev_states: int = 0
+    # stochastic layer drop (transformer.p_drop_layer,
+    # transformer_language_model.py:168-171)
+    p_drop_layer: float = 0.0
     # misc
     preln: bool = True
     norm_before_output: bool = True
@@ -137,25 +144,31 @@ class FastRopeAttention(nn.Module):
     cfg: LMConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, pos_offset: int = 0,
+    def __call__(self, x: jax.Array, *, attend_to: Optional[jax.Array] = None,
+                 pos_offset: int = 0,
                  mask: Optional[jax.Array] = None) -> jax.Array:
+        """attend_to: optional [B, S+T, D] (Transformer-XL context carry,
+        fast_rope_attention.py:71-99 — queries from x at positions
+        pos_offset.., keys over the whole attend_to from position 0)."""
         cfg = self.cfg
         h, p = cfg.n_heads, cfg.proj_dim
         n_rotate = int(cfg.rotate_fraction * p)
         n_rotate -= n_rotate % 2
         init = _prenorm_dense_init(cfg.n_layers, cfg.layer_std_constant)
 
+        kv_src = attend_to if attend_to is not None else x
         q = nn.Dense(h * p, use_bias=False, kernel_init=init,
                      dtype=cfg.dtype, name="q")(x)
         k = nn.Dense(h * p, use_bias=False, kernel_init=init,
-                     dtype=cfg.dtype, name="k")(x)
+                     dtype=cfg.dtype, name="k")(kv_src)
         v = nn.Dense(h * p, use_bias=False, kernel_init=init,
-                     dtype=cfg.dtype, name="v")(x)
+                     dtype=cfg.dtype, name="v")(kv_src)
 
         B, T, _ = x.shape
+        S = kv_src.shape[1]
         q = q.reshape(B, T, h, p)
-        k = k.reshape(B, T, h, p)
-        v = v.reshape(B, T, h, p)
+        k = k.reshape(B, S, h, p)
+        v = v.reshape(B, S, h, p)
 
         if n_rotate > 0:
             sin, cos = rope_sin_cos(n_rotate, T, cfg.rope_base,
@@ -163,7 +176,7 @@ class FastRopeAttention(nn.Module):
             sin = sin[None, :, None, :]
             cos = cos[None, :, None, :]
             q = apply_partial_rope(q, sin, cos, n_rotate)
-            sin0, cos0 = rope_sin_cos(n_rotate, T, cfg.rope_base, offset=0,
+            sin0, cos0 = rope_sin_cos(n_rotate, S, cfg.rope_base, offset=0,
                                       dtype=k.dtype)
             k = apply_partial_rope(k, sin0[None, :, None, :],
                                    cos0[None, :, None, :], n_rotate)
@@ -176,7 +189,10 @@ class FastRopeAttention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(p)
-        causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+        # causal over the suffix; full visibility of the carried prefix
+        qpos = jnp.arange(T)[:, None] + (S - T)
+        kpos = jnp.arange(S)[None, :]
+        causal = kpos <= qpos
         if mask is not None:
             causal = causal & mask
         scores = jnp.where(causal[None, None], scores, -jnp.inf)
@@ -206,8 +222,16 @@ class MoETransformerBlock(nn.Module):
         self.norm1 = nn.LayerNorm(dtype=cfg.dtype)
         self.norm2 = nn.LayerNorm(dtype=cfg.dtype)
 
-    def __call__(self, x, *, step=None, train=False, flips=None):
-        attn_out = self.attn(self.norm1(x))
+    def __call__(self, x, *, step=None, train=False, flips=None,
+                 prev_state=None, pos_offset: int = 0):
+        ninput = self.norm1(x)
+        attend_to = None
+        if prev_state is not None:
+            # carried states were normalized when saved; normalize current
+            # (relative_moe_transformer.py:150-151)
+            attend_to = jnp.concatenate([prev_state, ninput], axis=1)
+        attn_out = self.attn(ninput, attend_to=attend_to,
+                             pos_offset=pos_offset)
         x = x + attn_out
         kwargs = {}
         if isinstance(self.moe, PretrainCompeteSMoE):
@@ -238,9 +262,16 @@ class MoELanguageModel(nn.Module):
             cfg.vocab_size, use_bias=True,
             kernel_init=nn.initializers.normal(cfg.d_model**-0.5))
 
-    def __call__(self, tokens: jax.Array, *, step=None, train: bool = False
+    def __call__(self, tokens: jax.Array, *, step=None, train: bool = False,
+                 state: Optional[list] = None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        """tokens: [B, T] int32 -> (logits [B, T, V] f32, aux dict)."""
+        """tokens: [B, T] int32 -> (logits [B, T, V] f32, aux dict).
+
+        state: per-layer list of carried context blocks [B, S, D] when
+        cfg.n_prev_states > 0 (Transformer-XL carry,
+        transformer_language_model.py:126-140); the new state is returned
+        under aux["state"] (detached, like the reference's `.detach()`).
+        """
         cfg = self.cfg
         net = self.embedding(tokens).astype(cfg.dtype)
         net = net * jnp.asarray(math.sqrt(cfg.d_model), cfg.dtype)
@@ -248,12 +279,30 @@ class MoELanguageModel(nn.Module):
         order = cfg.layer_order()
         aux_losses: Dict[str, jax.Array] = {}
         total_aux = jnp.zeros((), jnp.float32)
+        new_state = []
+        pos_offset = 0
+        if cfg.n_prev_states > 0 and state is not None:
+            pos_offset = state[0].shape[1]
         for li, ui in enumerate(order):
             flips = None
             if self.flip_schedule is not None:
                 flips = self.flip_schedule.flips[li]
-            net, aux = self.blocks[ui](net, step=step, train=train,
-                                       flips=flips)
+            prev = None
+            if cfg.n_prev_states > 0:
+                prev = state[li] if state is not None else None
+                # save this layer's (normalized) input for the next block
+                new_state.append(jax.lax.stop_gradient(
+                    self.blocks[ui].norm1(net)))
+            net_o, aux = self.blocks[ui](net, step=step, train=train,
+                                         flips=flips, prev_state=prev,
+                                         pos_offset=pos_offset)
+            if train and cfg.p_drop_layer > 0.0:
+                rng = self.make_rng("layerdrop")
+                keep = jax.random.uniform(
+                    rng, net_o[..., :1].shape) >= cfg.p_drop_layer
+                net = jnp.where(keep, net_o, net)
+            else:
+                net = net_o
             total_aux = total_aux + aux.aux_loss
             for k, val in aux.losses.items():
                 key = f"layer{li}/{k}"
@@ -262,6 +311,8 @@ class MoELanguageModel(nn.Module):
             net = self.out_norm(net)
         logits = self.output(net.astype(jnp.float32))
         aux_losses["total_aux_loss"] = total_aux
+        if cfg.n_prev_states > 0:
+            aux_losses["state"] = new_state
         return logits, aux_losses
 
 

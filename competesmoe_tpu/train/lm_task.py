@@ -97,6 +97,11 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-valid_interval", default=500)
     parser.add_argument("-valid_batches", default=10)
     parser.add_argument("-n_expert_shards", default=1)
+    # profiling: capture a jax.profiler trace for steps [start, start+n)
+    # (the reference's commented torch.profiler block + -speedtest,
+    # simple_task.py:361-381,439-445)
+    parser.add_argument("-profile.start_step", default=-1)
+    parser.add_argument("-profile.n_steps", default=5)
     # lm
     parser.add_argument("-lm.unroll", default=1024)
     parser.add_argument("-lm.vocab_size", default=8000)
@@ -294,8 +299,16 @@ class SyntheticTransformerTask:
         a = self.a
         iter_meter = ElapsedTimeMeter()
         load_meter = ElapsedTimeMeter()
+        prof_start = a.profile.start_step
+        prof_end = prof_start + a.profile.n_steps if prof_start >= 0 else -1
         with self.mesh:
             for step in range(self.start_step, a.stop_after):
+                if step == prof_start:
+                    jax.profiler.start_trace(str(self.run_dir / "trace"))
+                if step == prof_end:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to "
+                          f"{self.run_dir / 'trace'}")
                 with load_meter:
                     batch = self.fetch_batch()
                 with iter_meter:
