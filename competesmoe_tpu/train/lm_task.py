@@ -319,6 +319,7 @@ class SyntheticTransformerTask:
                     raise FloatingPointError(
                         f"non-finite loss at step {step}: {metrics}")
                 if step % a.log_interval == 0 or step == a.stop_after - 1:
+                    from .logger import device_memory_stats
                     tokens = a.batch_size * a.lm.unroll
                     ms = iter_meter.mean_ms
                     metrics.update({
@@ -328,6 +329,7 @@ class SyntheticTransformerTask:
                         "step_tokens_per_second": tokens / (ms / 1000.0)
                         if ms else 0.0,
                     })
+                    metrics.update(device_memory_stats())
                     self.logger.log(step, metrics)
                     iter_meter.reset()
                     load_meter.reset()

@@ -58,6 +58,23 @@ class MetricLogger:
             self._tb.close()
 
 
+def device_memory_stats() -> Dict[str, float]:
+    """Peak/in-use device memory in MB (the EfficiencyCallback's CUDA
+    peak-mem channel, moe_model/train/callback.py:92-256, via the TPU
+    allocator stats)."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    if "peak_bytes_in_use" in stats:
+        out["memory/peak_mb"] = stats["peak_bytes_in_use"] / 2**20
+    if "bytes_in_use" in stats:
+        out["memory/in_use_mb"] = stats["bytes_in_use"] / 2**20
+    return out
+
+
 class ElapsedTimeMeter:
     """Accumulating wall-clock meter (framework/utils timing meters;
     task.py:360-373 logs timing/ms_per_iter etc.)."""
