@@ -12,8 +12,16 @@ import sys
 
 
 def main(argv=None) -> None:
+    import os
+
     from ..train.lm_task import get_task
     from ..utils.argparser import build_parser
+
+    cache_dir = os.environ.get("COMPETESMOE_COMPILATION_CACHE")
+    if cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     parser = build_parser()
     a = parser.parse(argv)
