@@ -1,0 +1,99 @@
+"""End-to-end CLI tests: multimodal training (train_mm) and evaluation
+(eval_mm) over a synthesized HF-format checkpoint + local tokenizer."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.test_builder import make_fake_checkpoint
+
+
+@pytest.fixture(scope="module")
+def tok_dir(tmp_path_factory):
+    """Build a real PreTrainedTokenizerFast locally (no network)."""
+    d = tmp_path_factory.mktemp("tok")
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    trainer = trainers.BpeTrainer(
+        vocab_size=60, special_tokens=["<pad>", "<s>", "</s>", "<|end|>"])
+    corpus = ["what is this a cat yes really sure red blue <|user|> "
+              "<|assistant|> <|system|> You are helpful assistant"] * 20
+    tok.train_from_iterator(corpus, trainer)
+    from transformers import PreTrainedTokenizerFast
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<pad>", bos_token="<s>",
+        eos_token="</s>")
+    fast.save_pretrained(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    make_fake_checkpoint(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    (d / "imgs").mkdir()
+    Image.new("RGB", (40, 30), (200, 10, 10)).save(d / "imgs" / "a.jpg")
+    records = []
+    for i in range(8):
+        records.append({
+            "id": str(i), "image": "a.jpg",
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat is this"},
+                {"from": "gpt", "value": "a cat"}]})
+    (d / "data.json").write_text(json.dumps(records))
+    return d
+
+
+def test_train_mm_cli(ckpt_dir, tok_dir, data_dir, tmp_path):
+    from competesmoe_tpu.cli.train_mm import main
+    out = tmp_path / "out"
+    main(["--data-path", str(data_dir / "data.json"),
+          "--image-folder", str(data_dir / "imgs"),
+          "--tokenizer", tok_dir,
+          "--model-dir", str(ckpt_dir),
+          "--stage", "sft", "--num-train-steps", "3",
+          "--per-device-batch-size", "2", "--model-max-length", "64",
+          "--save-interval", "2", "--log-interval", "1",
+          "--learning-rate", "1e-4",
+          "--output-dir", str(out)])
+    log = (out / "log_trainer.jsonl").read_text().strip().splitlines()
+    recs = [json.loads(l) for l in log]
+    assert any("loss/total" in r for r in recs)
+    assert (out / "checkpoint" / "model-3").exists()
+
+
+def test_eval_mm_cli(ckpt_dir, tok_dir, tmp_path, capsys):
+    # register an offline task, then run the CLI main
+    from competesmoe_tpu.eval import TaskConfig, register_task
+    docs = [{"q": "what color", "a": "red",
+             "img": Image.new("RGB", (30, 30), (255, 0, 0))}
+            for _ in range(2)]
+    register_task("cli_toy", TaskConfig(
+        task="cli_toy", output_type="generate_until",
+        doc_to_text=lambda d: d["q"],
+        doc_to_visual=lambda d: [d["img"]],
+        doc_to_target=lambda d: d["a"],
+        generation_kwargs={"max_new_tokens": 2},
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}],
+        docs=docs))
+    from competesmoe_tpu.cli.eval_mm import main
+    out_path = tmp_path / "results.json"
+    main(["--model-dir", str(ckpt_dir), "--tokenizer", tok_dir,
+          "--tasks", "cli_toy",
+          "--batch-size", "2", "--max-new-tokens", "2",
+          "--return-id-experts", "--output-path", str(out_path)])
+    captured = capsys.readouterr().out
+    assert "cli_toy" in captured and "exact_match" in captured
+    results = json.loads(out_path.read_text())
+    assert "cli_toy" in results["results"]
+    tele = results["samples"]["cli_toy"][0]["logs_metrics_vision"]
+    assert tele and "layer_0" in tele

@@ -144,3 +144,29 @@ def test_siglip_moe_upcycled_matches_dense_at_init():
         {"params": p_moe}, px)
     np.testing.assert_allclose(np.asarray(f_moe), np.asarray(f_dense),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_with_registry_moe_ffn():
+    """Mixtral-style: decoder blocks with a registry MoE FFN
+    (the initialize_smoe_modules role) runs, routes, and differentiates."""
+    from competesmoe_tpu.moe import MoEArgs
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=64,
+        fused_qkv=False, moe_name="smoe", num_experts=4, num_selected=2,
+        moe_args=MoEArgs(), dtype=jnp.float32)
+    model = DecoderLM(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 7)),
+                      jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    def loss(params):
+        logits, _, aux = model.apply(params, ids, train=True)
+        return logits.sum() * 0 + aux["total_aux_loss"] + \
+            (logits ** 2).mean()
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    moe_p = params["params"]["layers_0"]["moe"]
+    assert "experts_w1" in moe_p and moe_p["experts_w1"].shape[0] == 4

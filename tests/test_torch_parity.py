@@ -226,3 +226,45 @@ def test_multimodal_xmoe_routing_parity():
     y, aux = layer.apply({"params": p}, xj, train=True)
     np.testing.assert_array_equal(np.asarray(aux.selected_experts),
                                   t_sel.numpy())
+
+
+def test_pretrain_competesmoe_competition_parity():
+    """Pretrain-tree competition: two batched matmuls over all experts,
+    affinity = mean(softplus(out)) (competition_policy_mlp_faster)."""
+    d, e_sz, n_exp, k = 16, 12, 8, 2
+    x = torch.randn(B, N, d)
+    w_gate = torch.randn(n_exp, d) * (d**-0.5)
+    keys = torch.randn(n_exp, d, e_sz) * (d**-0.5)
+    values = torch.randn(n_exp, e_sz, d) * ((n_exp * e_sz)**-0.5)
+
+    h = torch.matmul(x.view(-1, d), keys)          # [E, T, e]
+    h = torch.relu(h)
+    outs = torch.matmul(h, values).transpose(1, 0)  # [T, E, d]
+    affinity = tF.softplus(outs).mean(-1)
+    aff_softmax = tF.softmax(affinity, dim=-1, dtype=torch.float32)
+    t_w, t_sel = torch.topk(affinity, k)
+    t_w = t_w / t_w.sum(-1, keepdim=True)
+    t_out = torch.einsum(
+        "tkd,tk->td",
+        torch.gather(outs, 1, t_sel[..., None].expand(-1, k, d)), t_w)
+    t_out = t_out.view(B, N, d)
+    t_sel = t_sel.view(B, N, k)
+    gate_softmax = tF.softmax(x @ w_gate.T, dim=-1, dtype=torch.float32)
+    want_rl = tF.mse_loss(gate_softmax, aff_softmax.view(B, N, n_exp))
+
+    flips = np.ones(10, dtype=bool)
+    layer = get_pretrain_moe("competesmoe")(
+        dmodel=d, n_experts=n_exp, expert_size=e_sz, n_heads=k,
+        args=MoEArgs(), flip_schedule=flips, step_warm=0)
+    params = {"params": {
+        "w_gate": jnp.asarray(w_gate.numpy()),
+        "keys": jnp.asarray(keys.numpy()),
+        "values": jnp.asarray(values.numpy()),
+    }}
+    y, aux = layer.apply(params, jnp.asarray(x.numpy()), train=True, step=0)
+    np.testing.assert_array_equal(np.asarray(aux.selected_experts),
+                                  t_sel.numpy())
+    np.testing.assert_allclose(np.asarray(y), t_out.numpy(), rtol=2e-4,
+                               atol=2e-5)
+    got_rl = float(aux.losses["mlp_router_loss"]) / 0.01  # router_loss_coef
+    np.testing.assert_allclose(got_rl, float(want_rl), rtol=1e-4)
