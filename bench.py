@@ -95,6 +95,11 @@ def main():
             # 2026-08-16): 577.7 tok/s/chip at 13.85 ms/step (~68% of the
             # weight-bandwidth speed of light).
             "decode_tok_per_sec_chip_5p1b_batch8": 577.7,
+            # 154M CompeteSMoE LM train throughput (16 layers, E=64,
+            # es=128, k=8, bf16, batch 16 x 512 tokens, flip schedule
+            # active, v5e-1, 2026-08-16): ~118k tokens/sec/chip
+            # (~70 ms/step) via cli.main synthetic_transformer.
+            "train_tok_per_sec_chip_154m": 118000.0,
         },
     }))
 

@@ -25,6 +25,9 @@ def main(argv=None) -> None:
 
     parser = build_parser()
     a = parser.parse(argv)
+    if a.nan_detect:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     task_cls = get_task(a.task)
     t = task_cls(a)
     if a.test_only:

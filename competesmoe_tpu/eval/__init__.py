@@ -10,3 +10,4 @@ from .task import (  # noqa: F401
     get_task_config,
     register_task,
 )
+from .cache import CachingLM  # noqa: F401

@@ -51,6 +51,13 @@ class DecoderConfig:
     tie_word_embeddings: bool = False
     fused_qkv: bool = False        # Phi-3 qkv_proj / gate_up_proj layout
     attention_bias: bool = False
+    # MPT-family knobs (llava_mpt backbone): alibi position bias instead
+    # of RoPE, bias-free LayerNorm instead of RMSNorm, plain GELU MLP
+    # instead of SiLU-GLU
+    use_alibi: bool = False
+    norm_type: str = "rmsnorm"     # 'rmsnorm' | 'layernorm_nobias'
+    mlp_type: str = "silu_glu"     # 'silu_glu' | 'gelu'
+    expansion_ratio: int = 4       # gelu MLP hidden = ratio * d
     # Optional MoE FFN (mixtral-style blocks routed via our registry)
     moe_name: Optional[str] = None
     num_experts: int = 8
@@ -107,6 +114,39 @@ class RMSNorm(nn.Module):
         # exact 1/sqrt (lax.rsqrt is an approximation, ~1e-5 off torch)
         xf = xf / jnp.sqrt(var + self.eps)
         return (xf * w.astype(jnp.float32)).astype(x.dtype)
+
+
+class LayerNormNoBias(nn.Module):
+    """MPT's bias-free LayerNorm (no_bias=True)."""
+
+    eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        xf = (xf - mean) / jnp.sqrt(var + self.eps)
+        return (xf * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def make_norm(cfg: "DecoderConfig"):
+    if cfg.norm_type == "layernorm_nobias":
+        return LayerNormNoBias(cfg.rms_norm_eps, cfg.dtype)
+    return RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+
+
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """Standard ALiBi geometric slopes (HF build_mpt_alibi_tensor)."""
+    import math as _m
+    n = 2 ** _m.ceil(_m.log2(n_heads))
+    base = 2.0 ** (-8.0 / n)
+    slopes = np.power(base, np.arange(1, n + 1))
+    if n != n_heads:
+        slopes = np.concatenate([slopes[1::2], slopes[0::2]])[:n_heads]
+    return slopes.astype(np.float32)
 
 
 def rope_tables(cfg: DecoderConfig, positions: jax.Array, seq_len_cap: int
@@ -204,8 +244,9 @@ class DecoderAttention(nn.Module):
         q = q.reshape(B, T, h, p)
         k = k.reshape(B, T, hk, p)
         v = v.reshape(B, T, hk, p)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if not cfg.use_alibi:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         new_cache = None
         if cache_kv is not None:
@@ -230,6 +271,16 @@ class DecoderAttention(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(p)
+        if cfg.use_alibi:
+            # bias = -slope_h * (qpos - kpos); qpos from cos (carries
+            # position ids when alibi is on)
+            qpos = cos[:, :, 0]                      # [B, T] positions
+            kv_len = k.shape[1]
+            kpos = jnp.arange(kv_len, dtype=jnp.float32)
+            dist = qpos[:, :, None] - kpos[None, None, :]   # [B, T, K]
+            slopes = jnp.asarray(alibi_slopes(h))           # [h]
+            scores = scores - (slopes[None, :, None, None]
+                               * dist[:, None, :, :])
         if mask is not None:
             scores = jnp.where(mask[:, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
@@ -247,6 +298,13 @@ class DecoderMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        if cfg.mlp_type == "gelu":  # MPT ffn: up -> gelu -> down
+            hdim = cfg.expansion_ratio * cfg.hidden_size
+            hmid = nn.Dense(hdim, use_bias=False, dtype=cfg.dtype,
+                            name="up_proj")(x)
+            hmid = jax.nn.gelu(hmid, approximate=False)
+            return nn.Dense(cfg.hidden_size, use_bias=False,
+                            dtype=cfg.dtype, name="down_proj")(hmid)
         if cfg.fused_qkv:  # phi3 layout pairs fused attn with gate_up_proj
             gu = nn.Dense(2 * cfg.intermediate_size, use_bias=False,
                           dtype=cfg.dtype, name="gate_up_proj")(x)
@@ -266,8 +324,8 @@ class DecoderLayer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.input_layernorm = RMSNorm(cfg.rms_norm_eps, cfg.dtype)
-        self.post_attention_layernorm = RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+        self.input_layernorm = make_norm(cfg)
+        self.post_attention_layernorm = make_norm(cfg)
         self.self_attn = DecoderAttention(cfg)
         if cfg.moe_name is not None:
             self.moe = get_moe(cfg.moe_name)(
@@ -316,7 +374,7 @@ class DecoderLM(nn.Module):
             embedding_init=nn.initializers.normal(0.02))
         self.layers = [DecoderLayer(cfg)
                        for _ in range(cfg.num_hidden_layers)]
-        self.norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+        self.norm = make_norm(cfg)
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
                                     name="lm_head")
@@ -350,7 +408,13 @@ class DecoderLM(nn.Module):
         elif position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
         cap = seq_len_cap or (cache.k.shape[2] if cache is not None else T)
-        cos, sin = rope_tables(cfg, position_ids, cap)
+        if cfg.use_alibi:
+            # no rope; smuggle position ids to the attention for the
+            # alibi distance term
+            cos = position_ids.astype(jnp.float32)[..., None]
+            sin = jnp.zeros_like(cos)
+        else:
+            cos, sin = rope_tables(cfg, position_ids, cap)
 
         # Build the attention mask [B, Tq, Tk].
         if cache is not None:

@@ -228,3 +228,37 @@ def convert_mlpmoe_projector(sd: Dict[str, np.ndarray], n_experts: int,
         moe["gate_kernel"] = rng.normal(
             0.0, 0.02, (in_dim, n_experts)).astype(np.float32)
     return {"moelayer": moe}
+
+
+def convert_mpt(sd: Dict[str, np.ndarray], cfg: DecoderConfig,
+                prefix: str = "transformer.") -> Dict:
+    """HF MptForCausalLM state dict -> DecoderLM params (llava_mpt
+    backbone: fused Wqkv, bias-free LayerNorm, alibi, gelu FFN, tied
+    embeddings)."""
+    m = _strip_prefix(sd, prefix) if prefix else dict(sd)
+    params: Dict = {
+        "embed_tokens": {"embedding": m["wte.weight"]},
+        "norm": {"weight": m["norm_f.weight"]},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {
+            "kernel": np.ascontiguousarray(sd["lm_head.weight"].T)}
+    for li in range(cfg.num_hidden_layers):
+        p = f"blocks.{li}."
+        params[f"layers_{li}"] = {
+            "input_layernorm": {"weight": m[p + "norm_1.weight"]},
+            "post_attention_layernorm": {"weight": m[p + "norm_2.weight"]},
+            "self_attn": {
+                "qkv_proj": {"kernel": np.ascontiguousarray(
+                    m[p + "attn.Wqkv.weight"].T)},
+                "o_proj": {"kernel": np.ascontiguousarray(
+                    m[p + "attn.out_proj.weight"].T)},
+            },
+            "mlp": {
+                "up_proj": {"kernel": np.ascontiguousarray(
+                    m[p + "ffn.up_proj.weight"].T)},
+                "down_proj": {"kernel": np.ascontiguousarray(
+                    m[p + "ffn.down_proj.weight"].T)},
+            },
+        }
+    return params

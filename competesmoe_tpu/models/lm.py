@@ -70,6 +70,14 @@ class LMConfig:
     # stochastic layer drop (transformer.p_drop_layer,
     # transformer_language_model.py:168-171)
     p_drop_layer: float = 0.0
+    # ACT pondering (the "act"/SUT variants, transformer.act_loss +
+    # halting.py): 0 = off; >0 wraps every block in an ACTBlock
+    act_max_steps: int = 0
+    act_loss: float = 0.0
+    # attention backend: 'einsum' (XLA-fused) or 'splash' (Pallas splash
+    # attention kernel; TPU-only, causal no-carry path, head_dim % 128 == 0)
+    attention_impl: str = "einsum"
+
     # misc
     preln: bool = True
     norm_before_output: bool = True
@@ -186,6 +194,22 @@ class FastRopeAttention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
+        if (cfg.attention_impl == "splash" and attend_to is None
+                and mask is None and p % 128 == 0 and T % 128 == 0
+                and S % 128 == 0):
+            from jax.experimental.pallas.ops.tpu import splash_attention
+            sam = splash_attention.splash_attention_mask
+            sak = splash_attention.splash_attention_kernel
+            mha_mask = sam.MultiHeadMask(
+                [sam.CausalMask((T, S)) for _ in range(h)])
+            kernel = sak.make_splash_mha(mask=mha_mask, head_shards=1,
+                                         q_seq_shards=1)
+            out = jax.vmap(kernel)((q / math.sqrt(p)).astype(v.dtype), k, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, h * p)
+            return nn.Dense(cfg.d_model, use_bias=False,
+                            kernel_init=init, dtype=cfg.dtype,
+                            name="out")(out)
+
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(p)
@@ -223,7 +247,8 @@ class MoETransformerBlock(nn.Module):
         self.norm2 = nn.LayerNorm(dtype=cfg.dtype)
 
     def __call__(self, x, *, step=None, train=False, flips=None,
-                 prev_state=None, pos_offset: int = 0):
+                 prev_state=None, pos_offset: int = 0,
+                 return_id_experts: bool = False):
         ninput = self.norm1(x)
         attend_to = None
         if prev_state is not None:
@@ -237,6 +262,7 @@ class MoETransformerBlock(nn.Module):
         if isinstance(self.moe, PretrainCompeteSMoE):
             kwargs["flips"] = flips
         moe_out, aux = self.moe(self.norm2(x), step=step, train=train,
+                                return_id_experts=return_id_experts,
                                 **kwargs)
         return x + moe_out, aux
 
@@ -254,8 +280,14 @@ class MoELanguageModel(nn.Module):
         self.embedding = nn.Embed(
             cfg.vocab_size, cfg.d_model,
             embedding_init=nn.initializers.normal(cfg.d_model**-0.5))
-        self.blocks = [MoETransformerBlock(cfg)
-                       for _ in range(cfg.n_unique_layers)]
+        blocks = [MoETransformerBlock(cfg)
+                  for _ in range(cfg.n_unique_layers)]
+        if cfg.act_max_steps > 0:
+            from .act import ACTBlock
+            blocks = [ACTBlock(block=b, max_steps=cfg.act_max_steps,
+                               act_loss_coef=cfg.act_loss)
+                      for b in blocks]
+        self.blocks = blocks
         if cfg.norm_before_output:
             self.out_norm = nn.LayerNorm(dtype=cfg.dtype)
         self.output = nn.Dense(
@@ -263,7 +295,8 @@ class MoELanguageModel(nn.Module):
             kernel_init=nn.initializers.normal(cfg.d_model**-0.5))
 
     def __call__(self, tokens: jax.Array, *, step=None, train: bool = False,
-                 state: Optional[list] = None
+                 state: Optional[list] = None,
+                 return_id_experts: bool = False
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """tokens: [B, T] int32 -> (logits [B, T, V] f32, aux dict).
 
@@ -295,7 +328,12 @@ class MoELanguageModel(nn.Module):
                     self.blocks[ui].norm1(net)))
             net_o, aux = self.blocks[ui](net, step=step, train=train,
                                          flips=flips, prev_state=prev,
-                                         pos_offset=pos_offset)
+                                         pos_offset=pos_offset,
+                                         return_id_experts=return_id_experts)
+            if return_id_experts and aux.selected_experts is not None:
+                aux_losses[f"layer{li}/selected_experts"] = \
+                    aux.selected_experts
+                aux_losses[f"layer{li}/gate_softmax"] = aux.gate_softmax
             if train and cfg.p_drop_layer > 0.0:
                 rng = self.make_rng("layerdrop")
                 keep = jax.random.uniform(

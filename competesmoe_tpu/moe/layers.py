@@ -411,7 +411,10 @@ class CompeteSMoELayer(MoeLayerBase):
         idx = jnp.clip(rel, 0, sched.shape[0] - 1)
         # No competition during warm-up or past the schedule's end.
         is_comp = (rel >= 0) & (rel < sched.shape[0]) & sched[idx]
-        return jax.lax.cond(is_comp, competition_branch, router_branch, x)
+        # Remat the competition branch: all-expert outputs are recomputed
+        # in backward instead of living in HBM as residuals.
+        comp = jax.checkpoint(competition_branch)
+        return jax.lax.cond(is_comp, comp, router_branch, x)
 
     def _competition(self, x, params, gate_softmax, gate_sel):
         """All-expert competition policy (competesmoe.py:219-259,337-387)."""

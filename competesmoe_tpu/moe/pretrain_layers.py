@@ -411,4 +411,8 @@ class PretrainCompeteSMoE(MoEUTBase):
         idx = jnp.clip(rel, 0, sched.shape[0] - 1)
         # No competition during warm-up or past the schedule's end.
         is_comp = (rel >= 0) & (rel < sched.shape[0]) & sched[idx]
-        return jax.lax.cond(is_comp, competition_branch, router_branch, x)
+        # Rematerialize the competition branch: its all-expert outputs
+        # ([T, E, v] per layer) would otherwise be saved as backward
+        # residuals and dominate HBM (E/k times the sparse activations).
+        comp = jax.checkpoint(competition_branch)
+        return jax.lax.cond(is_comp, comp, router_branch, x)

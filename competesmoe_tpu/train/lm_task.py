@@ -100,6 +100,7 @@ def _task_args(parser: ArgumentParser):
     # profiling: capture a jax.profiler trace for steps [start, start+n)
     # (the reference's commented torch.profiler block + -speedtest,
     # simple_task.py:361-381,439-445)
+    parser.add_argument("-nan_detect", default=False)
     parser.add_argument("-profile.start_step", default=-1)
     parser.add_argument("-profile.n_steps", default=5)
     # lm
@@ -112,6 +113,8 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-transformer.n_heads", default=4)
     parser.add_argument("-transformer.head_projection_size", default="none",
                         parser=parser.int_or_none_parser)
+    parser.add_argument("-transformer.attention", default="einsum",
+                        choice=["einsum", "splash"])
     parser.add_argument("-transformer.universal.group_size", default=1)
     parser.add_argument("-transformer.universal.group_type", default="abab",
                         choice=["abab", "aabb"])
@@ -173,6 +176,7 @@ def lm_config_from(a: DotDict) -> LMConfig:
         moe_topk=a.pkm.n_heads, moe_args=moe_args_from(a),
         moe_impl=a.moe.impl,
         rotate_fraction=a.rope.rotate_fraction, rope_base=a.rope.base,
+        attention_impl=a.transformer.attention,
         universal_group_size=a.transformer.universal.group_size,
         universal_group_type=a.transformer.universal.group_type,
         dtype=jnp.bfloat16 if a.amp else jnp.float32,
@@ -293,7 +297,34 @@ class SyntheticTransformerTask:
                 nll, n = self.eval_step(self.state.params, batch)
                 total_nll += float(nll)
                 total_tok += int(n)
+            self._log_expert_usage(batch)
         return math.exp(total_nll / max(total_tok, 1))
+
+    def _log_expert_usage(self, batch) -> None:
+        """Eval-time routing telemetry: per-layer expert histograms and
+        selection entropy (the reference's add_dist_experts /
+        add_dist_weight channels, layers/moe/moe.py:160-183)."""
+        try:
+            _, aux = self.model.apply(
+                {"params": self.state.params}, batch[:, :-1], train=False,
+                return_id_experts=True)
+        except Exception:
+            return
+        metrics = {}
+        for key, val in aux.items():
+            if key.endswith("/selected_experts") and val is not None:
+                layer = key.split("/")[0]
+                sel = np.asarray(val).reshape(-1)
+                hist = np.bincount(sel, minlength=self.cfg.n_experts)
+                frac = hist / max(hist.sum(), 1)
+                metrics[f"expert_usage/{layer}_nonzero_frac"] = float(
+                    (hist > 0).mean())
+                p = np.clip(frac, 1e-12, None)
+                metrics[f"expert_usage/{layer}_entropy"] = float(
+                    -(p * np.log(p)).sum())
+        if metrics:
+            self.logger.log(int(self.state.step), metrics,
+                            to_stdout=False)
 
     def train(self) -> None:
         a = self.a

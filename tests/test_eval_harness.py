@@ -110,3 +110,27 @@ def test_rank_splitting():
     ids0 = {i.doc_id for i in r0}
     ids1 = {i.doc_id for i in r1}
     assert ids0 | ids1 == set(range(10)) and not ids0 & ids1
+
+
+def test_caching_lm(jax_llava, tmp_path):
+    from competesmoe_tpu.eval.cache import CachingLM
+    from competesmoe_tpu.eval.instance import Instance
+
+    cached = CachingLM(jax_llava, str(tmp_path / "cache.db"))
+
+    def mk_reqs():
+        return [Instance(request_type="generate_until",
+                         arguments=("hello world", {"max_new_tokens": 2},
+                                    []),
+                         idx=0, metadata=("t", i, 1)) for i in range(2)]
+
+    r1 = cached.generate_until(mk_reqs())
+    assert cached.misses == 2 and cached.hits == 0
+    r2 = cached.generate_until(mk_reqs())
+    assert cached.hits == 2
+    assert r1 == r2
+    # different args -> miss
+    reqs = mk_reqs()
+    reqs[0].arguments = ("different prompt", {"max_new_tokens": 2}, [])
+    cached.generate_until(reqs)
+    assert cached.misses == 3

@@ -170,3 +170,29 @@ def test_decoder_with_registry_moe_ffn():
     assert np.isfinite(float(val))
     moe_p = params["params"]["layers_0"]["moe"]
     assert "experts_w1" in moe_p and moe_p["experts_w1"].shape[0] == 4
+
+
+def test_mpt_logits_parity():
+    """MPT backbone: alibi attention, bias-free LayerNorm, GELU FFN,
+    tied embeddings (the llava_mpt wrapper's decoder)."""
+    from transformers import MptConfig, MptForCausalLM
+
+    from competesmoe_tpu.models.hf_loader import convert_mpt
+    hf_cfg = MptConfig(d_model=64, n_heads=4, n_layers=2, vocab_size=128,
+                       max_seq_len=128)
+    hf = MptForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, original_max_position_embeddings=128,
+        rms_norm_eps=1e-5, fused_qkv=True, use_alibi=True,
+        norm_type="layernorm_nobias", mlp_type="gelu",
+        tie_word_embeddings=True, dtype=jnp.float32)
+    params = convert_mpt(_sd(hf), cfg)
+    ids = torch.randint(0, 128, (2, 9))
+    with torch.no_grad():
+        want = hf(ids).logits.numpy()
+    model = DecoderLM(cfg)
+    logits, _, _ = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=3e-4,
+                               atol=3e-4)

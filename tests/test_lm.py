@@ -112,3 +112,26 @@ def test_lr_schedule_shapes():
     assert float(sched(0)) == 0.0
     np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
     assert float(sched(99)) < 1e-3
+
+
+def test_act_pondering_lm():
+    """SUT-style ACT: shared block pondered with halting; ponder cost in
+    the aux losses; outputs finite and differentiable."""
+    cfg = tiny_cfg(n_layers=2, universal_group_size=2, act_max_steps=3)
+    cfg = LMConfig(**{**cfg.__dict__, "act_loss": 0.01})
+    model = MoELanguageModel(cfg)
+    tokens = jnp.zeros((2, 7), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    logits, aux = model.apply(params, tokens, train=True)
+    assert logits.shape == (2, 7, 128)
+    ponders = [v for k, v in aux.items() if k.endswith("ponder_cost")]
+    assert ponders and all(1.0 <= float(p) <= 3.0 + 1e-3 for p in ponders)
+
+    @jax.jit
+    def loss(params):
+        logits, aux = model.apply(params, tokens, train=True)
+        return jnp.mean(logits**2) + aux["total_aux_loss"]
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))

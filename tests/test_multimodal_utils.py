@@ -93,3 +93,36 @@ def test_divide_to_patches():
     img = Image.new("RGB", (8, 4))
     ps = divide_to_patches(img, 4)
     assert len(ps) == 2 and ps[0].size == (4, 4)
+
+
+def test_multiscale_features_s2():
+    """S2: tower over scales (1,2) concatenates channels on the base grid."""
+    import jax.numpy as jnp
+    import numpy as np
+    from competesmoe_tpu.models.vision import (
+        merge_chessboard,
+        multiscale_features,
+        split_chessboard,
+    )
+
+    # split/merge roundtrip
+    x = jnp.asarray(np.arange(2 * 8 * 8 * 3, dtype=np.float32
+                              ).reshape(2, 8, 8, 3))
+    np.testing.assert_array_equal(
+        np.asarray(merge_chessboard(split_chessboard(x, 2), 2)),
+        np.asarray(x))
+
+    # fake tower: 14x14 patches -> per-patch mean feature
+    def tower(imgs):
+        b, h, w, c = imgs.shape
+        g = h // 14
+        feats = imgs.reshape(b, g, 14, g, 14, c).mean((2, 4))
+        return feats.reshape(b, g * g, c)
+
+    px = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 28, 28, 3)).astype(np.float32))
+    out = multiscale_features(tower, px, scales=(1, 2))
+    assert out.shape == (2, 4, 6)  # base 2x2 grid, channels 3*2
+    # scale-1 channels equal the plain tower output
+    np.testing.assert_allclose(np.asarray(out[..., :3]),
+                               np.asarray(tower(px)), rtol=1e-5)
