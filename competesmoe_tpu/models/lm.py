@@ -74,9 +74,7 @@ class LMConfig:
     # halting.py): 0 = off; >0 wraps every block in an ACTBlock
     act_max_steps: int = 0
     act_loss: float = 0.0
-    # attention backend: 'einsum' (XLA-fused) or 'splash' (Pallas splash
-    # attention kernel; TPU-only, causal no-carry path, head_dim % 128 == 0)
-    attention_impl: str = "einsum"
+
 
     # misc
     preln: bool = True
@@ -193,22 +191,6 @@ class FastRopeAttention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-
-        if (cfg.attention_impl == "splash" and attend_to is None
-                and mask is None and p % 128 == 0 and T % 128 == 0
-                and S % 128 == 0):
-            from jax.experimental.pallas.ops.tpu import splash_attention
-            sam = splash_attention.splash_attention_mask
-            sak = splash_attention.splash_attention_kernel
-            mha_mask = sam.MultiHeadMask(
-                [sam.CausalMask((T, S)) for _ in range(h)])
-            kernel = sak.make_splash_mha(mask=mha_mask, head_shards=1,
-                                         q_seq_shards=1)
-            out = jax.vmap(kernel)((q / math.sqrt(p)).astype(v.dtype), k, v)
-            out = out.transpose(0, 2, 1, 3).reshape(B, T, h * p)
-            return nn.Dense(cfg.d_model, use_bias=False,
-                            kernel_init=init, dtype=cfg.dtype,
-                            name="out")(out)
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)

@@ -113,8 +113,6 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-transformer.n_heads", default=4)
     parser.add_argument("-transformer.head_projection_size", default="none",
                         parser=parser.int_or_none_parser)
-    parser.add_argument("-transformer.attention", default="einsum",
-                        choice=["einsum", "splash"])
     parser.add_argument("-transformer.universal.group_size", default=1)
     parser.add_argument("-transformer.universal.group_type", default="abab",
                         choice=["abab", "aabb"])
@@ -176,7 +174,6 @@ def lm_config_from(a: DotDict) -> LMConfig:
         moe_topk=a.pkm.n_heads, moe_args=moe_args_from(a),
         moe_impl=a.moe.impl,
         rotate_fraction=a.rope.rotate_fraction, rope_base=a.rope.base,
-        attention_impl=a.transformer.attention,
         universal_group_size=a.transformer.universal.group_size,
         universal_group_type=a.transformer.universal.group_type,
         dtype=jnp.bfloat16 if a.amp else jnp.float32,
