@@ -100,6 +100,10 @@ def main():
             # active, v5e-1, 2026-08-16): ~118k tokens/sec/chip
             # (~70 ms/step) via cli.main synthetic_transformer.
             "train_tok_per_sec_chip_154m": 118000.0,
+            # full 5.09B multimodal pipeline (image -> SigLIP-so400m MoE
+            # tower -> MoE projector -> Phi-3.5 decoder), batch 1, v5e-1:
+            # 0.42 s for image prefill + 32 greedy tokens (~76 tok/s/seq)
+            "e2e_5p1b_prefill_plus_32tok_s": 0.42,
         },
     }))
 

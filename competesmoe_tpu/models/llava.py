@@ -202,8 +202,19 @@ class LlavaModel(nn.Module):
 # Generation
 # ---------------------------------------------------------------------------
 
+_GEN_FN_CACHE: Dict = {}
+
+
 def make_generate_fns(model: LlavaModel, cfg: LlavaConfig, max_len: int):
-    """Build jitted (prefill, decode_step) for incremental generation."""
+    """Build jitted (prefill, decode_step) for incremental generation.
+
+    Cached per (model, max_len): rebuilding the jit wrappers on every
+    generate() call would force a full recompile each time (observed 27 s
+    per call on the 5.1B model vs <1 s cached)."""
+    key = (model, max_len)
+    hit = _GEN_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     def prefill(params, input_ids, pixel_values, attention_mask):
         B = input_ids.shape[0]
@@ -222,7 +233,12 @@ def make_generate_fns(model: LlavaModel, cfg: LlavaConfig, max_len: int):
         out = model.apply(params, token[:, None], None, cache=cache)
         return out.logits[:, 0], out.cache
 
-    return jax.jit(prefill), jax.jit(decode_step)
+    fns = (jax.jit(prefill), jax.jit(decode_step))
+    _GEN_FN_CACHE[key] = fns
+    return fns
+
+
+_SCAN_FN_CACHE: Dict = {}
 
 
 def make_scan_decode(model: LlavaModel, n_tokens: int,
@@ -230,9 +246,15 @@ def make_scan_decode(model: LlavaModel, n_tokens: int,
     """Jitted fully-on-device decode: generates n_tokens with lax.scan
     (one device launch for the whole generation — the per-call RPC latency
     of host-loop decode would otherwise dominate on a tunneled TPU).
+    Cached per (model, n_tokens, temperature) so repeated generate() calls
+    don't recompile.
 
     Returns fn(params, first_token [B], cache, rng) -> tokens [B, n].
     """
+    key = (model, n_tokens, temperature)
+    hit = _SCAN_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     def decode(params, first_token, cache, rng):
         def step(carry, _):
@@ -247,7 +269,9 @@ def make_scan_decode(model: LlavaModel, n_tokens: int,
             step, (first_token, cache, rng), None, length=n_tokens)
         return jnp.swapaxes(toks, 0, 1), cache
 
-    return jax.jit(decode)
+    fn = jax.jit(decode)
+    _SCAN_FN_CACHE[key] = fn
+    return fn
 
 
 def sample_token(logits: jax.Array, rng: Optional[jax.Array],
