@@ -206,6 +206,12 @@ class SyntheticTransformerTask:
         self.model = MoELanguageModel(cfg, flip_schedule=schedule)
 
         self.mesh = make_mesh(n_expert=a.n_expert_shards)
+        n_dev = self.mesh.devices.size
+        if a.batch_size % n_dev != 0:
+            raise ValueError(
+                f"-batch_size {a.batch_size} must be divisible by the "
+                f"number of devices ({n_dev}); the global batch is "
+                f"sharded over the full mesh")
         self.optimizer = make_optimizer(OptConfig(
             lr=a.lr, lr_sched=a.lr_sched.type, warmup_steps=a.lr_warmup,
             total_steps=a.stop_after, grad_clip=a.grad_clip,
