@@ -115,3 +115,43 @@ def test_cli_chat_loop(adapter):
     text = out.getvalue()
     assert "USER:" in text and "ASSISTANT:" in text
     assert conv.messages[-1][1] is not None
+
+
+def test_web_chat_page(adapter):
+    """Browser chat server: page loads, /chat round-trips through the
+    controller proxy to a live worker."""
+    import json as _json
+    from urllib import request as _ur
+
+    from competesmoe_tpu.serve.web import serve_web
+
+    cport, wport, webport = free_port(), free_port(), free_port()
+    controller, chttpd = serve_controller("127.0.0.1", cport,
+                                          background=True)
+    caddr = f"http://127.0.0.1:{cport}"
+    worker = ModelWorker(caddr, f"http://127.0.0.1:{wport}",
+                         ["tiny-llava"], jax_llava_generate_fn(adapter),
+                         register=False)
+    whttpd = serve_worker(worker, "127.0.0.1", wport, background=True)
+    post(caddr + "/register_worker", {
+        "worker_name": f"http://127.0.0.1:{wport}",
+        "check_heart_beat": True, "worker_status": worker.get_status()})
+    webhttpd = serve_web(caddr, "tiny-llava", "127.0.0.1", webport,
+                         background=True)
+    try:
+        with _ur.urlopen(f"http://127.0.0.1:{webport}/", timeout=10) as r:
+            page = r.read().decode()
+        assert "CompeteSMoE chat" in page
+        req = _ur.Request(
+            f"http://127.0.0.1:{webport}/chat",
+            data=_json.dumps({"messages": [["USER", "hello"]],
+                              "images": []}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"})
+        with _ur.urlopen(req, timeout=60) as r:
+            resp = _json.loads(r.read())
+        assert "text" in resp
+    finally:
+        chttpd.shutdown()
+        whttpd.shutdown()
+        webhttpd.shutdown()
