@@ -417,26 +417,32 @@ class CompeteSMoELayer(MoeLayerBase):
         return jax.lax.cond(is_comp, comp, router_branch, x)
 
     def _competition(self, x, params, gate_softmax, gate_sel):
-        """All-expert competition policy (competesmoe.py:219-259,337-387)."""
+        """All-expert competition policy (competesmoe.py:219-259,337-387).
+
+        Routed through ec.competition_all_experts_mlp2 so an active EP mesh
+        runs the all-expert pass sharded (affinity all-gather + psum of the
+        selected outputs) instead of replicated."""
         w1, b1, w2, b2 = params
         b, n, d = x.shape
-        expert_outputs = ec.dense_all_experts_mlp2(
-            x.reshape(b * n, d), w1, b1, w2, b2, activation=self._act())
-        expert_outputs = expert_outputs.reshape(b, n, self.n_experts,
-                                                self.out_dim)
+        k = self.n_selected
+        affinity, topk_outputs, sel = ec.competition_all_experts_mlp2(
+            x.reshape(b * n, d), w1, b1, w2, b2, self._act(), k,
+            impl=self.impl)
         # Affinity = mean(softplus(out)) per expert, in x dtype
         # (competesmoe.py:237-242).
-        affinity = jnp.mean(jax.nn.softplus(expert_outputs), axis=-1)
+        affinity = affinity.reshape(b, n, self.n_experts)
+        topk_outputs = topk_outputs.reshape(b, n, k, self.out_dim)
+        sel = sel.reshape(b, n, k)
         affinity_softmax = R.softmax_f32(affinity)
         if self.args.norm_sigmoid:
-            aw, sel = R.top_k(jax.nn.sigmoid(affinity), self.n_selected)
+            # sigmoid is monotone, so sel (top-k of raw affinity) is
+            # unchanged; only the combine weights pass through it.
+            aw = jnp.take_along_axis(jax.nn.sigmoid(affinity), sel, axis=-1)
         else:
-            aw, sel = R.top_k(affinity, self.n_selected)
+            aw = jnp.take_along_axis(affinity, sel, axis=-1)
         aw = R.normalize_weights(aw, x.dtype)
-
-        topk_outputs = ec.gather_topk_outputs(expert_outputs, sel)
-        out = ec.combine_topk(expert_outputs, sel,
-                              aw.astype(expert_outputs.dtype))
+        out = jnp.sum(topk_outputs * aw[..., None].astype(topk_outputs.dtype),
+                      axis=-2)
 
         aff_sg = jax.lax.stop_gradient(affinity_softmax)
         routerloss = L.router_mse_loss(gate_softmax, aff_sg)

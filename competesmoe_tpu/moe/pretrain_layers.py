@@ -347,18 +347,21 @@ class PretrainCompeteSMoE(MoEUTBase):
 
         def competition_branch(x):
             b, n, d = x.shape
-            outs = ec.dense_all_experts_kv(
-                x.reshape(b * n, d), keys, values, self.activation, b1=b1)
-            outs = outs.reshape(b, n, self.n_experts, self.out_dim)
-            affinity = jnp.mean(jax.nn.softplus(outs), axis=-1)
+            k = self.topk
+            affinity, topk_outputs, sel = ec.competition_all_experts_kv(
+                x.reshape(b * n, d), keys, values, self.activation, k,
+                b1=b1, impl=self.impl)
+            affinity = affinity.reshape(b, n, self.n_experts)
+            topk_outputs = topk_outputs.reshape(b, n, k, self.out_dim)
+            sel = sel.reshape(b, n, k)
             affinity_softmax = R.softmax_f32(affinity)
-            aw, sel = R.top_k(affinity, self.topk)
+            aw = jnp.take_along_axis(affinity, sel, axis=-1)
             aw = R.normalize_weights(aw, x.dtype)
-            out = ec.combine_topk(outs, sel, aw.astype(outs.dtype))
+            out = jnp.sum(topk_outputs
+                          * aw[..., None].astype(topk_outputs.dtype), axis=-2)
             if o_bias is not None:
                 out = out + o_bias.astype(out.dtype)
 
-            topk_outputs = ec.gather_topk_outputs(outs, sel)
             div_loss = L.diversity_loss(topk_outputs)
             aff_sg = jax.lax.stop_gradient(affinity_softmax)
             # Router-distillation variants (competesmoe.py:546-593).

@@ -224,17 +224,47 @@ def grouped_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
 # Auto-dispatch
 # ---------------------------------------------------------------------------
 
+def _ep_mesh(impl: str):
+    """The active expert-parallel mesh, if this impl should use it.
+
+    impl='ep' demands it (raises without one); impl='auto' upgrades to the
+    explicit all-to-all path whenever `parallel.ep_context` has an active
+    mesh with a non-trivial expert axis.
+    """
+    if impl not in ("auto", "ep"):
+        return None
+    from ..parallel import ep_context
+    mesh = ep_context.current_ep_mesh()
+    if impl == "ep" and mesh is None:
+        raise ValueError(
+            "impl='ep' requires an active expert-parallel mesh; wrap the "
+            "jit trace in parallel.ep_context.use_expert_parallel(mesh)")
+    return mesh
+
+
 def moe_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
                keys: jax.Array, values: jax.Array, activation: Activation,
                b1: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
     """MoE FFN dispatcher (keys/values parameterization).
 
-    impl: 'auto' | 'dense' | 'grouped'. 'auto' computes all experts densely
-    when the overcompute factor E/k <= 2 (MXU-friendly, zero dispatch cost),
-    otherwise sorts + grouped-GEMMs.
+    impl: 'auto' | 'dense' | 'grouped' | 'ep'. 'auto' computes all experts
+    densely when the overcompute factor E/k <= 2 (MXU-friendly, zero
+    dispatch cost), otherwise sorts + grouped-GEMMs; with an active EP mesh
+    (parallel.ep_context) it dispatches tokens over the expert axis with
+    lax.all_to_all instead.
     """
+    mesh = _ep_mesh(impl)
+    if mesh is not None:
+        from ..parallel import ep_context
+        from ..parallel.expert_parallel import make_ep_ffn_kv
+        data_axis, expert_axis = ep_context.ep_axes()
+        fn = make_ep_ffn_kv(mesh, activation, data_axis=data_axis,
+                            expert_axis=expert_axis,
+                            with_bias=b1 is not None)
+        args = (x, sel, weights, keys, values)
+        return fn(*args, b1) if b1 is not None else fn(*args)
     n_experts, k = keys.shape[0], sel.shape[-1]
-    if impl == "auto":
+    if impl in ("auto", "ep"):
         impl = "dense" if n_experts <= 2 * k else "grouped"
     if impl == "dense":
         outs = dense_all_experts_kv(x, keys, values, activation, b1=b1)
@@ -247,10 +277,74 @@ def moe_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
                  activation: Activation = jax.nn.gelu,
                  impl: str = "auto") -> jax.Array:
     """MoE FFN dispatcher (2-layer GELU expert parameterization)."""
+    mesh = _ep_mesh(impl)
+    if mesh is not None:
+        from ..parallel import ep_context
+        from ..parallel.expert_parallel import make_ep_ffn_mlp2
+        data_axis, expert_axis = ep_context.ep_axes()
+        fn = make_ep_ffn_mlp2(mesh, activation, data_axis=data_axis,
+                              expert_axis=expert_axis)
+        return fn(x, sel, weights, w1, b1, w2, b2)
     n_experts, k = w1.shape[0], sel.shape[-1]
-    if impl == "auto":
+    if impl in ("auto", "ep"):
         impl = "dense" if n_experts <= 2 * k else "grouped"
     if impl == "dense":
         outs = dense_all_experts_mlp2(x, w1, b1, w2, b2, activation)
         return combine_topk(outs, sel, weights)
     return grouped_ffn_mlp2(x, sel, weights, w1, b1, w2, b2, activation)
+
+
+# ---------------------------------------------------------------------------
+# Competition (all-expert) steps — replicated and expert-parallel layouts
+# ---------------------------------------------------------------------------
+
+def competition_all_experts_kv(x: jax.Array, keys: jax.Array,
+                               values: jax.Array, activation: Activation,
+                               topk: int, b1: Optional[jax.Array] = None,
+                               impl: str = "auto"):
+    """CompeteSMoE competition step, keys/values experts.
+
+    x: [T, d] -> (affinity [T, E], topk_outputs [T, k, v], sel [T, k]).
+    affinity = mean(softplus(expert_out)) per expert
+    (competesmoe.py:237-242); sel = top-k of the raw affinity (identical
+    indices for any monotone transform of the scores, e.g. sigmoid).
+    With an active EP mesh the all-expert pass runs sharded: each expert
+    shard computes its E/n_ep experts, only affinities are all-gathered,
+    and the selected outputs return via one psum.
+    """
+    mesh = _ep_mesh(impl)
+    if mesh is not None:
+        from ..parallel import ep_context
+        from ..parallel.expert_parallel import make_ep_all_experts_kv
+        data_axis, expert_axis = ep_context.ep_axes()
+        fn = make_ep_all_experts_kv(mesh, activation, topk,
+                                    data_axis=data_axis,
+                                    expert_axis=expert_axis,
+                                    with_bias=b1 is not None)
+        args = (x, keys, values)
+        return fn(*args, b1) if b1 is not None else fn(*args)
+    outs = dense_all_experts_kv(x, keys, values, activation, b1=b1)
+    affinity = jnp.mean(jax.nn.softplus(outs), axis=-1)
+    _, sel = jax.lax.top_k(affinity, topk)
+    return affinity, gather_topk_outputs(outs, sel), sel
+
+
+def competition_all_experts_mlp2(x: jax.Array, w1: jax.Array, b1: jax.Array,
+                                 w2: jax.Array, b2: jax.Array,
+                                 activation: Activation, topk: int,
+                                 impl: str = "auto"):
+    """Competition step for 2-layer Linear/act/Linear experts; see
+    competition_all_experts_kv."""
+    mesh = _ep_mesh(impl)
+    if mesh is not None:
+        from ..parallel import ep_context
+        from ..parallel.expert_parallel import make_ep_all_experts_mlp2
+        data_axis, expert_axis = ep_context.ep_axes()
+        fn = make_ep_all_experts_mlp2(mesh, activation, topk,
+                                      data_axis=data_axis,
+                                      expert_axis=expert_axis)
+        return fn(x, w1, b1, w2, b2)
+    outs = dense_all_experts_mlp2(x, w1, b1, w2, b2, activation)
+    affinity = jnp.mean(jax.nn.softplus(outs), axis=-1)
+    _, sel = jax.lax.top_k(affinity, topk)
+    return affinity, gather_topk_outputs(outs, sel), sel

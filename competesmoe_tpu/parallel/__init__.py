@@ -6,4 +6,14 @@ from .mesh import (  # noqa: F401
     shard_params,
 )
 from .distributed import DistributedEnv, detect_env, initialize  # noqa: F401
-from .expert_parallel import make_ep_ffn_kv  # noqa: F401
+from .ep_context import (  # noqa: F401
+    current_ep_mesh,
+    set_ep_mesh,
+    use_expert_parallel,
+)
+from .expert_parallel import (  # noqa: F401
+    make_ep_all_experts_kv,
+    make_ep_all_experts_mlp2,
+    make_ep_ffn_kv,
+    make_ep_ffn_mlp2,
+)

@@ -126,7 +126,7 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-moe.expert_size", default=128)
     parser.add_argument("-pkm.n_heads", default=8)
     parser.add_argument("-moe.impl", default="auto",
-                        choice=["auto", "dense", "grouped"])
+                        choice=["auto", "dense", "grouped", "ep"])
     # moe losses / competesmoe schedule (names match the reference flags,
     # transformer_lm_mixin.py:76-92)
     parser.add_argument("-balance_loss_coef", default=0.01)
@@ -212,6 +212,14 @@ class SyntheticTransformerTask:
                 f"-batch_size {a.batch_size} must be divisible by the "
                 f"number of devices ({n_dev}); the global batch is "
                 f"sharded over the full mesh")
+        if a.moe.impl == "ep" and a.n_expert_shards <= 1:
+            raise ValueError("-moe.impl ep requires -n_expert_shards > 1")
+        if a.n_expert_shards > 1 and a.moe.impl in ("auto", "ep"):
+            # Route MoE dispatch through the explicit all-to-all path
+            # (parallel/expert_parallel.py) instead of XLA auto-sharding;
+            # read by ops.expert_compute at jit-trace time.
+            from ..parallel.ep_context import set_ep_mesh
+            set_ep_mesh(self.mesh)
         self.optimizer = make_optimizer(OptConfig(
             lr=a.lr, lr_sched=a.lr_sched.type, warmup_steps=a.lr_warmup,
             total_steps=a.stop_after, grad_clip=a.grad_clip,

@@ -1,0 +1,134 @@
+"""Import the ACTUAL PyTorch reference layers from /root/reference for
+parity testing (VERDICT r1 item 1/3: test against the real code, not
+re-implemented oracles).
+
+The reference's package __init__s either pull a heavy LLaVA/transformers
+chain (moe_model) or are broken in the public snapshot (layers/__init__.py
+names absent classes — SURVEY.md §0). We therefore install *synthetic
+parent packages* that point the import system at the real source files of
+the leaf modules we test, plus stubs for two unavailable third-party deps:
+
+- loguru (log-only usage in shard_smoe.py/deepseekv3.py)
+- triton (layers/cvmm.py JIT-decorates kernels at import; the decorators
+  are identity stubs — kernels are never *launched* on CPU; tests
+  monkeypatch compute_moe_main with a dense torch equivalent instead)
+
+Nothing here executes reference code beyond plain module import.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.machinery
+import sys
+import types
+
+REF = "/root/reference"
+REF_PRETRAIN = f"{REF}/moe_pretrain_model"
+
+_installed = False
+
+
+def _mk_stub_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__file__ = "<stub>"
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    sys.modules[name] = mod
+    return mod
+
+
+def _mk_pkg(name: str, path: str | None = None) -> types.ModuleType:
+    """A package module; with `path`, submodules load from that directory
+    (bypassing any real __init__.py)."""
+    mod = types.ModuleType(name)
+    spec = importlib.machinery.ModuleSpec(name, None, is_package=True)
+    mod.__path__ = [path] if path else []
+    spec.submodule_search_locations = mod.__path__
+    mod.__spec__ = spec
+    mod.__file__ = (path or "<stub>") + "/__init__.py"
+    sys.modules[name] = mod
+    return mod
+
+
+def _install_stubs() -> None:
+    if "loguru" not in sys.modules:
+        loguru = _mk_stub_module("loguru")
+
+        class _Logger:
+            def __getattr__(self, n):
+                return lambda *a, **k: None
+
+        loguru.logger = _Logger()
+
+    if "triton" not in sys.modules:
+        triton = _mk_stub_module("triton")
+        tl = _mk_stub_module("triton.language")
+
+        def _guarded(name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return object
+
+        tl.constexpr = object
+        tl.__getattr__ = _guarded
+        triton.language = tl
+        triton.__version__ = "0.0.0-stub"
+        triton.jit = lambda f=None, **k: (f if f is not None
+                                          else (lambda g: g))
+        triton.autotune = lambda *a, **k: (lambda f: f)
+        triton.Config = lambda *a, **k: None
+        triton.cdiv = lambda a, b: (a + b - 1) // b
+
+
+def install() -> None:
+    """Idempotently wire up the synthetic packages."""
+    global _installed
+    if _installed:
+        return
+    _install_stubs()
+
+    import torch.nn as nn
+
+    # ---- multimodal tree: moe_model.model.moe.* with stub parents ----
+    if "moe_model" not in sys.modules:
+        _mk_pkg("moe_model")
+        _mk_pkg("moe_model.model")
+        _mk_pkg("moe_model.model.moe", f"{REF}/moe_model/model/moe")
+        # smoe.py imports SiglipMLP for upcycling type hints only
+        enc = _mk_pkg("moe_model.model.multimodal_encoder")
+        sig = _mk_stub_module(
+            "moe_model.model.multimodal_encoder.siglip_smoe")
+
+        class SiglipMLP(nn.Module):
+            pass
+
+        sig.SiglipMLP = SiglipMLP
+        enc.siglip_smoe = sig
+
+    # ---- pretrain tree: framework.* + layers.* (broken __init__s) ----
+    if "framework" not in sys.modules:
+        _mk_pkg("framework", f"{REF_PRETRAIN}/framework")
+        fw = sys.modules["framework"]
+        fw.layers = importlib.import_module("framework.layers")
+        fw.utils = importlib.import_module("framework.utils")
+    if "layers" not in sys.modules:
+        layers = _mk_pkg("layers", f"{REF_PRETRAIN}/layers")
+        cvmm_mod = importlib.import_module("layers.cvmm")
+        # the real layers/__init__.py rebinds these names to the functions
+        layers.cvmm = cvmm_mod.cvmm
+        layers.cvmm_prepare_sel = cvmm_mod.cvmm_prepare_sel
+        _mk_pkg("layers.moe", f"{REF_PRETRAIN}/layers/moe")
+
+    _installed = True
+
+
+def mm_moe(name: str):
+    """Import a module of the reference multimodal MoE tree by leaf name."""
+    install()
+    return importlib.import_module(f"moe_model.model.moe.{name}")
+
+
+def pt_moe(name: str):
+    """Import a module of the reference pretrain MoE tree by leaf name."""
+    install()
+    return importlib.import_module(f"layers.moe.{name}")

