@@ -25,6 +25,10 @@ class ChoiceDoc:
     choices_ids: List[List[int]]
     answer: int
     normalize_by_length: bool = False
+    # optional group label (e.g. the BLiMP phenomenon); the evaluator
+    # reports accuracy/{group} and accuracy/group_average like the
+    # reference's ProbabilityCompareTest.plot
+    group: Optional[str] = None
 
 
 class LMZeroShotEvaluator:
@@ -89,6 +93,13 @@ class LMZeroShotEvaluator:
         return results
 
     def evaluate(self, docs: Iterable[ChoiceDoc]) -> Dict[str, float]:
+        """Probability-compare accuracy. A doc counts as correct only if
+        the gold option's (length-normalized) logprob is STRICTLY greater
+        than every other option's — ties lose, exactly like the
+        reference's `ok &= good_lprob > bad_lprob`
+        (probability_compare_dataset.py:49-54). With `group` labels set,
+        per-group accuracies plus the reference's `group_average` /
+        `seq_average` channels are reported."""
         docs = list(docs)
         flat: List[Tuple[List[int], List[int]]] = []
         spans = []
@@ -98,13 +109,25 @@ class LMZeroShotEvaluator:
                 flat.append((d.prefix_ids, c))
         scores = self.score_sequences(flat)
         correct = 0
+        groups: Dict[str, List[int]] = {}
         for d, (start, n) in zip(docs, spans):
             vals = [scores[start + j][1 if d.normalize_by_length else 0]
                     for j in range(n)]
-            if int(np.argmax(vals)) == d.answer:
-                correct += 1
-        return {"accuracy": correct / max(len(docs), 1),
-                "n_docs": len(docs)}
+            good = vals[d.answer]
+            ok = all(good > v for j, v in enumerate(vals) if j != d.answer)
+            correct += int(ok)
+            if d.group is not None:
+                groups.setdefault(d.group, []).append(int(ok))
+        res = {"accuracy": correct / max(len(docs), 1),
+               "n_docs": len(docs)}
+        if groups:
+            per_group = {g: sum(v) / len(v) for g, v in groups.items()}
+            for g, acc in per_group.items():
+                res[f"accuracy/{g}"] = acc
+            res["accuracy/group_average"] = (
+                sum(per_group.values()) / len(per_group))
+            res["accuracy/seq_average"] = res["accuracy"]
+        return res
 
 
 # --- downstream task adapters (dataset -> ChoiceDoc stream) -------------

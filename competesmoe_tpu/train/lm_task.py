@@ -107,6 +107,28 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-lm.unroll", default=1024)
     parser.add_argument("-lm.vocab_size", default=8000)
     parser.add_argument("-lm.data_dir", default="")
+    # streaming corpora (c4/slimpajama/pes2o tasks)
+    parser.add_argument("-lm.cache_dir", default="./cache")
+    parser.add_argument("-lm.n_shards", default=1)
+    parser.add_argument("-lm.valid_n_shards", default=1)
+    parser.add_argument("-lm.token_limit", default="none",
+                        parser=parser.int_or_none_parser)
+    # comma/glob list of LOCAL shard files; overrides the remote spec
+    parser.add_argument("-lm.shards", default="")
+    parser.add_argument("-lm.tokenizer_algo", default="unigram",
+                        choice=["unigram", "bpe"])
+    parser.add_argument("-lm.tokenizer_n_files", default="none",
+                        parser=parser.int_or_none_parser)
+    # downstream zero-shot QA battery (reference lm_eval_mixin.py:16-39)
+    parser.add_argument("-lm.eval.enabled", default=True)
+    parser.add_argument("-lm.eval.pad_quantum", default=128)
+    for _qa in ("lambada", "blimp", "cbt", "hellaswag", "piqa", "ai2arc",
+                "openbookqa", "race", "siqa", "winogrande",
+                "commonsenseqa"):
+        parser.add_argument(f"-lm.eval.{_qa}.enabled", default=False)
+        parser.add_argument(f"-lm.eval.{_qa}.path", default="")
+    parser.add_argument("-lm.eval.piqa.labels_path", default="")
+    parser.add_argument("-lm.eval.siqa.labels_path", default="")
     # transformer
     parser.add_argument("-state_size", default=512)
     parser.add_argument("-transformer.encoder_n_layers", default=16)
@@ -385,7 +407,132 @@ class SyntheticTransformerTask:
             self.saver.save(a.stop_after)
 
     def test(self) -> Dict[str, float]:
-        return {"valid/perplexity": self.validate()}
+        res = {"valid/perplexity": self.validate()}
+        res.update(self.run_downstream_evals())
+        return res
+
+    # -- zero-shot QA battery (reference lm_eval_mixin.py:40-174) --
+
+    def _qa_encode(self):
+        """Tokenizer for QA prompts: the streaming corpus vocab when the
+        task has one, else a stable hash fallback (synthetic runs)."""
+        tok = getattr(self.dataset, "tokenizer", None)
+        if tok is not None:
+            return lambda s: tok.encode(s).ids
+        import zlib
+        v = self.a.lm.vocab_size
+
+        def hash_encode(s: str):
+            return [(zlib.crc32(w.encode()) % (v - 1)) + 1
+                    for w in s.split()]
+        return hash_encode
+
+    def run_downstream_evals(self) -> Dict[str, float]:
+        a = self.a
+        if not a.lm.eval.enabled:
+            return {}
+        from ..data import qa_datasets as qa
+        from ..eval.lm_zeroshot import LMZeroShotEvaluator, lambada_accuracy
+
+        encode = self._qa_encode()
+        ev = LMZeroShotEvaluator(self.model, {"params": self.state.params},
+                                 pad_quantum=a.lm.eval.pad_quantum,
+                                 max_len=a.lm.unroll)
+        res: Dict[str, float] = {}
+        with self.mesh:
+            if a.lm.eval.lambada.enabled:
+                items = qa.lambada_items(
+                    qa.ensure_file(a.lm.eval.lambada.path, "lambada",
+                                   a.lm.cache_dir), encode)
+                for k, v in lambada_accuracy(ev, items).items():
+                    res[f"lambada/{k}"] = v
+            simple = {
+                "hellaswag": lambda: qa.hellaswag_docs(
+                    qa.ensure_file(a.lm.eval.hellaswag.path, "hellaswag",
+                                   a.lm.cache_dir), encode),
+                "piqa": lambda: qa.piqa_docs(
+                    qa.ensure_file(a.lm.eval.piqa.path, "piqa",
+                                   a.lm.cache_dir),
+                    qa.ensure_file(a.lm.eval.piqa.labels_path,
+                                   "piqa_labels", a.lm.cache_dir), encode),
+                "ai2arc": lambda: qa.arc_docs(a.lm.eval.ai2arc.path, encode),
+                "openbookqa": lambda: qa.openbookqa_docs(
+                    a.lm.eval.openbookqa.path, encode),
+                "commonsenseqa": lambda: qa.commonsenseqa_docs(
+                    a.lm.eval.commonsenseqa.path, encode),
+                "winogrande": lambda: qa.winogrande_docs(
+                    a.lm.eval.winogrande.path, encode),
+                "siqa": lambda: qa.siqa_docs(
+                    a.lm.eval.siqa.path, a.lm.eval.siqa.labels_path,
+                    encode),
+                "race": lambda: qa.race_docs(a.lm.eval.race.path, encode),
+                "cbt": lambda: qa.cbt_docs(a.lm.eval.cbt.path, encode),
+                "blimp": lambda: qa.blimp_docs(a.lm.eval.blimp.path,
+                                               encode),
+            }
+            for name, load in simple.items():
+                if not getattr(a.lm.eval, name).enabled:
+                    continue
+                for k, v in ev.evaluate(load()).items():
+                    res[f"{name}/{k}"] = v
+        return res
+
+
+class _StreamingTransformerTask(SyntheticTransformerTask):
+    """LM pretraining over a streaming shard corpus (the reference's
+    {c4,slimpajama,pes2o}_transformer tasks): shards are fetched/cached,
+    a SentencePiece-style Unigram vocab is trained on the first shards,
+    and tokens are written to uint16 mmap chunks
+    (framework/dataset/text/chunked_setencepiece_lm_dataset.py)."""
+
+    SPEC_NAME = None  # streaming spec class name, set by subclasses
+
+    def _make_spec(self):
+        from ..data import streaming
+        a = self.a
+        if a.lm.shards:
+            import glob as _glob
+            shards: list = []
+            for part in a.lm.shards.split(","):
+                hits = sorted(_glob.glob(part))
+                shards.extend(hits if hits else [part])
+            return streaming.LocalShardSpec(shards=shards)
+        return getattr(streaming, self.SPEC_NAME)()
+
+    def create_datasets(self):
+        from ..data.streaming import ChunkedLMCorpus, LocalShardSpec
+        a = self.a
+        spec = self._make_spec()
+        cache = Path(a.lm.cache_dir) / type(self).__name__
+        train = ChunkedLMCorpus(
+            spec, a.lm.unroll, cache, split="train",
+            vocab_size=a.lm.vocab_size, n_shards=a.lm.n_shards,
+            token_limit=a.lm.token_limit, algo=a.lm.tokenizer_algo,
+            tokenizer_n_files=a.lm.tokenizer_n_files)
+        if isinstance(spec, LocalShardSpec):
+            valid = train  # offline fixtures rarely ship a valid split
+        else:
+            valid = ChunkedLMCorpus(
+                spec, a.lm.unroll, cache, split="validation",
+                vocab_size=a.lm.vocab_size, n_shards=a.lm.valid_n_shards,
+                token_limit=a.lm.token_limit, algo=a.lm.tokenizer_algo,
+                tokenizer_n_files=a.lm.tokenizer_n_files)
+        return train, valid
+
+
+@task("c4_transformer")
+class C4TransformerTask(_StreamingTransformerTask):
+    SPEC_NAME = "C4Spec"
+
+
+@task("slimpajama_transformer")
+class SlimPajamaTransformerTask(_StreamingTransformerTask):
+    SPEC_NAME = "SlimPajamaSpec"
+
+
+@task("pes2o_transformer")
+class PES2OTransformerTask(_StreamingTransformerTask):
+    SPEC_NAME = "PES2OSpec"
 
 
 @task("chunked_transformer")
