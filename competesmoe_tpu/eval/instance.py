@@ -23,6 +23,10 @@ class Instance:
     # CompeteSMoE fork extension: routing telemetry captured per request
     logs_metrics_vision: Optional[Dict[str, Any]] = None
     logs_metrics_mlp: Optional[Dict[str, Any]] = None
+    # pseudobatch-padding marker: duplicated request added so uneven ranks
+    # run the same number of batches; excluded from scoring
+    # (evaluator.py:276-296)
+    padded: bool = False
 
     @property
     def task_name(self):

@@ -74,6 +74,7 @@ class JaxLlava:
         self.max_new_tokens = max_new_tokens
         self.stop_token_ids = stop_token_ids or []
         self.time_inference: List[float] = []
+        self._ll_fns: Dict[Tuple[int, bool], Any] = {}
 
     # -- prompt building --
 
@@ -159,10 +160,39 @@ class JaxLlava:
             inst.resps.append(resp)
         return ordered
 
+    # loglikelihood: batched, with sequence lengths rounded up to
+    # `pad_quantum` so XLA compiles one program per bucket instead of one
+    # per distinct length (the reference's pad_quantum trick,
+    # lm_eval_mixin.py:82-95; r1 ran one unjitted apply per request).
+    pad_quantum: int = 64
+
+    def _ll_fn(self, L: int, has_image: bool):
+        key = (L, has_image)
+        if key not in self._ll_fns:
+            @jax.jit
+            def score(params, ids, attn, px, tgt_tok, tgt_mask):
+                out = self.model.apply(params, ids,
+                                       px if has_image else None,
+                                       attention_mask=attn)
+                lp = jax.nn.log_softmax(out.logits.astype(jnp.float32), -1)
+                tok_lp = jnp.take_along_axis(lp, tgt_tok[..., None],
+                                             axis=-1)[..., 0]
+                total = jnp.sum(tok_lp * tgt_mask, axis=-1)
+                greedy = jnp.all(
+                    jnp.where(tgt_mask > 0,
+                              jnp.argmax(lp, -1) == tgt_tok, True), axis=-1)
+                return total, greedy
+            self._ll_fns[key] = score
+        return self._ll_fns[key]
+
+    def _quantize(self, n: int) -> int:
+        q = self.pad_quantum
+        return max(q, ((n + q - 1) // q) * q)
+
     def loglikelihood(self, requests: List[Instance],
                       return_id_experts: bool = False
                       ) -> List[Tuple[float, bool]]:
-        results = []
+        prepped = []
         for req in requests:
             ctx, target, visuals = req.arguments
             prompt_ids = self._build_prompt(ctx, bool(visuals))
@@ -170,27 +200,51 @@ class JaxLlava:
             bos = getattr(self.tokenizer, "bos_token_id", None)
             if tgt_ids and bos is not None and tgt_ids[0] == bos:
                 tgt_ids = tgt_ids[1:]
-            ids = np.asarray([prompt_ids + tgt_ids], np.int32)
-            px = None
-            if visuals:
-                px = process_images([visuals[0]], self.image_processor)
-            out = self.model.apply(self.params, jnp.asarray(ids),
-                                   jnp.asarray(px) if px is not None
-                                   else None)
-            logits = np.asarray(out.logits, np.float32)[0]
-            # image splice shifts the target region by P-1
-            offset = (self.model.cfg.num_image_tokens - 1
-                      if px is not None and
-                      (ids == IMAGE_TOKEN_INDEX).any() else 0)
-            start = len(prompt_ids) + offset
-            lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
-            lp = np.asarray(lp)
-            total, greedy = 0.0, True
-            for t, tok in enumerate(tgt_ids):
-                pos = start + t - 1  # logits at pos predict token pos+1
-                total += float(lp[pos, tok])
-                if int(np.argmax(lp[pos])) != tok:
-                    greedy = False
-            results.append((total, greedy))
-            req.resps.append((total, greedy))
+            prepped.append((prompt_ids, tgt_ids, visuals))
+
+        results: List = [None] * len(requests)
+        buckets: Dict[Tuple[int, bool], List[int]] = {}
+        for i, (p, t, v) in enumerate(prepped):
+            L = self._quantize(len(p) + len(t))
+            buckets.setdefault((L, bool(v)), []).append(i)
+
+        P = self.model.cfg.num_image_tokens
+        pad = getattr(self.tokenizer, "pad_token_id", 0) or 0
+        for (L, has_image), idxs in buckets.items():
+            for s in range(0, len(idxs), self.batch_size):
+                batch = idxs[s:s + self.batch_size]
+                B = len(batch)
+                L_out = L + (P - 1 if has_image else 0)
+                ids = np.full((B, L), pad, np.int32)
+                attn = np.zeros((B, L), np.int32)
+                tgt_tok = np.zeros((B, L_out), np.int32)
+                tgt_mask = np.zeros((B, L_out), np.float32)
+                imgs = []
+                for row, i in enumerate(batch):
+                    p, t, v = prepped[i]
+                    full = (p + t)[:L]
+                    ids[row, :len(full)] = full
+                    attn[row, :len(full)] = 1
+                    off = P - 1 if has_image and \
+                        IMAGE_TOKEN_INDEX in p else 0
+                    start = len(p) + off
+                    for j, tok in enumerate(t):
+                        pos = start + j - 1  # logits[pos] predict pos+1
+                        if 0 <= pos < L_out:
+                            tgt_tok[row, pos] = tok
+                            tgt_mask[row, pos] = 1.0
+                    if has_image:
+                        imgs.append(v[0])
+                px = (jnp.asarray(process_images(imgs,
+                                                 self.image_processor))
+                      if has_image else jnp.zeros((B, 1, 1, 3)))
+                t0 = time.perf_counter()
+                total, greedy = self._ll_fn(L, has_image)(
+                    self.params, jnp.asarray(ids), jnp.asarray(attn), px,
+                    jnp.asarray(tgt_tok), jnp.asarray(tgt_mask))
+                self.time_inference.append(time.perf_counter() - t0)
+                for row, i in enumerate(batch):
+                    results[i] = (float(total[row]), bool(greedy[row]))
+        for req, res in zip(requests, results):
+            req.resps.append(res)
         return results

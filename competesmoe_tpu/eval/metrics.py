@@ -141,3 +141,31 @@ def take_first_line(resp: str) -> str:
 @register_filter("strip")
 def strip_filter(resp: str) -> str:
     return resp.strip()
+
+
+def bootstrap_stderr(values, n_resamples: int = 1000,
+                     seed: int = 1234) -> float:
+    """Bootstrap standard error of the mean (the reference's stderr
+    machinery behind metric aggregation, evaluator.py:~330-560 /
+    lm-eval's bootstrap_stderr): resample the per-sample scores with
+    replacement, take the std of the resampled means."""
+    import numpy as np
+
+    values = np.asarray(values, np.float64)
+    if values.size <= 1:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, values.size, size=(n_resamples, values.size))
+    means = values[idx].mean(axis=1)
+    return float(means.std(ddof=1))
+
+
+def pooled_stderr(stderrs, sizes) -> float:
+    """Combine member-task stderrs into a group stderr (size-weighted
+    pooled variance of the mean)."""
+    import math
+    total = sum(sizes)
+    if total == 0:
+        return 0.0
+    var = sum((n / total) ** 2 * s ** 2 for s, n in zip(stderrs, sizes))
+    return math.sqrt(var)

@@ -74,6 +74,9 @@ class TaskConfig:
         default_factory=list)
     # offline escape hatch: explicit documents instead of dataset download
     docs: Optional[List[dict]] = None
+    # metric group this task aggregates into (the reference's task-group
+    # aggregation, evaluator.py:~330-560); None = ungrouped
+    group: Optional[str] = None
 
 
 class ConfigurableTask:
@@ -139,9 +142,13 @@ class ConfigurableTask:
         del specs
 
     def score(self) -> Dict[str, float]:
-        """Per-doc metrics -> aggregation (evaluator.py:330-560 role)."""
+        """Per-doc metrics -> aggregation (evaluator.py:330-560 role).
+        Per-sample scores are kept on `self.sample_scores` so the
+        evaluator can compute bootstrap stderrs and group aggregates."""
         per_metric: Dict[str, List[float]] = {}
         for inst in self.instances:
+            if inst.padded:
+                continue
             doc = self._docs[inst.doc_id]
             resps = inst.filtered_resps.get("default", inst.resps)
             if self.process_results is not None:
@@ -170,4 +177,5 @@ class ConfigurableTask:
         for name, vals in per_metric.items():
             if name not in out:
                 out[name] = get_aggregation("mean")(vals)
+        self.sample_scores = per_metric
         return out

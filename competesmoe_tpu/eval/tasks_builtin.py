@@ -87,6 +87,103 @@ def _register_all() -> Dict[str, TaskConfig]:
                      {"filter": "strip"}],
         metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
 
+    letter_prompt = ("\nAnswer with the option's letter from the given "
+                     "choices directly.")
+
+    def _mmbench_text(d):
+        """hint + question + lettered options (ref mmbench/en_utils.py:42-62)."""
+        opts = [f"{c}. {d[c]}" for c in "ABCDE"
+                if d.get(c) not in (None, "", "nan")]
+        hint = d.get("hint")
+        parts = ([hint] if hint and str(hint) != "nan" else []) \
+            + [d["question"], "\n".join(opts)]
+        return " ".join(parts) + letter_prompt
+
+    configs["mmbench_en_dev"] = register_task("mmbench_en_dev", TaskConfig(
+        task="mmbench_en_dev", dataset_path="lmms-lab/MMBench",
+        dataset_name="en", test_split="dev",
+        output_type="generate_until", group="paper_core",
+        doc_to_text=_mmbench_text,
+        doc_to_visual=_visual(),
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 4},
+        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+
+    def _mmmu_text(d):
+        """question + parsed options (ref tasks/mmmu/utils.py)."""
+        import ast
+        opts = d.get("options")
+        if isinstance(opts, str):
+            try:
+                opts = ast.literal_eval(opts)
+            except (ValueError, SyntaxError):
+                opts = [opts]
+        lines = "\n".join(f"{chr(65 + i)}. {o}"
+                          for i, o in enumerate(opts or []))
+        return f"{d['question']}\n{lines}{letter_prompt}"
+
+    configs["mmmu_val"] = register_task("mmmu_val", TaskConfig(
+        task="mmmu_val", dataset_path="lmms-lab/MMMU",
+        test_split="validation", output_type="generate_until",
+        group="paper_core",
+        doc_to_text=_mmmu_text,
+        doc_to_visual=_visual("image_1"),
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 16},
+        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+
+    configs["mathvista_testmini"] = register_task(
+        "mathvista_testmini", TaskConfig(
+            task="mathvista_testmini", dataset_path="AI4Math/MathVista",
+            test_split="testmini", output_type="generate_until",
+            group="paper_core",
+            doc_to_text=lambda d: d["query"],
+            doc_to_visual=_visual("decoded_image"),
+            doc_to_target=lambda d: str(d["answer"]),
+            generation_kwargs={"max_new_tokens": 32},
+            filter_list=[{"filter": "take_first_line"},
+                         {"filter": "strip"}],
+            metric_list=[{"metric": "exact_match",
+                          "aggregation": "mean"}]))
+
+    def _seed_text(d):
+        opts = [d.get(f"choice_{c}") for c in "abcd"]
+        lines = "\n".join(f"{chr(65 + i)}. {o}"
+                          for i, o in enumerate(opts) if o is not None)
+        return f"{d['question']}\n{lines}{letter_prompt}"
+
+    configs["seedbench"] = register_task("seedbench", TaskConfig(
+        task="seedbench", dataset_path="lmms-lab/SEED-Bench",
+        test_split="test", output_type="generate_until",
+        group="paper_core",
+        doc_to_text=_seed_text,
+        doc_to_visual=_visual(),
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 4},
+        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+
+    def _ai2d_text(d):
+        """mcq format with the llava letter post-prompt
+        (ref tasks/ai2d/utils.py:6-14)."""
+        choices = d["options"]
+        lines = "\n".join(f"{chr(65 + i)}. {c}"
+                          for i, c in enumerate(choices))
+        return f"{d['question']}\n{lines}{letter_prompt}"
+
+    configs["ai2d"] = register_task("ai2d", TaskConfig(
+        task="ai2d", dataset_path="lmms-lab/ai2d", test_split="test",
+        output_type="generate_until", group="paper_core",
+        doc_to_text=_ai2d_text,
+        doc_to_visual=_visual(),
+        doc_to_target=lambda d: chr(65 + int(d["answer"]))
+        if str(d["answer"]).isdigit() else str(d["answer"]),
+        generation_kwargs={"max_new_tokens": 4},
+        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+
     return configs
 
 

@@ -134,3 +134,111 @@ def test_caching_lm(jax_llava, tmp_path):
     reqs[0].arguments = ("different prompt", {"max_new_tokens": 2}, [])
     cached.generate_until(reqs)
     assert cached.misses == 3
+
+
+def test_uneven_rank_padding():
+    """Every rank must issue the same number of requests (pseudobatch
+    padding, ref evaluator.py:276-296), with padded requests excluded
+    from scoring."""
+    from competesmoe_tpu.eval.evaluator import pad_uneven_ranks
+
+    docs = [{"q": f"q{i}", "a": "x"} for i in range(7)]
+    register_task("pad_toy", TaskConfig(
+        task="pad_toy", output_type="generate_until",
+        doc_to_text=lambda d: d["q"],
+        doc_to_target=lambda d: d["a"], docs=docs))
+    counts = []
+    for rank in range(3):
+        task = ConfigurableTask(
+            TaskConfig(task="pad_toy", output_type="generate_until",
+                       doc_to_text=lambda d: d["q"],
+                       doc_to_target=lambda d: d["a"], docs=docs))
+        insts = task.build_all_requests(rank=rank, world_size=3)
+        pads = pad_uneven_ranks(task, insts, rank, 3)
+        counts.append(len(insts) + len(pads))
+        assert all(p.padded for p in pads)
+    assert counts == [3, 3, 3]  # 7 docs over 3 ranks -> padded to 3 each
+
+
+def test_stderr_and_groups(jax_llava):
+    docs = [{"question": "what color is this", "answer": "red",
+             "img": Image.new("RGB", (30, 30), (0, 255, 0))}
+            for _ in range(4)]
+    for name in ("grp_a", "grp_b"):
+        register_task(name, TaskConfig(
+            task=name, output_type="generate_until",
+            doc_to_text=lambda d: d["question"],
+            doc_to_visual=lambda d: [d["img"]],
+            doc_to_target=lambda d: d["answer"],
+            generation_kwargs={"max_new_tokens": 2},
+            metric_list=[{"metric": "exact_match",
+                          "aggregation": "mean"}],
+            group="toy_group", docs=docs))
+    results = simple_evaluate(jax_llava, ["grp_a", "grp_b"])
+    for name in ("grp_a", "grp_b"):
+        assert "exact_match_stderr" in results["results"][name]
+    g = results["groups"]["toy_group"]
+    assert "exact_match" in g and "exact_match_stderr" in g
+    assert g["n_samples"] == 8
+    table = make_table(results)
+    assert "[group] toy_group" in table
+
+
+def test_batched_loglikelihood_matches_unbatched(jax_llava):
+    """The bucketed pad-quantum loglikelihood must score like a direct
+    per-sequence computation."""
+    from competesmoe_tpu.eval.instance import Instance
+
+    img = Image.new("RGB", (30, 30), (0, 0, 255))
+    reqs = [Instance(request_type="loglikelihood",
+                     arguments=(f"what color {'x ' * i}", "red blue",
+                                [img]),
+                     idx=0, metadata=("t", i, 1)) for i in range(5)]
+    jax_llava.time_inference.clear()
+    res = jax_llava.loglikelihood(reqs)
+    assert len(res) == 5
+    for ll, greedy in res:
+        assert np.isfinite(ll) and ll < 0.0
+        assert isinstance(greedy, (bool, np.bool_))
+    # identical inputs score identically regardless of batch position
+    reqs2 = [Instance(request_type="loglikelihood",
+                      arguments=("what color ", "red blue", [img]),
+                      idx=0, metadata=("t", 0, 1))]
+    solo = jax_llava.loglikelihood(reqs2)[0]
+    batched = jax_llava.loglikelihood(
+        [Instance(request_type="loglikelihood",
+                  arguments=("what color ", "red blue", [img]),
+                  idx=0, metadata=("t", i, 1)) for i in range(3)])
+    for ll, g in batched:
+        np.testing.assert_allclose(ll, solo[0], rtol=1e-4)
+
+
+def test_paper_table_task_prompts():
+    """New paper-benchmark configs format prompts like the reference
+    task utils."""
+    from competesmoe_tpu.eval import tasks_builtin  # noqa: F401
+    from competesmoe_tpu.eval.task import get_task_config
+
+    mmb = get_task_config("mmbench_en_dev")
+    txt = mmb.doc_to_text({"question": "Which?", "hint": "Look.",
+                           "A": "cat", "B": "dog", "C": "", "D": None,
+                           "answer": "A"})
+    assert txt.startswith("Look. Which? A. cat\nB. dog")
+    assert txt.endswith("directly.")
+
+    mmmu = get_task_config("mmmu_val")
+    txt = mmmu.doc_to_text({"question": "What is <image 1>?",
+                            "options": "['a', 'b']"})
+    assert "A. a\nB. b" in txt
+
+    seed = get_task_config("seedbench")
+    txt = seed.doc_to_text({"question": "Q?", "choice_a": "1",
+                            "choice_b": "2", "choice_c": "3",
+                            "choice_d": "4"})
+    assert "C. 3" in txt
+
+    ai2d = get_task_config("ai2d")
+    assert ai2d.doc_to_target({"answer": "2", "question": "",
+                               "options": []}) == "C"
+    mv = get_task_config("mathvista_testmini")
+    assert mv.doc_to_text({"query": "solve"}) == "solve"
