@@ -104,7 +104,204 @@ def preprocess_plain(sources, tokenizer) -> Dict[str, List[np.ndarray]]:
     return {"input_ids": input_ids, "labels": labels}
 
 
-PREPROCESSORS = {"phi35": preprocess_phi35, "plain": preprocess_plain}
+def _tok_fn(tokenizer, has_image):
+    def tok(text):
+        if has_image:
+            return tokenizer_image_token(text, tokenizer)
+        return list(tokenizer(text).input_ids)
+    return tok
+
+
+def _tokenize_conversations(conversations, tok, model_max_length):
+    input_ids = [np.asarray(tok(c)[:model_max_length], np.int32)
+                 for c in conversations]
+    return input_ids, [ids.copy() for ids in input_ids]
+
+
+def preprocess_v1(sources, tokenizer, has_image: bool = False,
+                  model_max_length: int = 2048):
+    """Vicuna-v1 two-separator format (train.py:730-811): rounds split on
+    '</s>', instruction span = up to ' ASSISTANT: ' (+BOS handling via the
+    reference's -2 offset)."""
+    conv = conversation_lib.conv_templates["v1"].copy()
+    conversations = _apply_template(sources, conv)
+    tok = _tok_fn(tokenizer, has_image)
+    input_ids, targets = _tokenize_conversations(conversations, tok,
+                                                 model_max_length)
+    sep = conv.sep + conv.roles[1] + ": "
+    legacy_adjust = not getattr(tokenizer, "legacy", True)
+    for conversation, target in zip(conversations, targets):
+        total_len = len(target)
+        rounds = conversation.split(conv.sep2)
+        cur_len = 1
+        target[:cur_len] = IGNORE_INDEX
+        for i, rou in enumerate(rounds):
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = len(tok(rou))
+            instruction_len = len(tok(parts[0])) - 2
+            if i != 0 and legacy_adjust:
+                round_len -= 1
+                instruction_len -= 1
+            target[cur_len:cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess_llama_2(sources, tokenizer, has_image: bool = False,
+                       model_max_length: int = 2048):
+    """[INST] format (train.py:444-526): rounds split on '</s>',
+    instruction span = up to '[/INST] '."""
+    conv = conversation_lib.conv_templates["mistral_instruct"].copy()
+    conversations = _apply_template(sources, conv)
+    tok = _tok_fn(tokenizer, has_image)
+    input_ids, targets = _tokenize_conversations(conversations, tok,
+                                                 model_max_length)
+    sep = "[/INST] "
+    for conversation, target in zip(conversations, targets):
+        total_len = len(target)
+        rounds = conversation.split(conv.sep2)
+        cur_len = 1
+        target[:cur_len] = IGNORE_INDEX
+        for rou in rounds:
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = len(tok(rou))
+            instruction_len = len(tok(parts[0])) - 2
+            target[cur_len:cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess_phi3(sources, tokenizer, has_image: bool = False,
+                    model_max_length: int = 2048):
+    """Phi-3 format (train.py:527-626): consecutive round PAIRS joined on
+    '<|end|>\\n'; first round keeps its full length, later rounds overlap
+    by one separator token."""
+    conv = conversation_lib.conv_templates["phi3"].copy()
+    conversations = _apply_template(sources, conv)
+    tok = _tok_fn(tokenizer, has_image)
+    input_ids, targets = _tokenize_conversations(conversations, tok,
+                                                 model_max_length)
+    sep = "<|end|>\n"
+    for conversation, target in zip(conversations, targets):
+        total_len = len(target)
+        rounds = conversation.split(conv.sep2)
+        cur_len = 1
+        target[:cur_len] = IGNORE_INDEX
+        for i in range(0, len(rounds) - 1, 2):
+            rou = rounds[i] + sep + rounds[i + 1]
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = len(tok(rou))
+            instruction_len = len(tok(parts[0])) - 1
+            if cur_len == 1:
+                target[cur_len:cur_len + instruction_len] = IGNORE_INDEX
+                cur_len += round_len
+            else:
+                target[cur_len:cur_len + instruction_len - 1] = IGNORE_INDEX
+                cur_len += round_len - 1
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def _preprocess_im_start(sources, tokenizer, conv, regroup,
+                         has_image: bool, model_max_length: int,
+                         start_len: int):
+    """Shared MPT/SmolLM '<|im_start|>' masking (train.py:812-994): rounds
+    regrouped per `regroup`, instruction span = up to sep+assistant-role."""
+    conversations = _apply_template(sources, conv)
+    tok = _tok_fn(tokenizer, has_image)
+    input_ids, targets = _tokenize_conversations(conversations, tok,
+                                                 model_max_length)
+    sep = conv.sep + conv.roles[1]
+    legacy_adjust = getattr(tokenizer, "legacy", False)
+    for conversation, target in zip(conversations, targets):
+        total_len = len(target)
+        re_rounds = regroup(conversation.split(conv.sep), conv.sep)
+        cur_len = start_len
+        target[:cur_len] = IGNORE_INDEX
+        for i, rou in enumerate(re_rounds):
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = len(tok(rou))
+            instruction_len = len(tok(parts[0])) - 1
+            if i != 0 and legacy_adjust:
+                round_len += 1
+                instruction_len += 1
+            target[cur_len:cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess_mpt(sources, tokenizer, has_image: bool = False,
+                   model_max_length: int = 2048):
+    """MPT chatml format (train.py:812-898): first re-round is
+    system+user+assistant, then user+assistant pairs."""
+    def regroup(rounds, sep):
+        out = [sep.join(rounds[:3])]
+        for idx in range(3, len(rounds), 2):
+            out.append(sep.join(rounds[idx:idx + 2]))
+        return out
+
+    return _preprocess_im_start(
+        sources, tokenizer, conversation_lib.conv_templates["mpt"].copy(),
+        regroup, has_image, model_max_length, start_len=0)
+
+
+def preprocess_smollm(sources, tokenizer, has_image: bool = False,
+                      model_max_length: int = 2048):
+    """SmolLM chatml format (train.py:899-994): user+assistant pairs, each
+    re-round closed with the separator."""
+    def regroup(rounds, sep):
+        out = []
+        for idx in range(0, len(rounds), 2):
+            r = sep.join(rounds[idx:idx + 2])
+            out.append(r + sep if r != "" else r)
+        return out
+
+    return _preprocess_im_start(
+        sources, tokenizer,
+        conversation_lib.conv_templates["smollm"].copy(),
+        regroup, has_image, model_max_length, start_len=0)
+
+
+PREPROCESSORS = {
+    "phi35": preprocess_phi35,
+    "phi3": preprocess_phi3,
+    "v1": preprocess_v1,
+    "llama_2": preprocess_llama_2,
+    "mpt": preprocess_mpt,
+    "smollm": preprocess_smollm,
+    "plain": preprocess_plain,
+}
 
 
 class LazySupervisedDataset:
@@ -114,6 +311,7 @@ class LazySupervisedDataset:
                  image_processor: Optional[ImageProcessorConfig] = None,
                  version: str = "phi35",
                  image_aspect_ratio: Optional[str] = "pad",
+                 image_grid_pinpoints=None,
                  model_max_length: int = 2048):
         self.records = json.loads(Path(data_path).read_text())
         self.image_folder = Path(image_folder) if image_folder else None
@@ -121,6 +319,7 @@ class LazySupervisedDataset:
         self.image_processor = image_processor or ImageProcessorConfig()
         self.version = version
         self.image_aspect_ratio = image_aspect_ratio
+        self.image_grid_pinpoints = image_grid_pinpoints
         self.model_max_length = model_max_length
 
     def __len__(self):
@@ -149,10 +348,19 @@ class LazySupervisedDataset:
         out = {"input_ids": d["input_ids"][0], "labels": d["labels"][0]}
         if has_image:
             from PIL import Image
-            img = Image.open(self.image_folder / rec["image"])
-            out["image"] = process_images(
-                [img], self.image_processor,
-                image_aspect_ratio=self.image_aspect_ratio)[0]
+            # `image` may be a single path or a list (multi-image samples,
+            # llava_arch.py:287-330); anyres tiling via grid pinpoints
+            names = rec["image"] if isinstance(rec["image"], list) \
+                else [rec["image"]]
+            imgs = [Image.open(self.image_folder / n) for n in names]
+            px = process_images(
+                imgs, self.image_processor,
+                image_aspect_ratio=self.image_aspect_ratio,
+                image_grid_pinpoints=self.image_grid_pinpoints)
+            # one image -> [H, W, C] (or [M_tiles, H, W, C] under anyres,
+            # since process_anyres_image keeps the tile dim); a list of
+            # images -> [N, H, W, C]
+            out["image"] = px[0] if len(names) == 1 else np.asarray(px)
         return out
 
 

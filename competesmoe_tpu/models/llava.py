@@ -41,6 +41,13 @@ class LlavaConfig:
     decoder: DecoderConfig = DecoderConfig()
     image_token_index: int = IMAGE_TOKEN_INDEX
     tokenizer_model_max_length: Optional[int] = 2048
+    # how multi-tile pixel batches [B, M, H, W, C] splice into the text:
+    #   'multi'  — each of a row's M image tokens gets one tile's features
+    #   'anyres' — all M tiles (an anyres grid, mm_utils.process_anyres_
+    #              image) concatenate into ONE block at a single image
+    #              token (llava_arch.py:287-330 anyres path)
+    # 4-D pixel batches keep the original single-image behavior.
+    image_splice: str = "multi"
 
     @property
     def num_image_tokens(self) -> int:
@@ -53,23 +60,25 @@ def splice_image_tokens(input_ids: jax.Array, text_embeds: jax.Array,
                         attention_mask: Optional[jax.Array] = None,
                         image_token_index: int = IMAGE_TOKEN_INDEX
                         ) -> Dict[str, jax.Array]:
-    """Static-shape single-image splice.
+    """Static-shape MULTI-image splice (llava_arch.py:287-370 semantics).
 
-    input_ids: [B, L] with at most one `image_token_index` per row.
-    text_embeds: [B, L, D] (embed of input_ids with the image token zeroed).
-    image_features: [B, P, D].
-    Returns dict with embeds [B, L-1+P, D], labels, attention_mask,
-    position_ids (right-padded layout, llava_arch.py:340-370).
+    input_ids: [B, L] with up to M `image_token_index` occurrences per row.
+    text_embeds: [B, L, D] (embed of input_ids with image tokens zeroed).
+    image_features: [B, P, D] (single image) or [B, M, P, D]; the m-th
+    image token of a row is replaced by image m's P feature rows.
+    Returns dict with embeds [B, L - M + M*P, D], labels, attention_mask,
+    position_ids — rows with fewer than M images are right-padded
+    (llava_arch.py:340-370's pad-to-max behavior as pure gather
+    arithmetic; no python loop, no host sync).
     """
     B, L = input_ids.shape
-    P = image_features.shape[1]
-    D = text_embeds.shape[-1]
-    Lout = L - 1 + P
+    if image_features.ndim == 3:
+        image_features = image_features[:, None]
+    M, P = image_features.shape[1], image_features.shape[2]
+    Lout = L - M + M * P
 
     is_img = input_ids == image_token_index
-    has_img = jnp.any(is_img, axis=1)                    # [B]
-    p = jnp.argmax(is_img, axis=1)                       # [B]
-    p = jnp.where(has_img, p, L)                         # no image: never hit
+    n_img = jnp.sum(is_img, axis=1)                      # [B]
 
     if attention_mask is None:
         attention_mask = jnp.ones((B, L), bool)
@@ -78,27 +87,45 @@ def splice_image_tokens(input_ids: jax.Array, text_embeds: jax.Array,
     if labels is None:
         labels = jnp.full((B, L), IGNORE_INDEX, jnp.int32)
 
+    # positions of each row's image tokens, in order; missing -> sentinel L
+    j_in = jnp.arange(L)[None, :]
+    keys = jnp.where(is_img, j_in, L + j_in)
+    order = jnp.sort(keys, axis=1)[:, :M]                # [B, M]
+    p = jnp.where(order < L, order, L)                   # [B, M]
+
+    m_idx = jnp.arange(M)[None, :]                       # [1, M]
+    # image m's block starts at its input position shifted by the
+    # expansions of the images before it
+    starts = jnp.where(p < L, p + m_idx * (P - 1), Lout + P)  # [B, M]
+
     j = jnp.arange(Lout)[None, :]                        # [1, Lout]
-    pj = p[:, None]
-    in_image = (j >= pj) & (j < pj + P)
-    after = j >= pj + P
-    text_idx = jnp.where(after, j - (P - 1), j)
-    text_idx = jnp.clip(text_idx, 0, L - 1)
+    jm = j[:, :, None]                                   # [B?, Lout, 1]
+    sb = starts[:, None, :]                              # [B, 1, M]
+    in_block = (jm >= sb) & (jm < sb + P)                # [B, Lout, M]
+    in_image = jnp.any(in_block, axis=-1)
+    m_sel = jnp.argmax(in_block, axis=-1)                # [B, Lout]
+    n_full_before = jnp.sum(jm >= sb + P, axis=-1)       # [B, Lout]
+    text_idx = jnp.clip(j - n_full_before * (P - 1), 0, L - 1)
 
     emb_text = jnp.take_along_axis(text_embeds, text_idx[..., None], axis=1)
-    img_idx = jnp.clip(j - pj, 0, P - 1)
-    emb_img = jnp.take_along_axis(image_features, img_idx[..., None], axis=1)
+    # gather image rows from the flattened [B, M*P, D] feature bank
+    img_off = jnp.clip(j - jnp.take_along_axis(starts, m_sel, axis=1),
+                       0, P - 1)
+    flat_idx = m_sel * P + img_off
+    feats = image_features.reshape(B, M * P, -1)
+    emb_img = jnp.take_along_axis(feats, flat_idx[..., None], axis=1)
     embeds = jnp.where(in_image[..., None], emb_img, emb_text)
 
     lab_text = jnp.take_along_axis(labels, text_idx, axis=1)
     new_labels = jnp.where(in_image, IGNORE_INDEX, lab_text)
     mask_text = jnp.take_along_axis(attention_mask, text_idx, axis=1)
     new_mask = jnp.where(in_image, True, mask_text)
-    # rows without an image only have L real positions
-    no_img_tail = (~has_img[:, None]) & (j >= L)
-    new_mask = jnp.where(no_img_tail, False, new_mask)
-    new_labels = jnp.where(no_img_tail, IGNORE_INDEX, new_labels)
-    embeds = jnp.where(no_img_tail[..., None], 0.0, embeds)
+    # rows with fewer images have only L - n + n*P real positions
+    real_len = (L - n_img + n_img * P)[:, None]
+    tail = j >= real_len
+    new_mask = jnp.where(tail, False, new_mask)
+    new_labels = jnp.where(tail, IGNORE_INDEX, new_labels)
+    embeds = jnp.where(tail[..., None], 0.0, embeds)
 
     position_ids = jnp.cumsum(new_mask.astype(jnp.int32), axis=1) - 1
     position_ids = jnp.maximum(position_ids, 0)
@@ -135,6 +162,15 @@ class LlavaModel(nn.Module):
 
     def encode_images(self, pixel_values, *, step=None, train=False,
                       return_id_experts=False):
+        """pixel_values: [B, H, W, C] (one image per row) or
+        [B, M, H, W, C] (M tiles/images per row — multi-image or an
+        anyres grid, per cfg.image_splice). Returns features shaped
+        [B, P, D] or [B, M(*P?), ...] ready for splice_image_tokens."""
+        multi = pixel_values.ndim == 5
+        if multi:
+            B, M = pixel_values.shape[:2]
+            pixel_values = pixel_values.reshape(B * M,
+                                                *pixel_values.shape[2:])
         feats, aux_clip, v_auxes = self.vision_tower(
             pixel_values, step=step, train=train,
             return_id_experts=return_id_experts)
@@ -142,7 +178,14 @@ class LlavaModel(nn.Module):
         proj, p_aux = self.mm_projector(
             feats, step=step, train=train,
             return_id_experts=return_id_experts)
-        return proj.astype(self.cfg.decoder.dtype), aux_clip, v_auxes, p_aux
+        proj = proj.astype(self.cfg.decoder.dtype)
+        if multi:
+            P = proj.shape[1]
+            proj = proj.reshape(B, M, P, -1)
+            if self.cfg.image_splice == "anyres":
+                # all tiles form one feature block at a single image token
+                proj = proj.reshape(B, M * P, -1)
+        return proj, aux_clip, v_auxes, p_aux
 
     def __call__(self, input_ids, pixel_values=None, labels=None,
                  attention_mask=None, *, step=None, train=False,

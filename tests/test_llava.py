@@ -1,6 +1,8 @@
 """LLaVA meta-model tests: splice semantics, training forward, KV-cache
 generation consistency."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,3 +176,97 @@ def test_llava_generate_with_right_padding():
                            attention_mask=mask_batch, max_new_tokens=3)
     np.testing.assert_array_equal(toks_pad[0], toks_solo[0])
     np.testing.assert_array_equal(toks_pad[1], toks_solo[0])
+
+
+def _python_multi_splice(ids, text, imgs, labels, mask, P):
+    """Reference python splice (llava_arch.py:287-370 loop semantics)."""
+    B, L, D = text.shape
+    M = imgs.shape[1]
+    Lout = L - M + M * P
+    emb = np.zeros((B, Lout, D), np.float32)
+    lab = np.full((B, Lout), IGNORE_INDEX, np.int64)
+    msk = np.zeros((B, Lout), bool)
+    for b in range(B):
+        out, olab, omask, m = [], [], [], 0
+        for i in range(L):
+            if ids[b, i] == IMAGE_TOKEN_INDEX:
+                for pp in range(P):
+                    out.append(imgs[b, m, pp])
+                    olab.append(IGNORE_INDEX)
+                    omask.append(True)
+                m += 1
+            else:
+                out.append(text[b, i])
+                olab.append(labels[b, i])
+                omask.append(bool(mask[b, i]))
+        emb[b, :len(out)] = np.stack(out)
+        lab[b, :len(olab)] = olab
+        msk[b, :len(omask)] = omask
+    return emb, lab, msk
+
+
+def test_multi_image_splice_matches_python_reference():
+    B, L, M, P, D = 3, 8, 2, 3, 4
+    rng = np.random.default_rng(1)
+    ids = np.array([
+        [5, IMAGE_TOKEN_INDEX, 7, IMAGE_TOKEN_INDEX, 9, 10, 11, 12],
+        [IMAGE_TOKEN_INDEX, 2, 3, 4, 5, 6, 7, 0],   # one image
+        [1, 2, 3, 4, 5, 6, 7, 8],                    # text only
+    ])
+    mask = np.ones((B, L), np.int32)
+    mask[1, -1] = 0
+    labels = np.where(ids == IMAGE_TOKEN_INDEX, IGNORE_INDEX, ids)
+    text = rng.normal(size=(B, L, D)).astype(np.float32)
+    imgs = rng.normal(size=(B, M, P, D)).astype(np.float32)
+
+    sp = splice_image_tokens(jnp.asarray(ids), jnp.asarray(text),
+                             jnp.asarray(imgs), jnp.asarray(labels),
+                             jnp.asarray(mask))
+    ref_emb, ref_lab, ref_msk = _python_multi_splice(
+        ids, text, imgs, labels, mask, P)
+    got_msk = np.asarray(sp["attention_mask"])
+    np.testing.assert_array_equal(got_msk, ref_msk)
+    np.testing.assert_array_equal(
+        np.where(ref_msk, np.asarray(sp["labels"]), IGNORE_INDEX),
+        np.where(ref_msk, ref_lab, IGNORE_INDEX))
+    np.testing.assert_allclose(
+        np.asarray(sp["embeds"]) * ref_msk[..., None], 
+        ref_emb * ref_msk[..., None], rtol=1e-6)
+
+
+def test_model_forward_multi_image():
+    cfg = dataclasses.replace(tiny_llava_cfg(moe=True),
+                              image_splice="multi")
+    model = LlavaModel(cfg)
+    B, L, M = 2, 7, 2
+    P = cfg.num_image_tokens
+    ids = np.full((B, L), 3, np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    ids[:, 4] = IMAGE_TOKEN_INDEX
+    px = np.random.default_rng(0).normal(
+        size=(B, M, 28, 28, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(px))
+    out = model.apply(params, jnp.asarray(ids), jnp.asarray(px))
+    assert out.logits.shape == (B, L - M + M * P,
+                                cfg.decoder.vocab_size)
+    assert np.all(np.isfinite(np.asarray(out.logits)))
+
+
+def test_model_forward_anyres():
+    cfg = dataclasses.replace(tiny_llava_cfg(moe=True),
+                              image_splice="anyres")
+    model = LlavaModel(cfg)
+    B, L, M = 2, 6, 3
+    P = cfg.num_image_tokens
+    ids = np.full((B, L), 3, np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    px = np.random.default_rng(0).normal(
+        size=(B, M, 28, 28, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(px))
+    out = model.apply(params, jnp.asarray(ids), jnp.asarray(px))
+    # all M tiles splice as one block at the single image token
+    assert out.logits.shape == (B, L - 1 + M * P,
+                                cfg.decoder.vocab_size)
+    assert np.all(np.isfinite(np.asarray(out.logits)))
