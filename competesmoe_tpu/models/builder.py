@@ -19,6 +19,7 @@ import json
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -152,18 +153,151 @@ def _convert_plain_projector(sd: Dict[str, np.ndarray],
     return out
 
 
+# ---------------------------------------------------------------------------
+# LoRA merge + weight-only quantization (reference builder.py:29-118)
+# ---------------------------------------------------------------------------
+
+def merge_lora_checkpoint(base_sd: Dict[str, np.ndarray],
+                          lora_path) -> Dict[str, np.ndarray]:
+    """Merge a PEFT LoRA checkpoint into the base state dict at
+    conversion time (the reference's PeftModel.from_pretrained +
+    merge_and_unload flow, builder.py:104-110, done as plain linear
+    algebra: W <- W + (alpha/r) * B @ A).
+
+    Also overlays `non_lora_trainables.bin` (mm projector etc.,
+    builder.py:86-101) with the reference's prefix stripping."""
+    lora_path = Path(lora_path)
+    sd = dict(base_sd)
+
+    nlt_file = lora_path / "non_lora_trainables.bin"
+    if nlt_file.exists():
+        import torch
+        nlt = torch.load(nlt_file, map_location="cpu",
+                         weights_only=True)
+        nlt = {(k[len("base_model."):] if k.startswith("base_model.")
+                else k): v for k, v in nlt.items()}
+        if any(k.startswith("model.model.") for k in nlt):
+            nlt = {(k[len("model."):] if k.startswith("model.") else k): v
+                   for k, v in nlt.items()}
+        for k, v in nlt.items():
+            sd[k] = v.float().numpy()
+
+    acfg = json.loads((lora_path / "adapter_config.json").read_text())
+    scaling = acfg["lora_alpha"] / acfg["r"]
+    adapter = {}
+    st_file = lora_path / "adapter_model.safetensors"
+    if st_file.exists():
+        from safetensors.numpy import load_file
+        adapter = {k: np.asarray(v, np.float32)
+                   for k, v in load_file(st_file).items()}
+    else:
+        import torch
+        raw = torch.load(lora_path / "adapter_model.bin",
+                         map_location="cpu", weights_only=True)
+        adapter = {k: v.float().numpy() for k, v in raw.items()}
+
+    merged = 0
+    for k in adapter:
+        if ".lora_A." not in k:
+            continue
+        b_key = k.replace(".lora_A.", ".lora_B.")
+        # peft keys: base_model.model.<target>.lora_{A,B}.weight
+        target = k.split(".lora_A.")[0]
+        for pre in ("base_model.model.", "base_model."):
+            if target.startswith(pre):
+                target = target[len(pre):]
+                break
+        wk = target + ".weight"
+        if wk not in sd:
+            raise KeyError(f"LoRA target {wk!r} not in base checkpoint")
+        delta = scaling * (adapter[b_key] @ adapter[k])
+        sd[wk] = (np.asarray(sd[wk], np.float32) + delta)
+        merged += 1
+    if merged == 0:
+        raise ValueError(f"no lora_A/lora_B pairs found in {lora_path}")
+    return sd
+
+
+def quantize_int8_weight_only(params, min_size: int = 1024):
+    """Per-output-channel symmetric int8 weight-only quantization of every
+    2-D kernel (the reference's load_8bit analog, builder.py:34-35).
+    Values are quantized through the int8 grid; storage stays bf16/f32
+    pending an int8 matmul kernel path."""
+    def q(path, leaf):
+        name = getattr(path[-1], "key", getattr(path[-1], "name", ""))
+        if leaf.ndim == 2 and leaf.size >= min_size and \
+                name in ("kernel", "embedding"):
+            w = np.asarray(leaf, np.float32)
+            scale = np.abs(w).max(axis=0, keepdims=True) / 127.0
+            scale = np.maximum(scale, 1e-12)
+            return (np.round(w / scale).clip(-127, 127) * scale).astype(
+                np.asarray(leaf).dtype)
+        return leaf
+    return jax.tree_util.tree_map_with_path(q, params)
+
+
+_NF4_GRID = np.asarray(
+    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495,
+     0.0, 0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+     0.7229568362236023, 1.0], np.float32)
+
+
+def quantize_nf4_weight_only(params, block: int = 64,
+                             min_size: int = 1024):
+    """Blockwise NF4 weight-only quantization (the reference's load_4bit
+    bnb nf4 config analog, builder.py:36-43): per-64-value absmax scaling
+    onto the normal-float-4 grid."""
+    def q(path, leaf):
+        name = getattr(path[-1], "key", getattr(path[-1], "name", ""))
+        if leaf.ndim == 2 and leaf.size >= min_size and \
+                name in ("kernel", "embedding"):
+            w = np.asarray(leaf, np.float32)
+            flat = w.reshape(-1)
+            pad = (-flat.size) % block
+            fp = np.pad(flat, (0, pad))
+            blocks = fp.reshape(-1, block)
+            absmax = np.maximum(np.abs(blocks).max(1, keepdims=True),
+                                1e-12)
+            norm = blocks / absmax
+            idx = np.abs(norm[..., None] - _NF4_GRID).argmin(-1)
+            deq = (_NF4_GRID[idx] * absmax).reshape(-1)[:flat.size]
+            return deq.reshape(w.shape).astype(np.asarray(leaf).dtype)
+        return leaf
+    return jax.tree_util.tree_map_with_path(q, params)
+
+
 def load_pretrained_model(model_path, model_name: Optional[str] = None,
+                          model_base: Optional[str] = None,
+                          load_8bit: bool = False, load_4bit: bool = False,
                           dtype=jnp.bfloat16
                           ) -> Tuple[object, LlavaModel, Dict,
                                      ImageProcessorConfig, int]:
     """(tokenizer, model, params, image_processor, context_len) — the
-    reference builder.py:29-184 return contract."""
+    reference builder.py:29-184 return contract, including the LoRA
+    branch ('lora' in model_name + model_base -> merge adapter into the
+    base at load) and weight-only 8/4-bit quantization flags."""
     model_path = Path(model_path)
     model_name = model_name or model_path.name
-    hf_cfg = json.loads((model_path / "config.json").read_text())
+    is_lora = "lora" in model_name.lower() and model_base is not None
+    if "lora" in model_name.lower() and model_base is None:
+        import warnings
+        warnings.warn("`lora` is in the model name but no model_base was "
+                      "provided (reference builder.py:52)")
+    cfg_dir = Path(model_base) if is_lora else model_path
+    hf_cfg = json.loads((model_path / "config.json").read_text()
+                        if (model_path / "config.json").exists()
+                        else (cfg_dir / "config.json").read_text())
     cfg = llava_config_from_hf(hf_cfg, model_name, dtype)
-    sd = load_torch_state_dict(model_path)
+    sd = load_torch_state_dict(cfg_dir if is_lora else model_path)
+    if is_lora:
+        sd = merge_lora_checkpoint(sd, model_path)
     params = convert_llava_checkpoint(sd, cfg)
+    if load_8bit:
+        params = quantize_int8_weight_only(params)
+    elif load_4bit:
+        params = quantize_nf4_weight_only(params)
     model = LlavaModel(cfg)
     tokenizer = None
     try:

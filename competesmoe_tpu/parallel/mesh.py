@@ -70,3 +70,59 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_params(params, mesh: Mesh):
     """Device_put params according to the expert/replicated rules."""
     return jax.device_put(params, make_param_shardings(mesh, params))
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism for the (dense) decoder — the 5.1B-on-v5e-8 story
+# ---------------------------------------------------------------------------
+
+def make_tp_mesh(n_model: int = 1,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with ('data', 'model') axes for tensor-parallel decode."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % n_model != 0:
+        raise ValueError(f"{n} devices not divisible by model={n_model}")
+    arr = np.asarray(devices).reshape(n // n_model, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+# Megatron-style column/row parallel rules for the llama/phi decoder
+# (models/decoder.py param names). Column-parallel layers shard their
+# OUTPUT features; row-parallel layers shard their INPUT features, and
+# XLA inserts the psum on the residual add.
+_TP_COL = ("qkv_proj", "q_proj", "k_proj", "v_proj",
+           "gate_up_proj", "gate_proj", "up_proj", "lm_head")
+_TP_ROW = ("o_proj", "down_proj")
+
+
+def decoder_param_spec(path_names: Sequence[str], leaf) -> P:
+    """Tensor-parallel PartitionSpec for one decoder parameter."""
+    module = path_names[-2] if len(path_names) >= 2 else ""
+    name = path_names[-1] if path_names else ""
+    if module in _TP_COL:
+        if name == "kernel" and leaf.ndim == 2:
+            return P(None, "model")
+        if name == "bias" and leaf.ndim == 1:
+            return P("model")
+    if module in _TP_ROW and name == "kernel" and leaf.ndim == 2:
+        return P("model", None)
+    # MoE FFN expert stacks ([E, ...]) shard over the model axis too when
+    # the decoder carries registry-MoE blocks
+    if name in EXPERT_PARAM_NAMES and leaf.ndim >= 1:
+        return P("model", *([None] * (leaf.ndim - 1)))
+    return P()
+
+
+def decoder_param_shardings(mesh: Mesh, params):
+    def to_spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        return NamedSharding(mesh, decoder_param_spec(names, leaf))
+    return jax.tree_util.tree_map_with_path(to_spec, params)
+
+
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    """KV cache [L, B, max_len, kv_heads, head_dim]: batch over 'data',
+    kv heads over 'model' (each shard attends with its own heads)."""
+    return NamedSharding(mesh, P(None, "data", None, "model", None))

@@ -103,6 +103,10 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-nan_detect", default=False)
     parser.add_argument("-profile.start_step", default=-1)
     parser.add_argument("-profile.n_steps", default=5)
+    # experiment tracking (reference visualize/plot.py W&B logger)
+    parser.add_argument("-log", default="tb", choice=["tb", "wandb"])
+    parser.add_argument("-wandb.project", default="competesmoe_tpu")
+    parser.add_argument("-log_async", default=False)
     # lm
     parser.add_argument("-lm.unroll", default=1024)
     parser.add_argument("-lm.vocab_size", default=8000)
@@ -211,8 +215,13 @@ class SyntheticTransformerTask:
         self.a = a
         self.run_dir = Path(a.run_dir) / a.name
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self.logger = MetricLogger(self.run_dir,
-                                   stdout_interval=a.log_interval)
+        from .logger import AsyncMetricLogger
+        logger_cls = AsyncMetricLogger if a.log_async else MetricLogger
+        self.logger = logger_cls(self.run_dir,
+                                 use_wandb=a.log == "wandb",
+                                 wandb_project=a.wandb.project,
+                                 run_name=a.name,
+                                 stdout_interval=a.log_interval)
         self.dataset, self.valid_dataset = self.create_datasets()
         self.sampler = SequentialMultibatchSampler(
             n_items=len(self.dataset), batch_size=a.batch_size)
@@ -236,18 +245,18 @@ class SyntheticTransformerTask:
                 f"sharded over the full mesh")
         if a.moe.impl == "ep" and a.n_expert_shards <= 1:
             raise ValueError("-moe.impl ep requires -n_expert_shards > 1")
-        if a.n_expert_shards > 1 and a.moe.impl in ("auto", "ep"):
-            # Route MoE dispatch through the explicit all-to-all path
-            # (parallel/expert_parallel.py) instead of XLA auto-sharding;
-            # read by ops.expert_compute at jit-trace time.
-            from ..parallel.ep_context import set_ep_mesh
-            set_ep_mesh(self.mesh)
+        # Route MoE dispatch through the explicit all-to-all path
+        # (parallel/expert_parallel.py) instead of XLA auto-sharding; the
+        # context is scoped to this task's loops (see _ep_scope) so it is
+        # read at jit-trace time without leaking process-global state.
+        self._use_ep = (a.n_expert_shards > 1
+                        and a.moe.impl in ("auto", "ep"))
         self.optimizer = make_optimizer(OptConfig(
             lr=a.lr, lr_sched=a.lr_sched.type, warmup_steps=a.lr_warmup,
             total_steps=a.stop_after, grad_clip=a.grad_clip,
             weight_decay=a.wd))
 
-        with self.mesh:
+        with self.mesh, self._ep_scope():
             tokens0 = jnp.zeros((a.batch_size, a.lm.unroll + 1), jnp.int32)
             params = self.model.init(jax.random.PRNGKey(a.seed),
                                      tokens0[:, :-1])["params"]
@@ -272,6 +281,14 @@ class SyntheticTransformerTask:
             self.start_step = self.restore(a.restore)
         elif self.saver.latest_step() is not None:
             self.start_step = self.restore()
+
+    def _ep_scope(self):
+        """Expert-parallel dispatch context for this task's jit traces."""
+        if self._use_ep:
+            from ..parallel.ep_context import use_expert_parallel
+            return use_expert_parallel(self.mesh)
+        import contextlib
+        return contextlib.nullcontext()
 
     # -- data --
 
@@ -323,7 +340,7 @@ class SyntheticTransformerTask:
         total_nll, total_tok = 0.0, 0
         sampler = SequentialMultibatchSampler(
             n_items=len(self.valid_dataset), batch_size=self.a.batch_size)
-        with self.mesh:
+        with self.mesh, self._ep_scope():
             for _ in range(self.a.valid_batches):
                 batch = jnp.asarray(self.valid_dataset.batch(next(sampler)))
                 batch = jax.device_put(batch, batch_sharding(self.mesh))
@@ -338,10 +355,19 @@ class SyntheticTransformerTask:
         selection entropy (the reference's add_dist_experts /
         add_dist_weight channels, layers/moe/moe.py:160-183)."""
         try:
-            _, aux = self.model.apply(
-                {"params": self.state.params}, batch[:, :-1], train=False,
-                return_id_experts=True)
-        except Exception:
+            if not hasattr(self, "_telemetry_fn"):
+                self._telemetry_fn = jax.jit(
+                    lambda p, t: self.model.apply(
+                        {"params": p}, t, train=False,
+                        return_id_experts=True)[1])
+            aux = self._telemetry_fn(self.state.params, batch[:, :-1])
+        except Exception as e:
+            # warn once instead of silently dropping telemetry forever
+            if not getattr(self, "_telemetry_warned", False):
+                self._telemetry_warned = True
+                print(f"expert-usage telemetry failed "
+                      f"({type(e).__name__}: {e}); disabled for this run",
+                      flush=True)
             return
         metrics = {}
         for key, val in aux.items():
@@ -365,7 +391,7 @@ class SyntheticTransformerTask:
         load_meter = ElapsedTimeMeter()
         prof_start = a.profile.start_step
         prof_end = prof_start + a.profile.n_steps if prof_start >= 0 else -1
-        with self.mesh:
+        with self.mesh, self._ep_scope():
             for step in range(self.start_step, a.stop_after):
                 if step == prof_start:
                     jax.profiler.start_trace(str(self.run_dir / "trace"))
@@ -439,7 +465,7 @@ class SyntheticTransformerTask:
                                  pad_quantum=a.lm.eval.pad_quantum,
                                  max_len=a.lm.unroll)
         res: Dict[str, float] = {}
-        with self.mesh:
+        with self.mesh, self._ep_scope():
             if a.lm.eval.lambada.enabled:
                 items = qa.lambada_items(
                     qa.ensure_file(a.lm.eval.lambada.path, "lambada",

@@ -1,15 +1,20 @@
-"""Metrics logging: JSONL history + optional TensorBoard.
+"""Metrics logging: JSONL history + optional TensorBoard + optional W&B.
 
 Re-design of `moe_pretrain_model/framework/visualize/plot.py` (unified
-TB/W&B Logger) and the `log_trainer.json` metric-history sidecar
-(framework/helpers/saver.py:132-143). W&B is not in the image; the JSONL
-file is the machine-readable record and TensorBoardX mirrors scalars when
-available.
+TB/W&B Logger with an async process variant) and the `log_trainer.json`
+metric-history sidecar (framework/helpers/saver.py:132-143). The JSONL
+file is always the machine-readable record; TensorBoardX and wandb mirror
+scalars when their packages are importable (wandb is not in this image —
+the flag degrades to a no-op with one warning, keeping sweeps portable).
+`AsyncMetricLogger` moves serialization off the train loop thread (the
+plot.py AsyncLogger role).
 """
 
 from __future__ import annotations
 
 import json
+import queue
+import threading
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -17,18 +22,31 @@ from typing import Dict, Optional
 
 class MetricLogger:
     def __init__(self, log_dir, use_tensorboard: bool = True,
-                 stdout_interval: int = 1):
+                 use_wandb: bool = False, wandb_project: str = "",
+                 run_name: str = "", stdout_interval: int = 1):
         self.dir = Path(log_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.dir / "log_trainer.jsonl", "a")
         self.stdout_interval = stdout_interval
         self._tb = None
+        self._wandb = None
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
                 self._tb = SummaryWriter(str(self.dir / "tb"))
             except Exception:
                 self._tb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=wandb_project or "competesmoe_tpu",
+                    name=run_name or self.dir.name,
+                    dir=str(self.dir), resume="allow")
+            except Exception as e:
+                print(f"wandb unavailable ({type(e).__name__}: {e}); "
+                      "metrics continue to JSONL/TB", flush=True)
+                self._wandb = None
 
     def log(self, step: int, metrics: Dict[str, float],
             to_stdout: Optional[bool] = None) -> None:
@@ -45,6 +63,8 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
         show = to_stdout if to_stdout is not None else (
             self.stdout_interval and step % self.stdout_interval == 0)
         if show:
@@ -56,6 +76,37 @@ class MetricLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class AsyncMetricLogger(MetricLogger):
+    """MetricLogger with a background writer thread so TB/W&B/JSONL IO
+    never blocks the train step (the reference's AsyncLogger process,
+    visualize/plot.py:619-977, as a thread — sufficient since the writes
+    are IO-bound)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._q: queue.Queue = queue.Queue(maxsize=256)
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            step, metrics, to_stdout = item
+            MetricLogger.log(self, step, metrics, to_stdout)
+
+    def log(self, step, metrics, to_stdout=None):
+        self._q.put((int(step), dict(metrics), to_stdout))
+
+    def close(self):
+        self._q.put(None)
+        self._t.join(timeout=10)
+        MetricLogger.close(self)
 
 
 def device_memory_stats() -> Dict[str, float]:

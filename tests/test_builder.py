@@ -123,3 +123,70 @@ def test_check_routing_parity_tool(tmp_path):
     import check_routing_parity as crp
     rc = crp.main(["--model-dir", str(tmp_path), "--synthetic", "2"])
     assert rc == 0
+
+
+def test_lora_merge_and_quant_loading(tmp_path):
+    """LoRA checkpoint merges into the base at load and matches the
+    manual W + (alpha/r) B@A computation; 8/4-bit weight-only flags
+    quantize the loaded params (VERDICT r1 item 9)."""
+    base_dir = tmp_path / "base"
+    base_dir.mkdir()
+    make_fake_checkpoint(base_dir)
+
+    # synthesize a PEFT-style LoRA dir targeting one decoder matmul
+    lora_dir = tmp_path / "ckpt-lora"
+    lora_dir.mkdir()
+    (lora_dir / "adapter_config.json").write_text(
+        json.dumps({"r": 4, "lora_alpha": 8}))
+    rng = np.random.default_rng(7)
+    target = "model.layers.0.self_attn.o_proj"
+    A = rng.normal(0, 0.1, (4, 48)).astype(np.float32)
+    B = rng.normal(0, 0.1, (48, 4)).astype(np.float32)
+    from safetensors.numpy import save_file as save_st
+    save_st({f"base_model.model.{target}.lora_A.weight": A,
+             f"base_model.model.{target}.lora_B.weight": B},
+            lora_dir / "adapter_model.safetensors")
+
+    from competesmoe_tpu.models.hf_loader import load_torch_state_dict
+    base_sd = load_torch_state_dict(base_dir)
+
+    _, _, variables, _, _ = load_pretrained_model(
+        lora_dir, model_name="llava-lora-phi", model_base=base_dir,
+        dtype=jnp.float32)
+    _, _, base_vars, _, _ = load_pretrained_model(
+        base_dir, model_name="llava_phi", dtype=jnp.float32)
+
+    got = np.asarray(variables["params"]["language_model"]["layers_0"]
+                     ["self_attn"]["o_proj"]["kernel"])
+    want = np.asarray(base_vars["params"]["language_model"]["layers_0"]
+                      ["self_attn"]["o_proj"]["kernel"]) \
+        + ((8 / 4) * (B @ A)).T
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # untouched params stay equal
+    e0 = variables["params"]["language_model"]["embed_tokens"]["embedding"]
+    e1 = base_vars["params"]["language_model"]["embed_tokens"]["embedding"]
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+    # quantized loads: values pass through the int8 / nf4 grids
+    _, model8, v8, _, _ = load_pretrained_model(
+        base_dir, model_name="llava_phi", load_8bit=True,
+        dtype=jnp.float32)
+    k8 = np.asarray(v8["params"]["language_model"]["layers_0"]
+                    ["self_attn"]["o_proj"]["kernel"])
+    base_k = np.asarray(base_vars["params"]["language_model"]["layers_0"]
+                        ["self_attn"]["o_proj"]["kernel"])
+    assert not np.array_equal(k8, base_k)         # actually quantized
+    np.testing.assert_allclose(k8, base_k, atol=np.abs(base_k).max() / 80)
+    _, _, v4, _, _ = load_pretrained_model(
+        base_dir, model_name="llava_phi", load_4bit=True,
+        dtype=jnp.float32)
+    k4 = np.asarray(v4["params"]["language_model"]["layers_0"]
+                    ["self_attn"]["o_proj"]["kernel"])
+    assert not np.array_equal(k4, base_k)
+    # int8 grid is finer than nf4
+    assert np.abs(k8 - base_k).mean() < np.abs(k4 - base_k).mean()
+    # quantized model still runs
+    ids = np.full((1, 4), 3, np.int32)
+    px = np.zeros((1, 28, 28, 3), np.float32)
+    out = model8.apply(v8, jnp.asarray(ids), jnp.asarray(px))
+    assert np.all(np.isfinite(np.asarray(out.logits)))

@@ -1,0 +1,93 @@
+"""Tensor-parallel decoder sharding (VERDICT r1 item 8): param
+PartitionSpecs + sharded KV cache produce identical decode results on the
+virtual 8-device mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from competesmoe_tpu.models.decoder import DecoderConfig, DecoderLM, KVCache
+from competesmoe_tpu.parallel.mesh import (
+    decoder_param_shardings,
+    kv_cache_sharding,
+    make_tp_mesh,
+)
+
+
+def tiny_cfg(**kw):
+    return DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+        original_max_position_embeddings=128, fused_qkv=True,
+        dtype=jnp.float32, **kw)
+
+
+def test_tp_decode_matches_unsharded():
+    cfg = tiny_cfg()
+    model = DecoderLM(cfg)
+    B, T, kvlen = 4, 8, 32
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, T), 1, 64)
+    params = model.init(jax.random.PRNGKey(1), ids)
+
+    def decode(params, ids, cache):
+        logits, cache, _ = model.apply(params, ids, cache=cache)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks = [tok]
+        for _ in range(4):
+            logits, cache, _ = model.apply(params, tok[:, None],
+                                           cache=cache)
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            toks.append(tok)
+        return np.stack([np.asarray(t) for t in toks])
+
+    ref = decode(params, ids, KVCache.create(cfg, B, kvlen))
+
+    mesh = make_tp_mesh(n_model=4, devices=jax.devices()[:8])
+    shardings = decoder_param_shardings(mesh, params)
+    sh_params = jax.device_put(params, shardings)
+    cache = KVCache.create(cfg, B, kvlen)
+    cache = KVCache(
+        k=jax.device_put(cache.k, kv_cache_sharding(mesh)),
+        v=jax.device_put(cache.v, kv_cache_sharding(mesh)),
+        pos=jax.device_put(cache.pos, NamedSharding(mesh, P("data"))))
+    with mesh:
+        got = decode(sh_params,
+                     jax.device_put(ids, NamedSharding(mesh, P("data"))),
+                     cache)
+    np.testing.assert_array_equal(ref, got)
+
+    # the big matmul params are genuinely sharded over the model axis
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    specs = {"/".join(getattr(p, "key", str(p)) for p in path): s.spec
+             for path, s in flat}
+    qkv = [s for k, s in specs.items() if "qkv_proj/kernel" in k]
+    assert all(s == P(None, "model") for s in qkv) and qkv
+    o = [s for k, s in specs.items() if "o_proj/kernel" in k]
+    assert all(s == P("model", None) for s in o) and o
+    lm = [s for k, s in specs.items() if "lm_head/kernel" in k]
+    assert all(s == P(None, "model") for s in lm) and lm
+
+
+def test_tp_decode_gqa_and_split_proj():
+    """Split q/k/v projections + GQA (llama-style) shard correctly too."""
+    cfg = tiny_cfg().__class__(**{**dataclasses.asdict(tiny_cfg()),
+                                  "fused_qkv": False,
+                                  "num_key_value_heads": 2})
+    model = DecoderLM(cfg)
+    B, T = 2, 6
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, T), 1, 64)
+    params = model.init(jax.random.PRNGKey(3), ids)
+    logits_ref, _, _ = model.apply(params, ids)
+
+    mesh = make_tp_mesh(n_model=2, devices=jax.devices()[:4])
+    sh = jax.device_put(params, decoder_param_shardings(mesh, params))
+    with mesh:
+        logits, _, _ = jax.jit(
+            lambda p, i: model.apply(p, i))(sh, ids)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(logits_ref), rtol=2e-5,
+                               atol=1e-5)
