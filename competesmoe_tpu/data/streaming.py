@@ -45,9 +45,11 @@ STORY_SEP = "<STORY_SEP>"
 # shard IO
 # ---------------------------------------------------------------------------
 
-def fetch_to_cache(url: str, cache_dir: os.PathLike) -> Path:
+def fetch_to_cache(url: str, cache_dir: os.PathLike,
+                   headers: Optional[dict] = None) -> Path:
     """Local path for a shard; downloads once if `url` is remote
-    (training_helper fs_cache role, atomic rename)."""
+    (training_helper fs_cache role, atomic rename). `headers` carries
+    auth (e.g. the HF_TOKEN bearer gated datasets need, thestack.py)."""
     if "://" not in url:
         return Path(url)
     cache_dir = Path(cache_dir)
@@ -59,7 +61,8 @@ def fetch_to_cache(url: str, cache_dir: os.PathLike) -> Path:
     if dst.exists():
         return dst
     tmp = dst.with_suffix(dst.suffix + ".tmp")
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req) as r, open(tmp, "wb") as f:
         while True:
             block = r.read(1 << 20)
             if not block:
@@ -105,6 +108,15 @@ class ShardSpec:
 
     def get_n_shards(self, split: str) -> int:
         raise NotImplementedError
+
+    def headers(self) -> dict:
+        return {}
+
+    def iter_records(self, path: os.PathLike,
+                     parse: Callable[[str], str]) -> Iterator[str]:
+        """Document texts of one local shard file."""
+        for line in shard_lines(path):
+            yield parse(line)
 
 
 @dataclasses.dataclass
@@ -214,6 +226,76 @@ class PES2OSpec(ShardSpec):
         return _PES2O_N_SHARDS[self.variant][split]
 
 
+_THESTACK_CNT_PER_LANG = {
+    "python": 206, "html": 802, "c++": 214, "rust": 40,
+    "javascript": 499, "scala": 17, "haskell": 7, "assembly": 3,
+}
+_THESTACK_URL = ("https://huggingface.co/datasets/bigcode/the-stack/"
+                 "resolve/main/data/{lang}/train-{index:05d}-of-"
+                 "{cnt:05d}.parquet")
+
+
+@dataclasses.dataclass
+class TheStackSpec(ShardSpec):
+    """bigcode/the-stack parquet shards (ref thestack.py:9-110): per-
+    language rng(123) shard permutation, 10% validation split, languages
+    round-robin interleaved (mix_ids). Gated dataset — needs HF_TOKEN."""
+
+    languages: str = "python"
+    _ids: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def _ensure_ids(self):
+        if self._ids:
+            return
+        langs = sorted(l.strip() for l in self.languages.split(",")
+                       if l.strip())
+        rng = np.random.default_rng(123)
+        lang_ids = {lang: rng.permutation(
+            _THESTACK_CNT_PER_LANG[lang]).tolist() for lang in langs}
+        valid_size = {lang: max(int(_THESTACK_CNT_PER_LANG[lang] * 0.1), 1)
+                      for lang in langs}
+
+        def mix(ids):
+            res, i, last = [], 0, -1
+            while last != len(res):
+                last = len(res)
+                for lang in sorted(ids):
+                    if i < len(ids[lang]):
+                        res.append((lang, ids[lang][i]))
+                i += 1
+            return res
+
+        self._ids = {
+            "validation": mix({l: lang_ids[l][:valid_size[l]]
+                               for l in langs}),
+            "train": mix({l: lang_ids[l][valid_size[l]:] for l in langs}),
+        }
+
+    def get_url(self, index: int, split: str) -> str:
+        self._ensure_ids()
+        lang, idx = self._ids[split][index]
+        url = self.url_base or _THESTACK_URL
+        return url.format(lang=lang, index=idx,
+                          cnt=_THESTACK_CNT_PER_LANG[lang])
+
+    def get_n_shards(self, split: str) -> int:
+        self._ensure_ids()
+        return len(self._ids[split])
+
+    def headers(self) -> dict:
+        token = os.environ.get("HF_TOKEN")
+        return {"Authorization": f"Bearer {token}"} if token else {}
+
+    def iter_records(self, path, parse):
+        if str(path).endswith(".parquet"):
+            import pandas as pd
+            df = pd.read_parquet(path)
+            for content in df["content"]:
+                yield content
+            return
+        yield from super().iter_records(path, parse)
+
+
 # ---------------------------------------------------------------------------
 # vocab training (SentencePiece algorithm via HF tokenizers)
 # ---------------------------------------------------------------------------
@@ -293,9 +375,9 @@ class ChunkedLMCorpus:
             n = min(self._tok_files, self.spec.get_n_shards("train"))
             for i in range(n):
                 local = fetch_to_cache(self.spec.get_url(i, "train"),
-                                       self.cache_dir / "shards")
-                for line in shard_lines(local):
-                    txt = self.parse(line)
+                                       self.cache_dir / "shards",
+                                       headers=self.spec.headers())
+                for txt in self.spec.iter_records(local, self.parse):
                     if txt:
                         yield txt + STORY_SEP
 
@@ -319,11 +401,11 @@ class ChunkedLMCorpus:
             dst = out_dir / f"chunk_{i:05d}.bin"
             if not dst.exists():
                 local = fetch_to_cache(self.spec.get_url(i, self.split),
-                                       self.cache_dir / "shards")
+                                       self.cache_dir / "shards",
+                                       headers=self.spec.headers())
                 tmp = dst.with_suffix(".tmp")
                 with open(tmp, "wb") as f:
-                    for line in shard_lines(local):
-                        txt = self.parse(line)
+                    for txt in self.spec.iter_records(local, self.parse):
                         if not txt:
                             continue
                         ids = self.encode(txt + STORY_SEP)

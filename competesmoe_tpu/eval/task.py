@@ -40,15 +40,77 @@ def get_task_config(name: str) -> "TaskConfig":
                          f"{', '.join(sorted(TASK_REGISTRY))}") from None
 
 
-def _resolve(fn):
+def _resolve(fn, search_dir: Optional[Path] = None):
     """Resolve a '!function module.attr'-style hook (api/task.py yaml
-    `!function` support) or pass callables through."""
+    `!function` support) or pass callables through. When `search_dir` is
+    given, the module may be a .py file next to the yaml (the reference's
+    per-task utils.py convention)."""
     if callable(fn) or fn is None:
         return fn
     if isinstance(fn, str) and fn.startswith("!function "):
         modname, attr = fn[len("!function "):].rsplit(".", 1)
+        if search_dir is not None and \
+                (Path(search_dir) / f"{modname}.py").exists():
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                f"_task_utils_{modname}",
+                Path(search_dir) / f"{modname}.py")
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return getattr(mod, attr)
         return getattr(importlib.import_module(modname), attr)
+    if isinstance(fn, str):
+        # bare string = doc field name (lm-eval yaml convention)
+        key = fn
+        return lambda doc: str(doc[key]) if key in doc else key
     return fn
+
+
+def load_task_yaml(path, register: bool = True) -> "TaskConfig":
+    """Build (and register) a TaskConfig from a reference-style task yaml
+    (api/task.py:53-152): supports the `!function utils.fn` tag (resolved
+    against .py files next to the yaml), `include:` templates from the
+    same directory, and ignores fields outside our config surface."""
+    import yaml
+
+    path = Path(path)
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    _Loader.add_constructor(
+        "!function",
+        lambda loader, node: "!function " + loader.construct_scalar(node))
+
+    def read(p: Path) -> dict:
+        data = yaml.load(p.read_text(), Loader=_Loader) or {}
+        if "include" in data:
+            inc = path.parent / data.pop("include")
+            if not inc.suffix:
+                inc = inc.with_suffix(".yaml") \
+                    if inc.with_suffix(".yaml").exists() else inc
+            base = read(inc)
+            base.update(data)
+            data = base
+        return data
+
+    raw = read(path)
+    known = {f.name for f in dataclasses.fields(TaskConfig)}
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    for hook in ("doc_to_text", "doc_to_visual", "doc_to_target",
+                 "process_results"):
+        if hook in kwargs:
+            kwargs[hook] = _resolve(kwargs[hook], search_dir=path.parent)
+    # normalize reference metric_list aggregation callables to names
+    for spec in kwargs.get("metric_list", []) or []:
+        if isinstance(spec.get("aggregation"), str) and \
+                spec["aggregation"].startswith("!function "):
+            spec["aggregation"] = "mean"
+        spec.pop("higher_is_better", None)
+    cfg = TaskConfig(**kwargs)
+    if register and cfg.task:
+        register_task(cfg.task, cfg)
+    return cfg
 
 
 @dataclasses.dataclass
@@ -77,6 +139,12 @@ class TaskConfig:
     # metric group this task aggregates into (the reference's task-group
     # aggregation, evaluator.py:~330-560); None = ungrouped
     group: Optional[str] = None
+    # few-shot prompting (api/task.py ContextSampler role): k seeded
+    # example Q/A pairs prepended to every context
+    num_fewshot: int = 0
+    fewshot_split: Optional[str] = None
+    fewshot_seed: int = 1234
+    fewshot_delimiter: str = "\n\n"
 
 
 class ConfigurableTask:
@@ -108,6 +176,38 @@ class ConfigurableTask:
     def docs(self):
         return self._docs
 
+    def fewshot_context(self, doc_id: int) -> str:
+        """Seeded k-shot example prefix (api/task.py few-shot sampler):
+        examples drawn from `fewshot_split` docs (or this split, excluding
+        the current doc) as 'question answer' pairs."""
+        if not self.cfg.num_fewshot:
+            return ""
+        import random as _random
+        pool_ids = [i for i in range(len(self._fewshot_docs))
+                    if self._fewshot_docs is not self._docs or i != doc_id]
+        rng = _random.Random(self.cfg.fewshot_seed + doc_id)
+        picks = rng.sample(pool_ids,
+                           min(self.cfg.num_fewshot, len(pool_ids)))
+        parts = []
+        for i in picks:
+            d = self._fewshot_docs[i]
+            q = self.doc_to_text(d) if self.doc_to_text else ""
+            a = self.doc_to_target(d) if self.doc_to_target else ""
+            parts.append(f"{q} {a}".strip())
+        return self.cfg.fewshot_delimiter.join(parts) \
+            + self.cfg.fewshot_delimiter
+
+    @property
+    def _fewshot_docs(self):
+        if self.cfg.fewshot_split and self.cfg.dataset_path:
+            if not hasattr(self, "_fs_docs"):
+                import datasets
+                self._fs_docs = list(datasets.load_dataset(
+                    self.cfg.dataset_path, self.cfg.dataset_name,
+                    split=self.cfg.fewshot_split))
+            return self._fs_docs
+        return self._docs
+
     def build_all_requests(self, rank: int = 0, world_size: int = 1
                            ) -> List[Instance]:
         """Instances for this rank's slice (evaluator.py:257 semantics)."""
@@ -116,6 +216,8 @@ class ConfigurableTask:
             if doc_id % world_size != rank:
                 continue
             ctx = self.doc_to_text(doc) if self.doc_to_text else ""
+            if self.cfg.num_fewshot:
+                ctx = self.fewshot_context(doc_id) + ctx
             visuals = self.doc_to_visual(doc) if self.doc_to_visual else []
             if self.cfg.output_type == "generate_until":
                 arguments = (ctx, self.cfg.generation_kwargs, visuals)

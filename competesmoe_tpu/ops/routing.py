@@ -93,8 +93,17 @@ def cosine_logits(x_reduced: jax.Array, expert_embeddings: jax.Array,
 
 
 def make_finite(scores: jax.Array) -> jax.Array:
-    """Replace non-finite scores with the minimum finite score
-    (XMoE NaN guard; ref xmoe.py:138-143)."""
+    """Replace non-finite scores with the row's minimum finite score
+    (XMoE NaN guard; ref xmoe.py:138-143).
+
+    The reference reduces over the whole tensor; here the reduction is
+    per row (last axis) so one token's NaN can't change another token's
+    routing through batch composition — routing stays batch-invariant
+    under jit/vmap (the forward is identical whenever inputs are finite,
+    which the parity suite asserts)."""
     ok = jnp.isfinite(scores)
-    min_ok = jnp.min(jnp.where(ok, scores, jnp.inf))
+    min_ok = jnp.min(jnp.where(ok, scores, jnp.inf), axis=-1,
+                     keepdims=True)
+    # a fully non-finite row degenerates to 0 (uniform routing)
+    min_ok = jnp.where(jnp.isfinite(min_ok), min_ok, 0.0)
     return jnp.where(ok, scores, min_ok)

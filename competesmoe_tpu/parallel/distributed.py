@@ -67,3 +67,20 @@ def initialize(denv: Optional[DistributedEnv] = None) -> DistributedEnv:
             coordinator_address=denv.coordinator,
             num_processes=denv.world_size, process_id=denv.rank)
     return denv
+
+
+def run_identifier(denv: Optional[DistributedEnv] = None) -> str:
+    """Stable id for this scheduler job (the reference's
+    dist_env.get_run_identifier(), used to key job records for
+    preemption auto-resume, training_helper.py:159-182)."""
+    env = os.environ
+    if "SLURM_JOB_ID" in env:
+        return f"slurm-{env['SLURM_JOB_ID']}"
+    if "JOB_ID" in env:
+        return f"job-{env['JOB_ID']}"
+    return "local"
+
+
+def is_restart(denv: Optional[DistributedEnv] = None) -> bool:
+    denv = denv or detect_env()
+    return denv.restart_count > 0

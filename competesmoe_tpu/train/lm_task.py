@@ -123,6 +123,9 @@ def _task_args(parser: ArgumentParser):
                         choice=["unigram", "bpe"])
     parser.add_argument("-lm.tokenizer_n_files", default="none",
                         parser=parser.int_or_none_parser)
+    parser.add_argument("-lm.thestack_languages", default="python")
+    # preemption auto-resume (training_helper.py:159-182 job records)
+    parser.add_argument("-job_record_dir", default="jobs")
     # downstream zero-shot QA battery (reference lm_eval_mixin.py:16-39)
     parser.add_argument("-lm.eval.enabled", default=True)
     parser.add_argument("-lm.eval.pad_quantum", default=128)
@@ -267,7 +270,22 @@ class SyntheticTransformerTask:
                                           n_microbatch=a.n_microbatch)
         self.eval_step = make_eval_step(self.model)
 
-        self.saver = Saver(self.run_dir / "checkpoint",
+        # Preemption auto-resume (training_helper.py:159-182): a restarted
+        # scheduler job reads its job record to find the checkpoint dir of
+        # the interrupted run, even when the run name changed.
+        from ..parallel.distributed import detect_env, is_restart, \
+            run_identifier
+        self.denv = detect_env()
+        ckpt_dir = self.run_dir / "checkpoint"
+        record = Path(a.job_record_dir) / run_identifier(self.denv)
+        if is_restart(self.denv) and record.exists():
+            recorded = Path(record.read_text().strip())
+            if recorded.exists():
+                print(f"restart detected; resuming from job record "
+                      f"{recorded}")
+                ckpt_dir = recorded
+
+        self.saver = Saver(ckpt_dir,
                            save_interval=a.save_interval,
                            keep_last=a.keep_last)
         self.saver["state"] = self.state
@@ -281,6 +299,9 @@ class SyntheticTransformerTask:
             self.start_step = self.restore(a.restore)
         elif self.saver.latest_step() is not None:
             self.start_step = self.restore()
+        if self.denv.is_preemptible and self.denv.is_master:
+            record.parent.mkdir(parents=True, exist_ok=True)
+            record.write_text(str(ckpt_dir))
 
     def _ep_scope(self):
         """Expert-parallel dispatch context for this task's jit traces."""
@@ -523,7 +544,10 @@ class _StreamingTransformerTask(SyntheticTransformerTask):
                 hits = sorted(_glob.glob(part))
                 shards.extend(hits if hits else [part])
             return streaming.LocalShardSpec(shards=shards)
-        return getattr(streaming, self.SPEC_NAME)()
+        return getattr(streaming, self.SPEC_NAME)(**self._spec_kwargs())
+
+    def _spec_kwargs(self):
+        return {}
 
     def create_datasets(self):
         from ..data.streaming import ChunkedLMCorpus, LocalShardSpec
@@ -559,6 +583,14 @@ class SlimPajamaTransformerTask(_StreamingTransformerTask):
 @task("pes2o_transformer")
 class PES2OTransformerTask(_StreamingTransformerTask):
     SPEC_NAME = "PES2OSpec"
+
+
+@task("thestack_transformer")
+class TheStackTransformerTask(_StreamingTransformerTask):
+    SPEC_NAME = "TheStackSpec"
+
+    def _spec_kwargs(self):
+        return {"languages": self.a.lm.thestack_languages}
 
 
 @task("chunked_transformer")

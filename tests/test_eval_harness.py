@@ -242,3 +242,51 @@ def test_paper_table_task_prompts():
                                "options": []}) == "C"
     mv = get_task_config("mathvista_testmini")
     assert mv.doc_to_text({"query": "solve"}) == "solve"
+
+
+def test_yaml_task_loading(tmp_path):
+    """Reference-style task yaml with !function hooks, include templates,
+    and per-task utils.py (api/task.py:53-152)."""
+    from competesmoe_tpu.eval.task import get_task_config, load_task_yaml
+
+    (tmp_path / "utils.py").write_text(
+        "def my_text(doc):\n    return 'Q: ' + doc['q']\n")
+    (tmp_path / "_template.yaml").write_text(
+        "output_type: generate_until\n"
+        "generation_kwargs:\n  max_new_tokens: 4\n")
+    (tmp_path / "toy.yaml").write_text(
+        "task: yaml_toy\n"
+        "include: _template.yaml\n"
+        "test_split: test\n"
+        "doc_to_text: !function utils.my_text\n"
+        "doc_to_target: a\n"
+        "metric_list:\n"
+        "  - metric: exact_match\n"
+        "    aggregation: mean\n"
+        "    higher_is_better: true\n")
+    cfg = load_task_yaml(tmp_path / "toy.yaml")
+    assert cfg.generation_kwargs == {"max_new_tokens": 4}  # via include
+    assert cfg.doc_to_text({"q": "hi", "a": "x"}) == "Q: hi"
+    # bare-string doc_to_target resolves as a doc field
+    from competesmoe_tpu.eval.task import _resolve
+    assert _resolve(cfg.doc_to_target)({"a": "yes"}) == "yes"
+    assert get_task_config("yaml_toy") is cfg
+
+
+def test_fewshot_context():
+    docs = [{"q": f"q{i}", "a": f"a{i}"} for i in range(6)]
+    task = ConfigurableTask(TaskConfig(
+        task="fs_toy", output_type="generate_until",
+        doc_to_text=lambda d: d["q"],
+        doc_to_target=lambda d: d["a"], docs=docs, num_fewshot=2))
+    insts = task.build_all_requests()
+    ctx = insts[0].arguments[0]
+    assert ctx.endswith("q0")
+    assert "q0 a0" not in ctx          # never its own answer
+    assert ctx.count(" a") == 2        # two examples with answers
+    # deterministic
+    task2 = ConfigurableTask(TaskConfig(
+        task="fs_toy", output_type="generate_until",
+        doc_to_text=lambda d: d["q"],
+        doc_to_target=lambda d: d["a"], docs=docs, num_fewshot=2))
+    assert task2.build_all_requests()[0].arguments[0] == ctx
