@@ -391,12 +391,14 @@ class SyntheticTransformerTask:
                       flush=True)
             return
         metrics = {}
+        usage_rows = {}
         for key, val in aux.items():
             if key.endswith("/selected_experts") and val is not None:
                 layer = key.split("/")[0]
                 sel = np.asarray(val).reshape(-1)
                 hist = np.bincount(sel, minlength=self.cfg.n_experts)
                 frac = hist / max(hist.sum(), 1)
+                usage_rows[layer] = frac
                 metrics[f"expert_usage/{layer}_nonzero_frac"] = float(
                     (hist > 0).mean())
                 p = np.clip(frac, 1e-12, None)
@@ -405,6 +407,17 @@ class SyntheticTransformerTask:
         if metrics:
             self.logger.log(int(self.state.step), metrics,
                             to_stdout=False)
+        if usage_rows:
+            # per-layer expert-usage heatmap (the reference's
+            # add_dist_experts histogram plots, visualize/plot.py Heatmap)
+            from .plots import Heatmap, log_plots
+            order = sorted(usage_rows,
+                           key=lambda k: int(k.replace("layer", "") or 0))
+            mat = np.stack([usage_rows[k] for k in order])
+            log_plots(self.logger, int(self.state.step), {
+                "expert_usage/heatmap": Heatmap(
+                    map=mat, xlabel="expert", ylabel="layer",
+                    y_marks=order)})
 
     def train(self) -> None:
         a = self.a

@@ -147,3 +147,32 @@ def test_lm_xl_state_carry(tiny_lm):
     logits2, aux2 = model.apply(params, toks, train=False, state=state)
     # with context the predictions must differ from the stateless pass
     assert not np.allclose(np.asarray(logits1), np.asarray(logits2))
+
+
+def test_plot_types(tmp_path):
+    """visualize/plot.py plot zoo: JSON record always written; TB images
+    when tensorboardX is present."""
+    import numpy as np
+    from competesmoe_tpu.train.logger import MetricLogger
+    from competesmoe_tpu.train.plots import (
+        ConfusionMatrix, Heatmap, Histogram, TextPlot, XYChart, log_plots)
+
+    logger = MetricLogger(tmp_path, use_tensorboard=True)
+    plots = {
+        "hist": Histogram(values=np.random.default_rng(0).normal(size=100)),
+        "heat": Heatmap(map=np.arange(12).reshape(3, 4), xlabel="expert",
+                        ylabel="layer"),
+        "xy": XYChart(curves={"loss": [3.0, 2.0, 1.5]}, xlabel="step"),
+        "cm": ConfusionMatrix(matrix=np.eye(3), class_names=list("abc")),
+        "txt": TextPlot(text="hello"),
+    }
+    log_plots(logger, 7, plots)
+    logger.close()
+    import json as _json
+    recs = [_json.loads(l) for l in
+            (tmp_path / "log_trainer.jsonl").read_text().splitlines()]
+    plot_rec = [r for r in recs if "plots" in r][0]
+    assert plot_rec["step"] == 7
+    assert plot_rec["plots"]["heat"]["type"] == "heatmap"
+    assert len(plot_rec["plots"]["hist"]["hist"]) == 64
+    assert plot_rec["plots"]["cm"]["matrix"][0][0] == 1.0

@@ -155,3 +155,49 @@ def test_web_chat_page(adapter):
         chttpd.shutdown()
         whttpd.shutdown()
         webhttpd.shutdown()
+
+
+def test_web_votes_and_models(adapter, tmp_path):
+    """Vote logging (gradio_web_server vote_last_response semantics) and
+    the /models selector endpoint."""
+    import json as _json
+    import urllib.request as _ur
+
+    from competesmoe_tpu.serve.web import serve_web
+
+    cport, wport, webport = free_port(), free_port(), free_port()
+    controller, chttpd = serve_controller("127.0.0.1", cport,
+                                          background=True)
+    caddr = f"http://127.0.0.1:{cport}"
+    worker = ModelWorker(caddr, f"http://127.0.0.1:{wport}",
+                         ["tiny-llava"], jax_llava_generate_fn(adapter),
+                         register=False)
+    whttpd = serve_worker(worker, "127.0.0.1", wport, background=True)
+    post(caddr + "/register_worker", {
+        "worker_name": f"http://127.0.0.1:{wport}",
+        "check_heart_beat": True, "worker_status": worker.get_status()})
+    webhttpd = serve_web(caddr, "tiny-llava", "127.0.0.1", webport,
+                         background=True, log_dir=str(tmp_path))
+    try:
+        with _ur.urlopen(f"http://127.0.0.1:{webport}/models",
+                         timeout=10) as r:
+            models = _json.loads(r.read())["models"]
+        assert "tiny-llava" in models
+        req = _ur.Request(
+            f"http://127.0.0.1:{webport}/vote",
+            data=_json.dumps({"type": "downvote", "model": "tiny-llava",
+                              "messages": [["USER", "hi"],
+                                           ["ASSISTANT", "yo"]]}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with _ur.urlopen(req, timeout=10) as r:
+            assert _json.loads(r.read())["ok"]
+        logs = list(tmp_path.glob("*-conv.json"))
+        assert len(logs) == 1
+        rec = _json.loads(logs[0].read_text().splitlines()[0])
+        assert rec["type"] == "downvote"
+        assert rec["state"]["messages"][0] == ["USER", "hi"]
+        assert "tstamp" in rec and "ip" in rec
+    finally:
+        webhttpd.shutdown()
+        whttpd.shutdown()
+        chttpd.shutdown()
