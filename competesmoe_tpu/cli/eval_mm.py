@@ -21,16 +21,27 @@ def main(argv=None):
     from ..models.builder import load_pretrained_model
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--model-dir", default="")
     ap.add_argument("--tokenizer", default="",
                     help="HF tokenizer dir (defaults to --model-dir)")
-    ap.add_argument("--tasks", required=True,
+    ap.add_argument("--tasks", default="",
                     help="comma-separated task names")
+    ap.add_argument("--task-yaml", nargs="*", default=[],
+                    help="reference-style task yaml files to register")
+    ap.add_argument("--config", default="",
+                    help="yaml with a LIST of eval run configs; each "
+                         "entry's keys override these flags (the "
+                         "reference __main__.py multi-config loop)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--conv-template", default="phi35")
     ap.add_argument("--output-path", default="")
+    ap.add_argument("--log-samples", action="store_true")
+    ap.add_argument("--wandb", action="store_true",
+                    help="mirror results/samples tables to wandb "
+                         "(logging_utils.py role)")
+    ap.add_argument("--wandb-project", default="competesmoe_tpu-eval")
     ap.add_argument("--return-id-experts", action="store_true",
                     help="collect per-layer routing telemetry")
     ap.add_argument("--rank", type=int, default=0)
@@ -38,25 +49,58 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args(argv)
 
-    tokenizer, model, variables, image_processor, _ = \
-        load_pretrained_model(a.model_dir, dtype=jnp.bfloat16)
-    if tokenizer is None or a.tokenizer:
-        from transformers import AutoTokenizer
-        tokenizer = AutoTokenizer.from_pretrained(
-            a.tokenizer or a.model_dir)
-    lm = harness.JaxLlava(model, variables, tokenizer, image_processor,
-                          conv_template=a.conv_template,
-                          batch_size=a.batch_size,
-                          max_new_tokens=a.max_new_tokens)
-    results = harness.simple_evaluate(
-        lm, a.tasks.split(","), limit=a.limit, rank=a.rank,
-        world_size=a.world_size, return_id_experts=a.return_id_experts,
-        seed=a.seed)
-    print(harness.make_table(results))
-    if a.output_path:
-        Path(a.output_path).write_text(json.dumps(results, default=str,
-                                                  indent=1))
-        print(f"wrote {a.output_path}")
+    # multi-config loop (evaluate/lmms_eval/__main__.py:120-160): a yaml
+    # list of run configs, each overriding the CLI flags
+    run_cfgs = [{}]
+    if a.config:
+        import yaml
+        loaded = yaml.safe_load(Path(a.config).read_text())
+        run_cfgs = loaded if isinstance(loaded, list) else [loaded]
+
+    for path in a.task_yaml:
+        from ..eval.task import load_task_yaml
+        load_task_yaml(path)
+
+    all_results = []
+    for overrides in run_cfgs:
+        run = argparse.Namespace(**{**vars(a), **{
+            k.replace("-", "_"): v for k, v in (overrides or {}).items()}})
+        if not run.model_dir or not run.tasks:
+            raise SystemExit("--model-dir and --tasks are required "
+                             "(via flags or --config entries)")
+        tokenizer, model, variables, image_processor, _ = \
+            load_pretrained_model(run.model_dir, dtype=jnp.bfloat16)
+        if tokenizer is None or run.tokenizer:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(
+                run.tokenizer or run.model_dir)
+        lm = harness.JaxLlava(model, variables, tokenizer,
+                              image_processor,
+                              conv_template=run.conv_template,
+                              batch_size=run.batch_size,
+                              max_new_tokens=run.max_new_tokens)
+        results = harness.simple_evaluate(
+            lm, run.tasks.split(","), limit=run.limit, rank=run.rank,
+            world_size=run.world_size,
+            return_id_experts=run.return_id_experts, seed=run.seed)
+        print(harness.make_table(results))
+        out_dir = Path(run.output_path) if run.output_path else \
+            Path("eval_results")
+        if run.output_path and run.output_path.endswith(".json"):
+            Path(run.output_path).write_text(
+                json.dumps(results, default=str, indent=1))
+            print(f"wrote {run.output_path}")
+        else:
+            from ..eval.logging_utils import EvalResultsLogger
+            rlog = EvalResultsLogger(out_dir, use_wandb=run.wandb,
+                                     wandb_project=run.wandb_project,
+                                     run_name=Path(run.model_dir).name)
+            path = rlog.log_results(results,
+                                    log_samples=run.log_samples)
+            rlog.finish()
+            print(f"wrote {path}")
+        all_results.append(results)
+    return all_results
 
 
 if __name__ == "__main__":

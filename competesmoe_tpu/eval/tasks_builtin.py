@@ -184,6 +184,35 @@ def _register_all() -> Dict[str, TaskConfig]:
         filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
         metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
 
+    single_word = ("\nAnswer the question using a single word or "
+                   "phrase.")
+    for name, path, split, q_key, a_key, img_key, metric in (
+        ("docvqa_val", "lmms-lab/DocVQA", "validation", "question",
+         "answers", "image", "anls"),
+        ("chartqa", "lmms-lab/ChartQA", "test", "question", "answer",
+         "image", "exact_match"),
+        ("vqav2_val", "lmms-lab/VQAv2", "validation", "question",
+         "multiple_choice_answer", "image", "exact_match"),
+        ("vizwiz_vqa_val", "lmms-lab/VizWiz-VQA", "val", "question",
+         "answers", "image", "exact_match"),
+        ("realworldqa", "lmms-lab/RealWorldQA", "test", "question",
+         "answer", "image", "exact_match"),
+    ):
+        def _target(d, k=a_key):
+            v = d.get(k)
+            if isinstance(v, (list, tuple)):
+                return str(v[0]) if v else ""
+            return str(v)
+
+        configs[name] = register_task(name, TaskConfig(
+            task=name, dataset_path=path, test_split=split,
+            output_type="generate_until",
+            doc_to_text=lambda d, k=q_key: d[k] + single_word,
+            doc_to_visual=_visual(img_key),
+            doc_to_target=_target,
+            generation_kwargs={"max_new_tokens": 16},
+            metric_list=[{"metric": metric, "aggregation": "mean"}]))
+
     return configs
 
 
