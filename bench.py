@@ -154,6 +154,12 @@ def main():
             # kv_cache_sharding, verified token-exact on the virtual
             # 8-device mesh) scales the per-replica bandwidth 8x.
             "decode_tok_per_sec_chip_5p1b_batch8": 577.7,
+            # int8 weight-only decode (QuantDense runtime, load_8bit):
+            # weights stream as int8 and dequantize inside the dot's
+            # operand read. Measured 2026-08-16 on v5e-1: 967.4 tok/s at
+            # 8.27 ms/step (1.67x over bf16; 81% of the int8-weights +
+            # bf16-KV bandwidth SOL).
+            "decode_tok_per_sec_chip_5p1b_batch8_int8": 967.4,
             "hf_torch_cpu_decode_tok_per_sec_same_geometry": 2.49,
             "a100_weight_bw_sol_tok_per_s_per_seq": 266.8,
             "v5e_weight_bw_sol_tok_per_s_per_seq": 107.2,

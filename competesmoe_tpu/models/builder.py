@@ -218,6 +218,38 @@ def merge_lora_checkpoint(base_sd: Dict[str, np.ndarray],
     return sd
 
 
+_DECODER_QUANT_MODULES = ("qkv_proj", "q_proj", "k_proj", "v_proj",
+                          "o_proj", "gate_up_proj", "gate_proj",
+                          "up_proj", "down_proj", "lm_head")
+
+
+def quantize_decoder_to_int8(decoder_params: Dict) -> Dict:
+    """Convert the decoder's Dense kernels to QuantDense int8 params
+    (kernel_q + per-output-channel scale) — the runtime load_8bit path:
+    weights are STORED and STREAMED as int8 and dequantized inside the
+    dot's operand read (models/decoder.py:QuantDense), halving decode
+    HBM traffic."""
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and k in _DECODER_QUANT_MODULES \
+                    and "kernel" in v:
+                w = np.asarray(v["kernel"], np.float32)
+                scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+                q = np.round(w / scale[None, :]).clip(-127, 127)
+                entry = {"kernel_q": q.astype(np.int8),
+                         "scale": scale.astype(np.float32)}
+                if "bias" in v:
+                    entry["bias"] = v["bias"]
+                out[k] = entry
+            elif isinstance(v, dict):
+                out[k] = walk(v)
+            else:
+                out[k] = v
+        return out
+    return walk(decoder_params)
+
+
 def quantize_int8_weight_only(params, min_size: int = 1024):
     """Per-output-channel symmetric int8 weight-only quantization of every
     2-D kernel (the reference's load_8bit analog, builder.py:34-35).
@@ -295,7 +327,17 @@ def load_pretrained_model(model_path, model_name: Optional[str] = None,
         sd = merge_lora_checkpoint(sd, model_path)
     params = convert_llava_checkpoint(sd, cfg)
     if load_8bit:
-        params = quantize_int8_weight_only(params)
+        # decoder: true int8 runtime (QuantDense streams int8 weights);
+        # vision/projector: value-quantized (small, stay bf16 compute)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, decoder=_dc.replace(cfg.decoder,
+                                                   quant="int8"))
+        params["language_model"] = quantize_decoder_to_int8(
+            params["language_model"])
+        params = {"language_model": params["language_model"],
+                  **quantize_int8_weight_only(
+                      {k: v for k, v in params.items()
+                       if k != "language_model"})}
     elif load_4bit:
         params = quantize_nf4_weight_only(params)
     model = LlavaModel(cfg)

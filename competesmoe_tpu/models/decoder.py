@@ -63,6 +63,18 @@ class DecoderConfig:
     num_experts: int = 8
     num_selected: int = 2
     moe_args: MoEArgs = MoEArgs()
+    # Weight quantization for inference (the load_8bit runtime path):
+    #   'int8'  — per-output-channel int8 weights, bf16 activations; XLA
+    #             fuses the dequant into the dot's operand read, so HBM
+    #             weight traffic halves (measured 73 vs 126 µs for the
+    #             [8,3072]x[3072,16384] decode GEMM on v5e)
+    #   'w8a8'  — additionally quantizes activations per row dynamically
+    #             onto the int8 MXU (65 µs on the same GEMM). EXPERIMENTAL:
+    #             at full 32-layer scale XLA materializes converted
+    #             operands under the decode scan and OOMs 16 GB — use
+    #             'int8' in production (967 tok/s/chip measured vs 578
+    #             bf16, batch 8)
+    quant: Optional[str] = None
     dtype: Any = jnp.float32
 
     @property
@@ -206,6 +218,60 @@ class KVCache:
                    pos=jnp.zeros((batch,), jnp.int32))
 
 
+class QuantDense(nn.Module):
+    """Weight-quantized Dense for inference (load_8bit runtime).
+
+    Params: kernel_q int8 [in, out] + per-output-channel scale f32 [out]
+    (+ bias). 'int8' dequantizes in the dot's operand read (XLA fuses the
+    convert+scale, halving HBM weight traffic); 'w8a8' also quantizes the
+    activations per row and runs the int8 MXU path."""
+
+    features: int
+    mode: str = "int8"            # 'int8' (w8a16) | 'w8a8'
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+
+        def q_init(key, shape, dtype=jnp.int8):
+            w = jax.random.normal(key, shape) * (in_dim ** -0.5)
+            s = jnp.maximum(jnp.abs(w).max(0), 1e-8) / 127.0
+            return jnp.round(w / s).clip(-127, 127).astype(jnp.int8)
+
+        kernel_q = self.param("kernel_q", q_init, (in_dim, self.features))
+        scale = self.param("scale",
+                           nn.initializers.constant(in_dim ** -0.5 / 127),
+                           (self.features,))
+        if self.mode == "w8a8":
+            amax = jnp.max(jnp.abs(x), axis=-1,
+                           keepdims=True).astype(jnp.float32)
+            xs = x.astype(jnp.float32) * (127.0 / jnp.maximum(amax, 1e-8))
+            x8 = jnp.clip(jnp.round(xs), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x8, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (amax / 127.0) * scale
+        else:
+            wd = kernel_q.astype(x.dtype) * scale[None, :].astype(x.dtype)
+            y = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,)).astype(y.dtype)
+        return y
+
+
+def _make_dense(cfg: "DecoderConfig", features: int, name: str,
+                use_bias: bool = False):
+    if cfg.quant:
+        return QuantDense(features, mode=cfg.quant, use_bias=use_bias,
+                          dtype=cfg.dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype,
+                    name=name)
+
+
 class DecoderAttention(nn.Module):
     cfg: DecoderConfig
 
@@ -214,16 +280,13 @@ class DecoderAttention(nn.Module):
         d = cfg.hidden_size
         kvd = cfg.num_key_value_heads * cfg.head_dim
         if cfg.fused_qkv:
-            qkv = nn.Dense(d + 2 * kvd, use_bias=cfg.attention_bias,
-                           dtype=cfg.dtype, name="qkv_proj")(x)
+            qkv = _make_dense(cfg, d + 2 * kvd, "qkv_proj",
+                              cfg.attention_bias)(x)
             q, k, v = jnp.split(qkv, [d, d + kvd], axis=-1)
         else:
-            q = nn.Dense(d, use_bias=cfg.attention_bias, dtype=cfg.dtype,
-                         name="q_proj")(x)
-            k = nn.Dense(kvd, use_bias=cfg.attention_bias, dtype=cfg.dtype,
-                         name="k_proj")(x)
-            v = nn.Dense(kvd, use_bias=cfg.attention_bias, dtype=cfg.dtype,
-                         name="v_proj")(x)
+            q = _make_dense(cfg, d, "q_proj", cfg.attention_bias)(x)
+            k = _make_dense(cfg, kvd, "k_proj", cfg.attention_bias)(x)
+            v = _make_dense(cfg, kvd, "v_proj", cfg.attention_bias)(x)
         return q, k, v
 
     @nn.compact
@@ -287,8 +350,8 @@ class DecoderAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, T, h * p)
-        out = nn.Dense(cfg.hidden_size, use_bias=cfg.attention_bias,
-                       dtype=cfg.dtype, name="o_proj")(out)
+        out = _make_dense(cfg, cfg.hidden_size, "o_proj",
+                          cfg.attention_bias)(out)
         return out, new_cache
 
 
@@ -300,23 +363,18 @@ class DecoderMLP(nn.Module):
         cfg = self.cfg
         if cfg.mlp_type == "gelu":  # MPT ffn: up -> gelu -> down
             hdim = cfg.expansion_ratio * cfg.hidden_size
-            hmid = nn.Dense(hdim, use_bias=False, dtype=cfg.dtype,
-                            name="up_proj")(x)
+            hmid = _make_dense(cfg, hdim, "up_proj")(x)
             hmid = jax.nn.gelu(hmid, approximate=False)
-            return nn.Dense(cfg.hidden_size, use_bias=False,
-                            dtype=cfg.dtype, name="down_proj")(hmid)
+            return _make_dense(cfg, cfg.hidden_size, "down_proj")(hmid)
         if cfg.fused_qkv:  # phi3 layout pairs fused attn with gate_up_proj
-            gu = nn.Dense(2 * cfg.intermediate_size, use_bias=False,
-                          dtype=cfg.dtype, name="gate_up_proj")(x)
+            gu = _make_dense(cfg, 2 * cfg.intermediate_size,
+                             "gate_up_proj")(x)
             gate, up = jnp.split(gu, 2, axis=-1)
         else:
-            gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                            dtype=cfg.dtype, name="gate_proj")(x)
-            up = nn.Dense(cfg.intermediate_size, use_bias=False,
-                          dtype=cfg.dtype, name="up_proj")(x)
+            gate = _make_dense(cfg, cfg.intermediate_size, "gate_proj")(x)
+            up = _make_dense(cfg, cfg.intermediate_size, "up_proj")(x)
         h = jax.nn.silu(gate) * up
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
-                        name="down_proj")(h)
+        return _make_dense(cfg, cfg.hidden_size, "down_proj")(h)
 
 
 class DecoderLayer(nn.Module):
@@ -376,8 +434,12 @@ class DecoderLM(nn.Module):
                        for _ in range(cfg.num_hidden_layers)]
         self.norm = make_norm(cfg)
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                    name="lm_head")
+            if cfg.quant:
+                self.lm_head = QuantDense(cfg.vocab_size, mode=cfg.quant,
+                                          name="lm_head")
+            else:
+                self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                        name="lm_head")
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids).astype(self.cfg.dtype)

@@ -167,16 +167,20 @@ def test_lora_merge_and_quant_loading(tmp_path):
     e1 = base_vars["params"]["language_model"]["embed_tokens"]["embedding"]
     np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
 
-    # quantized loads: values pass through the int8 / nf4 grids
+    # load_8bit: the decoder gets TRUE int8 runtime params (QuantDense)
     _, model8, v8, _, _ = load_pretrained_model(
         base_dir, model_name="llava_phi", load_8bit=True,
         dtype=jnp.float32)
-    k8 = np.asarray(v8["params"]["language_model"]["layers_0"]
-                    ["self_attn"]["o_proj"]["kernel"])
+    assert model8.cfg.decoder.quant == "int8"
+    o8 = v8["params"]["language_model"]["layers_0"]["self_attn"]["o_proj"]
+    assert o8["kernel_q"].dtype == np.int8
     base_k = np.asarray(base_vars["params"]["language_model"]["layers_0"]
                         ["self_attn"]["o_proj"]["kernel"])
-    assert not np.array_equal(k8, base_k)         # actually quantized
-    np.testing.assert_allclose(k8, base_k, atol=np.abs(base_k).max() / 80)
+    deq = o8["kernel_q"].astype(np.float32) * o8["scale"][None, :]
+    assert not np.array_equal(deq, base_k)        # actually quantized
+    np.testing.assert_allclose(deq, base_k,
+                               atol=np.abs(base_k).max() / 80)
+    # load_4bit: value-quantized through the nf4 grid
     _, _, v4, _, _ = load_pretrained_model(
         base_dir, model_name="llava_phi", load_4bit=True,
         dtype=jnp.float32)
@@ -184,9 +188,19 @@ def test_lora_merge_and_quant_loading(tmp_path):
                     ["self_attn"]["o_proj"]["kernel"])
     assert not np.array_equal(k4, base_k)
     # int8 grid is finer than nf4
-    assert np.abs(k8 - base_k).mean() < np.abs(k4 - base_k).mean()
-    # quantized model still runs
+    assert np.abs(deq - base_k).mean() < np.abs(k4 - base_k).mean()
+    # the int8-runtime model runs and roughly matches the bf16 model
     ids = np.full((1, 4), 3, np.int32)
     px = np.zeros((1, 28, 28, 3), np.float32)
     out = model8.apply(v8, jnp.asarray(ids), jnp.asarray(px))
     assert np.all(np.isfinite(np.asarray(out.logits)))
+    from competesmoe_tpu.models.builder import llava_config_from_hf
+    from competesmoe_tpu.models.llava import LlavaModel
+    base_model = LlavaModel(
+        __import__("dataclasses").replace(model8.cfg, decoder=__import__(
+            "dataclasses").replace(model8.cfg.decoder, quant=None)))
+    ref_out = base_model.apply(base_vars, jnp.asarray(ids),
+                               jnp.asarray(px))
+    lp8 = np.asarray(out.logits)
+    lpb = np.asarray(ref_out.logits)
+    assert np.abs(lp8 - lpb).max() < 0.35 * np.abs(lpb).max() + 0.5

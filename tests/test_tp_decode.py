@@ -91,3 +91,53 @@ def test_tp_decode_gqa_and_split_proj():
     np.testing.assert_allclose(np.asarray(logits),
                                np.asarray(logits_ref), rtol=2e-5,
                                atol=1e-5)
+
+
+def test_quant_dense_decode_matches_dequantized():
+    """QuantDense int8 runtime == explicit dequantized matmul, and the
+    int8 decoder produces logits close to a bf16 decoder holding the
+    dequantized weights (the load_8bit path, VERDICT item 9 runtime)."""
+    import numpy as np
+    from competesmoe_tpu.models.decoder import QuantDense
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    layer = QuantDense(16, mode="int8", dtype=jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    kq = np.asarray(params["params"]["kernel_q"], np.float32)
+    sc = np.asarray(params["params"]["scale"])
+    ref = np.asarray(x, np.float32) @ (kq * sc[None, :])
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    # full decoder: quantize a bf16 model's params -> int8 runtime and
+    # compare logits against the same dequantized values in a plain model
+    from competesmoe_tpu.models.builder import quantize_decoder_to_int8
+
+    cfg = tiny_cfg()
+    model = DecoderLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 1, 64)
+    params = model.init(jax.random.PRNGKey(2), ids)["params"]
+    qparams = quantize_decoder_to_int8(params)
+    qcfg = dataclasses.replace(cfg, quant="int8")
+    qmodel = DecoderLM(qcfg)
+    qlogits, _, _ = qmodel.apply({"params": qparams}, ids)
+
+    # dequantize back into the plain model for the reference forward
+    def dequant(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and "kernel_q" in v:
+                out[k] = dict(v)
+                out[k]["kernel"] = (v["kernel_q"].astype(np.float32)
+                                    * np.asarray(v["scale"])[None, :])
+                del out[k]["kernel_q"], out[k]["scale"]
+            elif isinstance(v, dict):
+                out[k] = dequant(v)
+            else:
+                out[k] = v
+        return out
+
+    ref_logits, _, _ = model.apply({"params": dequant(qparams)}, ids)
+    np.testing.assert_allclose(np.asarray(qlogits), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-4)

@@ -43,6 +43,8 @@ PREFILL, MAXLEN = 128, 512
 
 
 def random_bf16_params(model, rng_seed=0):
+    """Host-built random params honoring each leaf's dtype (bf16 weights,
+    int8 kernel_q + f32 scale under --quant)."""
     import ml_dtypes
     shapes = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32)),
@@ -50,6 +52,11 @@ def random_bf16_params(model, rng_seed=0):
     rng = np.random.default_rng(rng_seed)
 
     def mk(leaf):
+        if np.issubdtype(leaf.dtype, np.integer):
+            return rng.integers(-127, 128, leaf.shape).astype(leaf.dtype)
+        if leaf.dtype == np.float32:
+            return (rng.standard_normal(leaf.shape) * 2e-4).astype(
+                np.float32)
         a = rng.standard_normal(leaf.shape, np.float32) * 0.02
         return a.astype(ml_dtypes.bfloat16)
 
@@ -97,13 +104,15 @@ def time_decode(prefill, make_decode, params, ids, cache, reps=3):
 
 def run_jax(a):
     cfg = dataclasses.replace(phi35_mini_config(),
-                              num_hidden_layers=a.layers)
+                              num_hidden_layers=a.layers,
+                              quant=a.quant or None)
     model = DecoderLM(cfg)
     t0 = time.time()
     params = random_bf16_params(model)
     nparams = sum(x.size for x in jax.tree_util.tree_leaves(params))
     ids = jnp.ones((a.batch, PREFILL), jnp.int32)
     detail = {"n_layers": a.layers, "batch": a.batch,
+              "quant": a.quant or "bf16",
               "params_b": round(nparams / 1e9, 2),
               "prefill": PREFILL, "kv_len": MAXLEN,
               "device": str(jax.devices()[0])}
@@ -215,6 +224,8 @@ def main():
                     help="DxM tensor-parallel mesh, e.g. 1x8")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--hf-baseline", action="store_true")
+    ap.add_argument("--quant", default="", choices=["", "int8", "w8a8"],
+                    help="int8 weight-only / w8a8 dynamic decode")
     # positional back-compat: bench_decode.py [n_layers] [batch]
     ap.add_argument("pos", nargs="*", type=int)
     a = ap.parse_args()
