@@ -60,6 +60,18 @@ class LMConfig:
     # RoPE
     rotate_fraction: float = 0.5
     rope_base: float = 10000.0
+    # MoA — MoE-ified attention projections (the reference's -moe.att.*
+    # flags, transformer_lm_mixin.py:48-65; FullMoeRopeAttention)
+    att_moe: bool = False
+    att_n_experts: int = 4
+    att_k: int = 2
+    att_q_expert: bool = True
+    att_k_expert: bool = True
+    att_v_expert: bool = True
+    att_o_expert: bool = True
+    att_v_size: Optional[int] = None
+    att_expert_dropout: float = 0.0
+    att_selection_dropout: float = 0.0
     # universal transformer sharing
     universal_group_size: int = 1        # 1 -> no sharing
     universal_group_type: str = "abab"
@@ -218,7 +230,11 @@ class MoETransformerBlock(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.attn = FastRopeAttention(cfg)
+        if cfg.att_moe:
+            from .moa import FullMoeRopeAttention
+            self.attn = FullMoeRopeAttention(cfg)
+        else:
+            self.attn = FastRopeAttention(cfg)
         std_scale = math.sqrt(cfg.layer_std_constant / cfg.n_layers)
         moe_cls = get_pretrain_moe(cfg.moe_name)
         self.moe = moe_cls(dmodel=cfg.d_model, n_experts=cfg.n_experts,
@@ -237,8 +253,13 @@ class MoETransformerBlock(nn.Module):
             # carried states were normalized when saved; normalize current
             # (relative_moe_transformer.py:150-151)
             attend_to = jnp.concatenate([prev_state, ninput], axis=1)
-        attn_out = self.attn(ninput, attend_to=attend_to,
-                             pos_offset=pos_offset)
+        att_aux = None
+        if self.cfg.att_moe:
+            attn_out, att_aux = self.attn(ninput, attend_to=attend_to,
+                                          pos_offset=pos_offset, train=train)
+        else:
+            attn_out = self.attn(ninput, attend_to=attend_to,
+                                 pos_offset=pos_offset)
         x = x + attn_out
         kwargs = {}
         if isinstance(self.moe, PretrainCompeteSMoE):
@@ -246,6 +267,10 @@ class MoETransformerBlock(nn.Module):
         moe_out, aux = self.moe(self.norm2(x), step=step, train=train,
                                 return_id_experts=return_id_experts,
                                 **kwargs)
+        if att_aux is not None:
+            aux = aux.replace(
+                aux_loss=aux.aux_loss + att_aux.aux_loss,
+                losses={**aux.losses, **att_aux.losses})
         return x + moe_out, aux
 
 

@@ -149,6 +149,19 @@ def _task_args(parser: ArgumentParser):
     # rope
     parser.add_argument("-rope.rotate_fraction", default=0.5)
     parser.add_argument("-rope.base", default=10000.0)
+    # MoA attention (reference -moe.att.* flags,
+    # transformer_lm_mixin.py:48-65)
+    parser.add_argument("-moe.att.enable", default=False)
+    parser.add_argument("-moe.att.n_experts", default=4)
+    parser.add_argument("-moe.att.k", default=2)
+    parser.add_argument("-moe.att.q_expert", default=True)
+    parser.add_argument("-moe.att.k_expert", default=True)
+    parser.add_argument("-moe.att.v_expert", default=True)
+    parser.add_argument("-moe.att.o_expert", default=True)
+    parser.add_argument("-moe.att.v_size", default="none",
+                        parser=parser.int_or_none_parser)
+    parser.add_argument("-moe.att.drop_expert", default=0.0)
+    parser.add_argument("-moe.att.selection_dropout", default=0.0)
     # moe
     parser.add_argument("-moe_name", default="competesmoe")
     parser.add_argument("-moe.n_experts", default=64)
@@ -203,6 +216,12 @@ def lm_config_from(a: DotDict) -> LMConfig:
         moe_topk=a.pkm.n_heads, moe_args=moe_args_from(a),
         moe_impl=a.moe.impl,
         rotate_fraction=a.rope.rotate_fraction, rope_base=a.rope.base,
+        att_moe=a.moe.att.enable, att_n_experts=a.moe.att.n_experts,
+        att_k=a.moe.att.k, att_q_expert=a.moe.att.q_expert,
+        att_k_expert=a.moe.att.k_expert, att_v_expert=a.moe.att.v_expert,
+        att_o_expert=a.moe.att.o_expert, att_v_size=a.moe.att.v_size,
+        att_expert_dropout=a.moe.att.drop_expert,
+        att_selection_dropout=a.moe.att.selection_dropout,
         universal_group_size=a.transformer.universal.group_size,
         universal_group_type=a.transformer.universal.group_type,
         dtype=jnp.bfloat16 if a.amp else jnp.float32,
