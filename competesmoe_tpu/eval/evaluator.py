@@ -91,7 +91,10 @@ def evaluate(lm, task_objs: Dict[str, ConfigurableTask], rank: int = 0,
         task.apply_filters()
         scores = task.score()
         for metric, vals in getattr(task, "sample_scores", {}).items():
-            if metric in scores and bootstrap_iters > 0:
+            # corpus-level metrics (e.g. CIDEr) keep raw per-sample items;
+            # bootstrap only applies to numeric per-sample scores
+            numeric = all(isinstance(v, (int, float)) for v in vals)
+            if metric in scores and bootstrap_iters > 0 and numeric:
                 scores[f"{metric}_stderr"] = bootstrap_stderr(
                     vals, n_resamples=bootstrap_iters)
         results["results"][name] = scores

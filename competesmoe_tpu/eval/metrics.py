@@ -119,6 +119,45 @@ def accuracy(pred, target) -> float:
     return float(pred == target)
 
 
+@register_metric("vqa_accuracy")
+def vqa_accuracy_metric(pred, target) -> float:
+    """EvalAI 10-annotator consensus accuracy (tasks/vqav2/utils.py:20-46);
+    target may be a list of annotator answers or a single string."""
+    from .vqa_metrics import vqa_accuracy
+    if isinstance(target, str):
+        target = [target]
+    return vqa_accuracy(pred, list(target))
+
+
+@register_metric("relaxed_accuracy")
+def relaxed_accuracy_metric(pred, target) -> float:
+    """ChartQA relaxed correctness (tasks/chartqa/utils.py:25-67)."""
+    from .vqa_metrics import relaxed_correctness
+    return relaxed_correctness(pred, target)
+
+
+@register_metric("ocrbench_accuracy")
+def ocrbench_metric(pred, target) -> float:
+    """OCRBench containment scoring (tasks/ocrbench/utils.py:30-62)."""
+    from .vqa_metrics import ocrbench_contains
+    return ocrbench_contains(pred, target)
+
+
+@register_metric("cider_item")
+def cider_item(pred, target):
+    """Passthrough pairing for corpus-level CIDEr-D: returns the raw
+    (candidate, references) tuple; the `cider` aggregation consumes the
+    full list (the reference's *_passthrough metrics + pycocoevalcap)."""
+    refs = [target] if isinstance(target, str) else list(target)
+    return (pred, refs)
+
+
+@register_aggregation("cider")
+def agg_cider(items) -> float:
+    from .vqa_metrics import cider_d
+    return cider_d(items)
+
+
 # -- filters (response post-processing pipeline) --
 
 @register_filter("regex")

@@ -243,6 +243,15 @@ class ConfigurableTask:
             inst.filtered_resps["default"] = resps
         del specs
 
+    @staticmethod
+    def _coerce_float(v):
+        """Metric values are floats except for corpus-level passthrough
+        metrics (e.g. cider_item), whose raw items go to the aggregation."""
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return v
+
     def score(self) -> Dict[str, float]:
         """Per-doc metrics -> aggregation (evaluator.py:330-560 role).
         Per-sample scores are kept on `self.sample_scores` so the
@@ -256,7 +265,7 @@ class ConfigurableTask:
             if self.process_results is not None:
                 results = self.process_results(doc, resps)
                 for k, v in results.items():
-                    per_metric.setdefault(k, []).append(float(v))
+                    per_metric.setdefault(k, []).append(self._coerce_float(v))
                 continue
             target = self.doc_to_target(doc) if self.doc_to_target else ""
             for spec in self.cfg.metric_list:
@@ -268,7 +277,8 @@ class ConfigurableTask:
                 else:
                     # loglikelihood responses: (ll, is_greedy)
                     val = float(resps[0][1])
-                per_metric.setdefault(spec["metric"], []).append(val)
+                per_metric.setdefault(spec["metric"],
+                                      []).append(self._coerce_float(val))
         out = {}
         for spec in self.cfg.metric_list:
             name = spec["metric"]

@@ -186,32 +186,116 @@ def _register_all() -> Dict[str, TaskConfig]:
 
     single_word = ("\nAnswer the question using a single word or "
                    "phrase.")
-    for name, path, split, q_key, a_key, img_key, metric in (
-        ("docvqa_val", "lmms-lab/DocVQA", "validation", "question",
-         "answers", "image", "anls"),
-        ("chartqa", "lmms-lab/ChartQA", "test", "question", "answer",
-         "image", "exact_match"),
-        ("vqav2_val", "lmms-lab/VQAv2", "validation", "question",
-         "multiple_choice_answer", "image", "exact_match"),
-        ("vizwiz_vqa_val", "lmms-lab/VizWiz-VQA", "val", "question",
-         "answers", "image", "exact_match"),
-        ("realworldqa", "lmms-lab/RealWorldQA", "test", "question",
+
+    def _list_target(d, k):
+        """Keep ALL ground-truth strings (anls / vqa_accuracy /
+        ocrbench_accuracy take the best over references)."""
+        v = d.get(k)
+        if isinstance(v, (list, tuple)):
+            return [str(x) for x in v]
+        return str(v)
+
+    # short-answer QA tasks (reference tasks/<name>/*.yaml dataset specs;
+    # metric choices mirror the per-task utils: anls for Doc/Info/ST-VQA,
+    # EvalAI consensus accuracy for VQAv2/VizWiz/OK-VQA, relaxed
+    # correctness for ChartQA, containment for OCRBench)
+    for name, path, dname, split, q_key, a_key, img_key, metric in (
+        ("docvqa_val", "lmms-lab/DocVQA", "DocVQA", "validation",
+         "question", "answers", "image", "anls"),
+        ("infovqa_val", "lmms-lab/DocVQA", "InfographicVQA", "validation",
+         "question", "answers", "image", "anls"),
+        ("stvqa", "lmms-lab/ST-VQA", None, "test", "question", "answers",
+         "image", "anls"),
+        ("chartqa", "lmms-lab/ChartQA", None, "test", "question",
+         "answer", "image", "relaxed_accuracy"),
+        ("vqav2_val", "lmms-lab/VQAv2", None, "validation", "question",
+         "answers", "image", "vqa_accuracy"),
+        ("vizwiz_vqa_val", "lmms-lab/VizWiz-VQA", None, "val", "question",
+         "answers", "image", "vqa_accuracy"),
+        ("ok_vqa_val2014", "lmms-lab/OK-VQA", None, "val2014", "question",
+         "answers", "image", "vqa_accuracy"),
+        ("realworldqa", "lmms-lab/RealWorldQA", None, "test", "question",
          "answer", "image", "exact_match"),
+        ("ocrbench", "echo840/OCRBench", None, "test", "question",
+         "answer", "image", "ocrbench_accuracy"),
+        ("iconqa_test", "lmms-lab/ICON-QA", None, "test", "question",
+         "answers", "query_image", "anls"),
     ):
         def _target(d, k=a_key):
-            v = d.get(k)
-            if isinstance(v, (list, tuple)):
-                return str(v[0]) if v else ""
-            return str(v)
+            v = _list_target(d, k)
+            # VQAv2/OK-VQA store annotator dicts [{"answer": ...}, ...]
+            if isinstance(v, list):
+                return [x["answer"] if isinstance(x, dict) else x
+                        for x in (d.get(k) or [])] or [""]
+            return v
 
         configs[name] = register_task(name, TaskConfig(
-            task=name, dataset_path=path, test_split=split,
-            output_type="generate_until",
+            task=name, dataset_path=path, dataset_name=dname,
+            test_split=split, output_type="generate_until",
             doc_to_text=lambda d, k=q_key: d[k] + single_word,
             doc_to_visual=_visual(img_key),
             doc_to_target=_target,
-            generation_kwargs={"max_new_tokens": 16},
+            generation_kwargs={"max_new_tokens": 32},
             metric_list=[{"metric": metric, "aggregation": "mean"}]))
+
+    # MMStar: MCQ with embedded options; per-category accuracy in the
+    # reference (tasks/mmstar/utils.py) — grouped here under `mmstar`
+    configs["mmstar"] = register_task("mmstar", TaskConfig(
+        task="mmstar", dataset_path="Lin-Chen/MMStar", test_split="val",
+        output_type="generate_until", group="mmstar",
+        doc_to_text=lambda d: d["question"] + letter_prompt,
+        doc_to_visual=_visual(),
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 4},
+        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+
+    # HallusionBench image split: yes/no hallucination probes
+    # (tasks/hallusion_bench/*; aAcc = per-answer accuracy)
+    def _hb_target(d):
+        return "yes" if str(d.get("gt_answer", "")).strip() == "1" \
+            else "no"
+
+    configs["hallusion_bench_image"] = register_task(
+        "hallusion_bench_image", TaskConfig(
+            task="hallusion_bench_image",
+            dataset_path="lmms-lab/HallusionBench", test_split="image",
+            output_type="generate_until",
+            doc_to_text=lambda d: (d["question"]
+                                   + "\nAnswer yes or no."),
+            doc_to_visual=_visual(),
+            doc_to_target=_hb_target,
+            generation_kwargs={"max_new_tokens": 8},
+            filter_list=[{"filter": "regex",
+                          "pattern": r"(?i)\b(yes|no)\b", "group": 1,
+                          "fallback": "[invalid]"},
+                         {"filter": "strip"}],
+            metric_list=[{"metric": "exact_match",
+                          "aggregation": "mean"}]))
+
+    # captioning tasks -> corpus-level CIDEr-D (coco_cap/textcaps/nocaps/
+    # flickr30k yamls; the reference scores them with pycocoevalcap)
+    cap_prompt = ("Provide a one-sentence caption for the provided "
+                  "image.")
+    for name, path, split, ref_key, img_key in (
+        ("coco2014_cap_val", "lmms-lab/COCO-Caption", "val", "answer",
+         "image"),
+        ("textcaps_val", "lmms-lab/TextCaps", "val", "reference_strs",
+         "image"),
+        ("nocaps_val", "lmms-lab/NoCaps", "validation",
+         "annotations_captions", "image"),
+        ("flickr30k_test", "lmms-lab/flickr30k", "test", "caption",
+         "image"),
+    ):
+        configs[name] = register_task(name, TaskConfig(
+            task=name, dataset_path=path, test_split=split,
+            output_type="generate_until",
+            doc_to_text=lambda d: cap_prompt,
+            doc_to_visual=_visual(img_key),
+            doc_to_target=lambda d, k=ref_key: _list_target(d, k),
+            generation_kwargs={"max_new_tokens": 64},
+            metric_list=[{"metric": "cider_item",
+                          "aggregation": "cider"}]))
 
     return configs
 
