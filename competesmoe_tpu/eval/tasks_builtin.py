@@ -238,17 +238,39 @@ def _register_all() -> Dict[str, TaskConfig]:
             generation_kwargs={"max_new_tokens": 32},
             metric_list=[{"metric": metric, "aggregation": "mean"}]))
 
-    # MMStar: MCQ with embedded options; per-category accuracy in the
-    # reference (tasks/mmstar/utils.py) — grouped here under `mmstar`
+    # MMStar: MCQ with embedded options; first-letter matching + per-
+    # category accuracy channels (tasks/mmstar/utils.py:64-96)
+    def _mmstar_match(pred, gt):
+        answer = str(gt).lower().strip().replace("\n", " ")
+        predict = str(pred).lower().strip().replace("\n", " ")
+        if not predict:
+            return 0.0
+        if answer == predict[0]:
+            return 1.0
+        if predict[0] == "(" and len(predict) > 1 and answer == predict[1]:
+            return 1.0
+        if predict[:7] == "option " and len(predict) > 7 \
+                and answer == predict[7]:
+            return 1.0
+        if predict[:14] == "the answer is " and len(predict) > 14 \
+                and answer == predict[14]:
+            return 1.0
+        return 0.0
+
+    def _mmstar_results(doc, resps):
+        score = _mmstar_match(resps[0], doc["answer"])
+        return {doc.get("category", "uncategorized"): score,
+                "average": score}
+
     configs["mmstar"] = register_task("mmstar", TaskConfig(
         task="mmstar", dataset_path="Lin-Chen/MMStar", test_split="val",
-        output_type="generate_until", group="mmstar",
+        output_type="generate_until",
         doc_to_text=lambda d: d["question"] + letter_prompt,
         doc_to_visual=_visual(),
         doc_to_target=lambda d: d["answer"],
+        process_results=_mmstar_results,
         generation_kwargs={"max_new_tokens": 4},
-        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
-        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+        metric_list=[{"metric": "average", "aggregation": "mean"}]))
 
     # HallusionBench image split: yes/no hallucination probes
     # (tasks/hallusion_bench/*; aAcc = per-answer accuracy)

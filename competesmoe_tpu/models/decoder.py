@@ -75,6 +75,11 @@ class DecoderConfig:
     #             'int8' in production (967 tok/s/chip measured vs 578
     #             bf16, batch 8)
     quant: Optional[str] = None
+    # KV-cache quantization: 'int8' stores K/V as int8 with a per
+    # (layer, batch, position, kv-head) f32 scale — halves the KV read
+    # bandwidth every decode step (the decode-time analog of load_8bit;
+    # see boom paged-attention's quantized KV cache design)
+    kv_quant: Optional[str] = None
     dtype: Any = jnp.float32
 
     @property
@@ -205,17 +210,36 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 @flax.struct.dataclass
 class KVCache:
-    k: jax.Array  # [L, B, max_len, kv_heads, head_dim]
+    k: jax.Array  # [L, B, max_len, kv_heads, head_dim] (dtype or int8)
     v: jax.Array
     pos: jax.Array  # [B] current length per sequence
+    # int8 KV mode only: per (L, B, slot, kv-head) dequant scales
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, cfg: DecoderConfig, batch: int, max_len: int):
         shape = (cfg.num_hidden_layers, batch, max_len,
                  cfg.num_key_value_heads, cfg.head_dim)
+        if cfg.kv_quant == "int8":
+            sshape = shape[:-1]
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       pos=jnp.zeros((batch,), jnp.int32),
+                       k_scale=jnp.zeros(sshape, cfg.dtype),
+                       v_scale=jnp.zeros(sshape, cfg.dtype))
         return cls(k=jnp.zeros(shape, cfg.dtype),
                    v=jnp.zeros(shape, cfg.dtype),
                    pos=jnp.zeros((batch,), jnp.int32))
+
+
+def _quantize_kv(x: jax.Array):
+    """Per (token, head) symmetric int8: x [B, T, hk, d] ->
+    (int8 values, scales [B, T, hk])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return q.clip(-127, 127).astype(jnp.int8), scale.astype(x.dtype)
 
 
 class QuantDense(nn.Module):
@@ -312,27 +336,60 @@ class DecoderAttention(nn.Module):
             k = apply_rope(k, cos, sin)
 
         new_cache = None
+        k_scale = v_scale = None
         if cache_kv is not None:
-            ck, cv = cache_kv
             # In-place batched scatter into this layer's slice. Prefill
             # pads share the dump slot, so unique_indices is a promise we
             # break for garbage slots only — any duplicate pad write may
             # win; all are dead.
             b_idx = jnp.arange(B)[:, None]
-            ck = ck.at[layer_idx, b_idx, cache_idx].set(
-                k, unique_indices=True)
-            cv = cv.at[layer_idx, b_idx, cache_idx].set(
-                v, unique_indices=True)
-            k, v = ck[layer_idx], cv[layer_idx]
-            new_cache = (ck, cv)
+            if len(cache_kv) == 4:  # int8 KV: values + per-slot scales
+                ck, cv, cks, cvs = cache_kv
+                kq, k_s = _quantize_kv(k)
+                vq, v_s = _quantize_kv(v)
+                ck = ck.at[layer_idx, b_idx, cache_idx].set(
+                    kq, unique_indices=True)
+                cv = cv.at[layer_idx, b_idx, cache_idx].set(
+                    vq, unique_indices=True)
+                cks = cks.at[layer_idx, b_idx, cache_idx].set(
+                    k_s, unique_indices=True)
+                cvs = cvs.at[layer_idx, b_idx, cache_idx].set(
+                    v_s, unique_indices=True)
+                # Do NOT dequantize the big K/V tensors here (XLA would
+                # materialize bf16 copies, erasing the bandwidth win —
+                # measured 8.54 vs 8.27 ms/step). The int8 values flow
+                # into the attention einsums via a pure convert (which
+                # fuses into the operand read) and the per-(slot, head)
+                # scales are folded into the SMALL tensors instead:
+                # K scales into the score matrix, V scales into the
+                # softmax probabilities.
+                k, v = ck[layer_idx], cv[layer_idx]
+                k_scale, v_scale = cks[layer_idx], cvs[layer_idx]
+                new_cache = (ck, cv, cks, cvs)
+            else:
+                ck, cv = cache_kv
+                ck = ck.at[layer_idx, b_idx, cache_idx].set(
+                    k, unique_indices=True)
+                cv = cv.at[layer_idx, b_idx, cache_idx].set(
+                    v, unique_indices=True)
+                k, v = ck[layer_idx], cv[layer_idx]
+                new_cache = (ck, cv)
 
         if hk != h:
             rep = h // hk
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
+            if k_scale is not None:
+                k_scale = jnp.repeat(k_scale, rep, axis=2)
+                v_scale = jnp.repeat(v_scale, rep, axis=2)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(q.dtype),
                             preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            # fold the K dequant scale into the (small) score matrix:
+            # q·(k8*s) == (q·k8)*s per (slot, head)
+            scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, :] \
+                .astype(scores.dtype)
         scores = scores / math.sqrt(p)
         if cfg.use_alibi:
             # bias = -slope_h * (qpos - kpos); qpos from cos (carries
@@ -346,8 +403,14 @@ class DecoderAttention(nn.Module):
                                * dist[:, None, :, :])
         if mask is not None:
             scores = jnp.where(mask[:, None], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+        probs = jax.nn.softmax(scores, axis=-1)
+        if v_scale is not None:
+            # fold the V dequant scale into the probabilities:
+            # p·(v8*s) == (p*s)·v8 per (slot, head)
+            probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :] \
+                .astype(probs.dtype)
+        probs = probs.astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, T, h * p)
         out = _make_dense(cfg, cfg.hidden_size, "o_proj",
@@ -494,7 +557,11 @@ class DecoderLM(nn.Module):
             if attention_mask is not None:
                 mask = mask & attention_mask[:, None, :].astype(bool)
 
-        cache_kv = (cache.k, cache.v) if cache is not None else None
+        cache_kv = None
+        if cache is not None:
+            cache_kv = ((cache.k, cache.v, cache.k_scale, cache.v_scale)
+                        if cache.k_scale is not None
+                        else (cache.k, cache.v))
         total_aux = jnp.zeros((), jnp.float32)
         auxes: List[MoEAux] = []
         for li, layer in enumerate(self.layers):
@@ -519,7 +586,9 @@ class DecoderLM(nn.Module):
                 advance = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
             else:
                 advance = jnp.full((B,), T, jnp.int32)
-            new_cache = KVCache(k=cache_kv[0], v=cache_kv[1],
-                                pos=cache.pos + advance)
+            new_cache = KVCache(
+                k=cache_kv[0], v=cache_kv[1], pos=cache.pos + advance,
+                k_scale=cache_kv[2] if len(cache_kv) == 4 else None,
+                v_scale=cache_kv[3] if len(cache_kv) == 4 else None)
         return logits, new_cache, {"total_aux_loss": total_aux,
                                    "layers": auxes}

@@ -1,0 +1,86 @@
+"""int8 KV-cache decode tests (DecoderConfig.kv_quant)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from competesmoe_tpu.models.decoder import (
+    DecoderLM,
+    KVCache,
+    _quantize_kv,
+    phi35_mini_config,
+)
+
+
+def tiny_cfg(**kw):
+    base = dataclasses.replace(
+        phi35_mini_config(), num_hidden_layers=2, vocab_size=128,
+        hidden_size=64, intermediate_size=128, num_attention_heads=4,
+        num_key_value_heads=4, rope_scaling_type=None,
+        rope_short_factor=None, rope_long_factor=None, dtype=jnp.float32)
+    return dataclasses.replace(base, **kw)
+
+
+def test_quantize_kv_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 32),
+                          jnp.float32)
+    q, s = _quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 4, 8)
+    xd = q.astype(jnp.float32) * s[..., None]
+    rel = float(jnp.max(jnp.abs(xd - x)) / jnp.max(jnp.abs(x)))
+    assert rel < 0.01  # int8 per-(token,head) symmetric quantization
+
+
+def test_kv_cache_create_int8():
+    cfg = tiny_cfg(kv_quant="int8")
+    cache = KVCache.create(cfg, batch=3, max_len=16)
+    assert cache.k.dtype == jnp.int8
+    assert cache.k_scale.shape == (2, 3, 16, 4)
+    bf16_cache = KVCache.create(tiny_cfg(), batch=3, max_len=16)
+    assert bf16_cache.k_scale is None
+
+
+def test_int8_kv_decode_close_to_bf16_kv():
+    """Prefill + decode logits with the int8 cache stay within int8
+    quantization noise of the full-precision cache."""
+    cfg_b = tiny_cfg()
+    cfg_q = tiny_cfg(kv_quant="int8")
+    m_b, m_q = DecoderLM(cfg_b), DecoderLM(cfg_q)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 0, 128)
+    params = m_b.init(jax.random.PRNGKey(1), ids)
+
+    lb, cb, _ = m_b.apply(params, ids, cache=KVCache.create(cfg_b, 2, 24))
+    lq, cq, _ = m_q.apply(params, ids, cache=KVCache.create(cfg_q, 2, 24))
+    scale = float(jnp.abs(lb).max())
+    assert float(jnp.abs(lb - lq).max()) < 0.05 * scale
+    np.testing.assert_array_equal(np.asarray(cb.pos), np.asarray(cq.pos))
+
+    # one decode step with each cache: logits still close
+    tok = jnp.argmax(lb[:, -1], -1)[:, None]
+    lb2, _, _ = m_b.apply(params, tok, cache=cb)
+    lq2, _, _ = m_q.apply(params, tok, cache=cq)
+    assert float(jnp.abs(lb2 - lq2).max()) < 0.05 * scale
+
+
+def test_int8_kv_respects_padding_mask():
+    """Left-padded prefill rows must not let pad K/V leak into attention
+    (the dump-slot convention survives quantization)."""
+    cfg = tiny_cfg(kv_quant="int8")
+    model = DecoderLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, 6), 1, 128)
+    params = model.init(jax.random.PRNGKey(1), ids)
+
+    # unpadded
+    l1, c1, _ = model.apply(params, ids, cache=KVCache.create(cfg, 1, 16))
+    # left-padded by 3 garbage tokens
+    pad = jnp.zeros((1, 3), jnp.int32)
+    ids_p = jnp.concatenate([pad, ids], axis=1)
+    am = jnp.concatenate([jnp.zeros((1, 3), jnp.int32),
+                          jnp.ones((1, 6), jnp.int32)], axis=1)
+    l2, c2, _ = model.apply(params, ids_p, attention_mask=am,
+                            cache=KVCache.create(cfg, 1, 16))
+    np.testing.assert_allclose(np.asarray(l1[:, -1]),
+                               np.asarray(l2[:, -1]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(c1.pos), np.asarray(c2.pos))

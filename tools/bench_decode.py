@@ -105,7 +105,8 @@ def time_decode(prefill, make_decode, params, ids, cache, reps=3):
 def run_jax(a):
     cfg = dataclasses.replace(phi35_mini_config(),
                               num_hidden_layers=a.layers,
-                              quant=a.quant or None)
+                              quant=a.quant or None,
+                              kv_quant=a.kv_quant or None)
     model = DecoderLM(cfg)
     t0 = time.time()
     params = random_bf16_params(model)
@@ -113,6 +114,7 @@ def run_jax(a):
     ids = jnp.ones((a.batch, PREFILL), jnp.int32)
     detail = {"n_layers": a.layers, "batch": a.batch,
               "quant": a.quant or "bf16",
+              "kv_quant": a.kv_quant or "bf16",
               "params_b": round(nparams / 1e9, 2),
               "prefill": PREFILL, "kv_len": MAXLEN,
               "device": str(jax.devices()[0])}
@@ -226,6 +228,8 @@ def main():
     ap.add_argument("--hf-baseline", action="store_true")
     ap.add_argument("--quant", default="", choices=["", "int8", "w8a8"],
                     help="int8 weight-only / w8a8 dynamic decode")
+    ap.add_argument("--kv-quant", default="", choices=["", "int8"],
+                    help="int8 KV cache (halves KV read bandwidth)")
     # positional back-compat: bench_decode.py [n_layers] [batch]
     ap.add_argument("pos", nargs="*", type=int)
     a = ap.parse_args()
