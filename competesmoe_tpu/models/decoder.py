@@ -375,21 +375,18 @@ class DecoderAttention(nn.Module):
                 k, v = ck[layer_idx], cv[layer_idx]
                 new_cache = (ck, cv)
 
-        if hk != h:
-            rep = h // hk
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-            if k_scale is not None:
-                k_scale = jnp.repeat(k_scale, rep, axis=2)
-                v_scale = jnp.repeat(v_scale, rep, axis=2)
-
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(q.dtype),
+        # GQA: group the query heads per KV head instead of jnp.repeat-ing
+        # K/V (repeat materializes h/hk expanded copies — pure wasted HBM
+        # bandwidth in decode; grouping keeps K/V at their stored width)
+        rep = h // hk
+        q = q.reshape(B, T, hk, rep, p)
+        scores = jnp.einsum("bqhrd,bkhd->bhrqk", q, k.astype(q.dtype),
                             preferred_element_type=jnp.float32)
         if k_scale is not None:
             # fold the K dequant scale into the (small) score matrix:
-            # q·(k8*s) == (q·k8)*s per (slot, head)
-            scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, :] \
-                .astype(scores.dtype)
+            # q·(k8*s) == (q·k8)*s per (slot, kv-head)
+            scores = scores * jnp.moveaxis(k_scale, 1, -1)[
+                :, :, None, None, :].astype(scores.dtype)
         scores = scores / math.sqrt(p)
         if cfg.use_alibi:
             # bias = -slope_h * (qpos - kpos); qpos from cos (carries
@@ -398,19 +395,19 @@ class DecoderAttention(nn.Module):
             kv_len = k.shape[1]
             kpos = jnp.arange(kv_len, dtype=jnp.float32)
             dist = qpos[:, :, None] - kpos[None, None, :]   # [B, T, K]
-            slopes = jnp.asarray(alibi_slopes(h))           # [h]
-            scores = scores - (slopes[None, :, None, None]
-                               * dist[:, None, :, :])
+            slopes = jnp.asarray(alibi_slopes(h)).reshape(hk, rep)
+            scores = scores - (slopes[None, :, :, None, None]
+                               * dist[:, None, None, :, :])
         if mask is not None:
-            scores = jnp.where(mask[:, None], scores, -1e30)
+            scores = jnp.where(mask[:, None, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         if v_scale is not None:
             # fold the V dequant scale into the probabilities:
-            # p·(v8*s) == (p*s)·v8 per (slot, head)
-            probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :] \
-                .astype(probs.dtype)
+            # p·(v8*s) == (p*s)·v8 per (slot, kv-head)
+            probs = probs * jnp.moveaxis(v_scale, 1, -1)[
+                :, :, None, None, :].astype(probs.dtype)
         probs = probs.astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(x.dtype),
+        out = jnp.einsum("bhrqk,bkhd->bqhrd", probs, v.astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, T, h * p)
         out = _make_dense(cfg, cfg.hidden_size, "o_proj",

@@ -167,11 +167,14 @@ def test_lora_merge_and_quant_loading(tmp_path):
     e1 = base_vars["params"]["language_model"]["embed_tokens"]["embedding"]
     np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
 
-    # load_8bit: the decoder gets TRUE int8 runtime params (QuantDense)
+    # load_8bit: the decoder gets TRUE int8 runtime params (QuantDense);
+    # kv_quant threads into the decoder config (generate's KVCache.create
+    # then allocates the int8 cache)
     _, model8, v8, _, _ = load_pretrained_model(
         base_dir, model_name="llava_phi", load_8bit=True,
-        dtype=jnp.float32)
+        kv_quant="int8", dtype=jnp.float32)
     assert model8.cfg.decoder.quant == "int8"
+    assert model8.cfg.decoder.kv_quant == "int8"
     o8 = v8["params"]["language_model"]["layers_0"]["self_attn"]["o_proj"]
     assert o8["kernel_q"].dtype == np.int8
     base_k = np.asarray(base_vars["params"]["language_model"]["layers_0"]
