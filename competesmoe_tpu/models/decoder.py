@@ -322,7 +322,21 @@ class DecoderAttention(nn.Module):
         per-layer slices would copy the whole cache every decode step).
         cache_idx: [B, T] slot per current token; pad tokens point at the
         dump slot max_len-1, which is only legitimately written by the
-        final token — so stale pad K/V is never attended."""
+        final token — so stale pad K/V is never attended.
+
+        Decode attention stays in XLA on purpose: a Pallas
+        paged-attention-style kernel (double-buffered manual KV-block
+        DMAs skipping blocks past each row's length, fused int8 dequant,
+        flash online softmax) was built and measured on v5e (2026-08-16,
+        B=8, h=hk=32, d=96) and LOST at every geometry — e.g. window
+        4096 / length 1024: 1.80 ms vs XLA's 0.48 ms bf16 (int8 KV:
+        1.15 vs 0.40 ms); window 512: 0.33 vs 0.04 ms. XLA's batched
+        einsum over [B,S,h,d] sustains >1.3 TB/s effective on this chip
+        while single-query attention forces the kernel into per-kv-head
+        [rep,d]x[d,BK] matmuls (Mosaic has no 3-D axis-0 reductions)
+        whose overhead dwarfs the skipped-block DMA savings. Retired per
+        the measured-justification rule (like the Pallas grouped GEMM,
+        ops/expert_compute.py)."""
         cfg = self.cfg
         B, T, _ = x.shape
         h, hk, p = (cfg.num_attention_heads, cfg.num_key_value_heads,
