@@ -39,20 +39,42 @@ def make_mesh(n_expert: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(arr, ("data", "expert"))
 
 
-def param_spec(path_names: Sequence[str], leaf) -> P:
-    """Sharding rule for one parameter, keyed by its path."""
+def param_spec(path_names: Sequence[str], leaf,
+               fsdp_size: int = 1, fsdp_min_size: int = 2**16) -> P:
+    """Sharding rule for one parameter, keyed by its path.
+
+    fsdp_size > 1 additionally shards DENSE parameters over the 'data'
+    axis (largest dim divisible by the axis; small params stay
+    replicated) — the ZeRO-3 / fully-sharded analog of the reference's
+    DeepSpeed configs (scripts/zero3.json): XLA all-gathers each weight
+    at its use site and keeps gradients + optimizer state sharded, while
+    expert tensors keep their dedicated 'expert' axis (the set_z3_leaf
+    role: experts are never gathered, tokens travel instead)."""
     name = path_names[-1] if path_names else ""
     if name in EXPERT_PARAM_NAMES and leaf.ndim >= 1:
         return P("expert", *([None] * (leaf.ndim - 1)))
+    if fsdp_size > 1 and leaf.ndim >= 1 and leaf.size >= fsdp_min_size:
+        for i in sorted(range(leaf.ndim), key=lambda i: -leaf.shape[i]):
+            if leaf.shape[i] % fsdp_size == 0:
+                spec = [None] * leaf.ndim
+                spec[i] = "data"
+                return P(*spec)
     return P()
 
 
-def make_param_shardings(mesh: Mesh, params):
-    """Pytree of NamedShardings for a model's params."""
+def make_param_shardings(mesh: Mesh, params, fsdp: bool = False,
+                         fsdp_min_size: int = 2**16):
+    """Pytree of NamedShardings for a model's params. fsdp=True shards
+    dense params over the 'data' axis (see param_spec); params smaller
+    than fsdp_min_size stay replicated (gather overhead beats the
+    memory saving for small tensors)."""
+    fsdp_size = mesh.shape["data"] if fsdp else 1
+
     def to_spec(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", str(p)))
                  for p in path]
-        return NamedSharding(mesh, param_spec(names, leaf))
+        return NamedSharding(mesh, param_spec(names, leaf, fsdp_size,
+                                              fsdp_min_size))
     return jax.tree_util.tree_map_with_path(to_spec, params)
 
 

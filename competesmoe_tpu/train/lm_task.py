@@ -97,6 +97,11 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-valid_interval", default=500)
     parser.add_argument("-valid_batches", default=10)
     parser.add_argument("-n_expert_shards", default=1)
+    # fully-sharded dense params over the data axis (the reference's
+    # DeepSpeed ZeRO-3 role, scripts/zero3.json; experts keep their own
+    # axis like set_z3_leaf_modules kept them gather-free)
+    parser.add_argument("-fsdp", default=False)
+    parser.add_argument("-fsdp.min_size", default=65536)
     # profiling: capture a jax.profiler trace for steps [start, start+n)
     # (the reference's commented torch.profiler block + -speedtest,
     # simple_task.py:361-381,439-445)
@@ -282,8 +287,10 @@ class SyntheticTransformerTask:
             tokens0 = jnp.zeros((a.batch_size, a.lm.unroll + 1), jnp.int32)
             params = self.model.init(jax.random.PRNGKey(a.seed),
                                      tokens0[:, :-1])["params"]
-            params = jax.device_put(params,
-                                    make_param_shardings(self.mesh, params))
+            params = jax.device_put(
+                params,
+                make_param_shardings(self.mesh, params, fsdp=a.fsdp,
+                                     fsdp_min_size=a.fsdp.min_size))
             self.state = TrainState.create(params, self.optimizer)
         self.train_step = make_train_step(self.model, self.optimizer,
                                           n_microbatch=a.n_microbatch)
