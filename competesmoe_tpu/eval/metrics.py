@@ -158,6 +158,45 @@ def agg_cider(items) -> float:
     return cider_d(items)
 
 
+def mme_parse_pred(pred: str) -> str:
+    """Otter-eval yes/no parsing (tasks/mme/utils.py:62-85)."""
+    pred = str(pred).lower().strip().replace(".", "")
+    if pred in ("yes", "no"):
+        return pred
+    if len(pred) == 1:
+        return {"y": "yes", "n": "no"}.get(pred, "other")
+    prefix = pred[:4]
+    if "yes" in prefix:
+        return "yes"
+    if "no" in prefix:
+        return "no"
+    return "other"
+
+
+@register_aggregation("mme")
+def agg_mme(items) -> float:
+    """MME paired scoring (tasks/mme/utils.py:97-126): each image carries
+    two yes/no questions; per pair score = acc(%) + acc_plus(%) where
+    acc_plus requires BOTH answers correct; category scores are pair
+    averages and the final number is the SUM over categories (perception
+    max 2000, cognition max 800). items: dicts with question_id/category/
+    score."""
+    from collections import defaultdict
+
+    cat2q = defaultdict(lambda: defaultdict(list))
+    for it in items:
+        cat2q[it["category"]][it["question_id"]].append(it["score"])
+    total = 0.0
+    for cat, q2s in cat2q.items():
+        cat_total = 0.0
+        for qid, scores in q2s.items():
+            acc = sum(scores) / len(scores) * 100.0
+            acc_plus = float(sum(scores) == len(scores) == 2) * 100.0
+            cat_total += acc + acc_plus
+        total += cat_total / len(q2s)
+    return total
+
+
 # -- filters (response post-processing pipeline) --
 
 @register_filter("regex")

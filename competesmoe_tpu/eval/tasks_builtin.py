@@ -37,14 +37,36 @@ def _register_all() -> Dict[str, TaskConfig]:
         generation_kwargs={"max_new_tokens": 16},
         metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
 
+    # MME: paired yes/no probes; per-category acc + acc_plus summed into
+    # perception (max 2000) / cognition (max 800) scores
+    # (tasks/mme/utils.py:8-126; the reference's "percetion" typo is kept
+    # for metric-channel parity)
+    _MME_PERCEPTION = {"existence", "count", "position", "color",
+                       "posters", "celebrity", "scene", "landmark",
+                       "artwork", "OCR"}
+
+    def _mme_results(doc, resps):
+        from .metrics import mme_parse_pred
+        gt = str(doc["answer"]).lower().strip().replace(".", "")
+        score = float(mme_parse_pred(resps[0]) == gt)
+        cat = doc.get("category", "")
+        key = "mme_percetion_score" if cat in _MME_PERCEPTION \
+            else "mme_cognition_score"
+        return {key: {"question_id": doc.get("question_id", ""),
+                      "category": cat, "score": score}}
+
     configs["mme"] = register_task("mme", TaskConfig(
         task="mme", dataset_path="lmms-lab/MME", test_split="test",
         output_type="generate_until",
         doc_to_text=lambda d: d["question"],
         doc_to_visual=_visual(),
         doc_to_target=lambda d: d["answer"],
+        process_results=_mme_results,
         generation_kwargs={"max_new_tokens": 16},
-        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+        metric_list=[{"metric": "mme_percetion_score",
+                      "aggregation": "mme"},
+                     {"metric": "mme_cognition_score",
+                      "aggregation": "mme"}]))
 
     configs["textvqa_val"] = register_task("textvqa_val", TaskConfig(
         task="textvqa_val", dataset_path="lmms-lab/textvqa",

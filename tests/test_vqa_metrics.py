@@ -106,8 +106,7 @@ def test_task_score_with_corpus_aggregation():
         doc_to_target=lambda d: d["refs"],
         metric_list=[{"metric": "cider_item", "aggregation": "cider"}],
         docs=docs))
-    insts = task.build_all_requests()
-    task.instances.extend(insts)
+    task.build_all_requests()
     preds = ["a cat on a mat", "a dog in a park"]
     for inst, p in zip(task.instances, preds):
         inst.resps = [p]
@@ -118,6 +117,53 @@ def test_task_score_with_corpus_aggregation():
     # and a mixed numeric metric still bootstraps fine in the evaluator
     from competesmoe_tpu.eval.metrics import bootstrap_stderr
     assert bootstrap_stderr([1.0, 0.0, 1.0]) > 0.0
+
+
+def test_mme_parse_and_paired_aggregation():
+    from competesmoe_tpu.eval.metrics import agg_mme, mme_parse_pred
+
+    assert mme_parse_pred("Yes.") == "yes"
+    assert mme_parse_pred("n") == "no"
+    assert mme_parse_pred("no, it is not") == "no"
+    assert mme_parse_pred("maybe") == "other"
+
+    # one image pair fully correct (acc 100 + acc+ 100 = 200), one half
+    # correct (acc 50 + acc+ 0 = 50) -> category avg 125; second category
+    # with one perfect pair (200) -> total 325
+    items = [
+        {"question_id": "img1", "category": "color", "score": 1.0},
+        {"question_id": "img1", "category": "color", "score": 1.0},
+        {"question_id": "img2", "category": "color", "score": 1.0},
+        {"question_id": "img2", "category": "color", "score": 0.0},
+        {"question_id": "img3", "category": "OCR", "score": 1.0},
+        {"question_id": "img3", "category": "OCR", "score": 1.0},
+    ]
+    assert agg_mme(items) == pytest.approx(325.0)
+
+
+def test_mme_task_scores_through_process_results():
+    from competesmoe_tpu.eval.tasks_builtin import BUILTIN_TASKS
+    import dataclasses
+    from PIL import Image
+
+    docs = []
+    for qid, cat, answers in (("i1", "color", ["Yes", "No"]),
+                              ("i2", "code_reasoning", ["Yes", "Yes"])):
+        for ans in answers:
+            docs.append({"question": "is it?", "answer": ans,
+                         "question_id": qid, "category": cat,
+                         "image": Image.new("RGB", (8, 8))})
+    cfg = dataclasses.replace(BUILTIN_TASKS["mme"], docs=docs)
+    task = ConfigurableTask(cfg)
+    task.build_all_requests()
+    for inst in task.instances:
+        inst.resps = ["Yes"]  # always answers yes
+    task.apply_filters()
+    out = task.score()
+    # perception (color): pair acc 50 + acc+ 0 = 50
+    assert out["mme_percetion_score"] == pytest.approx(50.0)
+    # cognition: both yes -> 200
+    assert out["mme_cognition_score"] == pytest.approx(200.0)
 
 
 def test_builtin_task_registry_widened():
