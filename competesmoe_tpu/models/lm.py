@@ -60,6 +60,14 @@ class LMConfig:
     # RoPE
     rotate_fraction: float = 0.5
     rope_base: float = 10000.0
+    # attention backend: 'einsum' (XLA), 'flash' (Pallas flash attention,
+    # jax.experimental.pallas.ops.tpu), or 'auto'. Measured on v5e
+    # (2026-08-16, bf16): einsum wins at the shipped unroll (855 vs
+    # 1089 us at B16 h4 T1024 d128) but flash wins 2.2x at long context
+    # (3620 vs 7927 us at T4096) by skipping above-diagonal blocks and
+    # never materializing the [T, T] scores. 'auto' = flash on TPU when
+    # T >= 2048 and head_dim is a lane multiple, einsum otherwise.
+    attn_backend: str = "auto"
     # MoA — MoE-ified attention projections (the reference's -moe.att.*
     # flags, transformer_lm_mixin.py:48-65; FullMoeRopeAttention)
     att_moe: bool = False
@@ -115,6 +123,19 @@ class LMConfig:
     @property
     def n_unique_layers(self) -> int:
         return len(set(self.layer_order()))
+
+
+def resolve_attn_backend(backend: str, seq_len: int, head_dim: int,
+                         platform: Optional[str] = None) -> str:
+    """'auto' -> 'flash' only where it measured faster: TPU, long
+    sequences, lane-aligned head dim (see LMConfig.attn_backend)."""
+    if backend != "auto":
+        return backend
+    if platform is None:
+        platform = jax.devices()[0].platform
+    if platform == "tpu" and seq_len >= 2048 and head_dim % 128 == 0:
+        return "flash"
+    return "einsum"
 
 
 def rotate_half(x: jax.Array) -> jax.Array:
@@ -203,6 +224,19 @@ class FastRopeAttention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
+
+        backend = resolve_attn_backend(cfg.attn_backend, T, p)
+        if backend == "flash" and attend_to is None and mask is None:
+            # Pallas flash attention (block-skipping causal, online
+            # softmax); only the plain square-causal case — XL carry and
+            # explicit masks keep the einsum path
+            from jax.experimental.pallas.ops.tpu.flash_attention import \
+                flash_attention
+            out = flash_attention(q, k, v, causal=True,
+                                  sm_scale=1.0 / math.sqrt(p))
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, h * p)
+            return nn.Dense(cfg.d_model, use_bias=False, kernel_init=init,
+                            dtype=cfg.dtype, name="out")(out)
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)

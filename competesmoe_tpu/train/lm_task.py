@@ -147,6 +147,8 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-transformer.n_heads", default=4)
     parser.add_argument("-transformer.head_projection_size", default="none",
                         parser=parser.int_or_none_parser)
+    parser.add_argument("-transformer.attn_backend", default="auto",
+                        choice=["auto", "einsum", "flash"])
     parser.add_argument("-transformer.universal.group_size", default=1)
     parser.add_argument("-transformer.universal.group_type", default="abab",
                         choice=["abab", "aabb"])
@@ -227,6 +229,7 @@ def lm_config_from(a: DotDict) -> LMConfig:
         att_o_expert=a.moe.att.o_expert, att_v_size=a.moe.att.v_size,
         att_expert_dropout=a.moe.att.drop_expert,
         att_selection_dropout=a.moe.att.selection_dropout,
+        attn_backend=a.transformer.attn_backend,
         universal_group_size=a.transformer.universal.group_size,
         universal_group_type=a.transformer.universal.group_type,
         dtype=jnp.bfloat16 if a.amp else jnp.float32,

@@ -135,3 +135,16 @@ def test_act_pondering_lm():
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_resolve_attn_backend():
+    from competesmoe_tpu.models.lm import resolve_attn_backend
+
+    # explicit settings pass through
+    assert resolve_attn_backend("einsum", 8192, 128, "tpu") == "einsum"
+    assert resolve_attn_backend("flash", 128, 96, "cpu") == "flash"
+    # auto: flash only on TPU at long seq with lane-aligned head dim
+    assert resolve_attn_backend("auto", 4096, 128, "tpu") == "flash"
+    assert resolve_attn_backend("auto", 1024, 128, "tpu") == "einsum"
+    assert resolve_attn_backend("auto", 4096, 96, "tpu") == "einsum"
+    assert resolve_attn_backend("auto", 4096, 128, "cpu") == "einsum"
