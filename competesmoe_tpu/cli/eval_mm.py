@@ -47,6 +47,11 @@ def main(argv=None):
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world-size", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    # quantized inference (reference __main__ passes these through
+    # model_args to builder.load_pretrained_model)
+    ap.add_argument("--load-8bit", action="store_true")
+    ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--kv-quant", default="", choices=["", "int8"])
     a = ap.parse_args(argv)
 
     # multi-config loop (evaluate/lmms_eval/__main__.py:120-160): a yaml
@@ -69,7 +74,10 @@ def main(argv=None):
             raise SystemExit("--model-dir and --tasks are required "
                              "(via flags or --config entries)")
         tokenizer, model, variables, image_processor, _ = \
-            load_pretrained_model(run.model_dir, dtype=jnp.bfloat16)
+            load_pretrained_model(run.model_dir, dtype=jnp.bfloat16,
+                                  load_8bit=run.load_8bit,
+                                  load_4bit=run.load_4bit,
+                                  kv_quant=run.kv_quant or None)
         if tokenizer is None or run.tokenizer:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(

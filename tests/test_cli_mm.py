@@ -97,3 +97,12 @@ def test_eval_mm_cli(ckpt_dir, tok_dir, tmp_path, capsys):
     assert "cli_toy" in results["results"]
     tele = results["samples"]["cli_toy"][0]["logs_metrics_vision"]
     assert tele and "layer_0" in tele
+
+    # quantized inference path end-to-end: int8 weights + int8 KV cache
+    out_q = tmp_path / "results_q.json"
+    main(["--model-dir", str(ckpt_dir), "--tokenizer", tok_dir,
+          "--tasks", "cli_toy", "--batch-size", "2",
+          "--max-new-tokens", "2", "--load-8bit", "--kv-quant", "int8",
+          "--output-path", str(out_q)])
+    results_q = json.loads(out_q.read_text())
+    assert "cli_toy" in results_q["results"]
