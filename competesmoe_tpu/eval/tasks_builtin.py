@@ -121,16 +121,27 @@ def _register_all() -> Dict[str, TaskConfig]:
             + [d["question"], "\n".join(opts)]
         return " ".join(parts) + letter_prompt
 
-    configs["mmbench_en_dev"] = register_task("mmbench_en_dev", TaskConfig(
-        task="mmbench_en_dev", dataset_path="lmms-lab/MMBench",
-        dataset_name="en", test_split="dev",
-        output_type="generate_until", group="paper_core",
-        doc_to_text=_mmbench_text,
-        doc_to_visual=_visual(),
-        doc_to_target=lambda d: d["answer"],
-        generation_kwargs={"max_new_tokens": 4},
-        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
-        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+    # MMBench language/split variants share one format
+    # (tasks/mmbench/*.yaml: en/cn x dev/test, + the cc subset)
+    for name, dname, split, group in (
+        ("mmbench_en_dev", "en", "dev", "paper_core"),
+        ("mmbench_en_test", "en", "test", None),
+        ("mmbench_cn_dev", "cn", "dev", None),
+        ("mmbench_cn_test", "cn", "test", None),
+        ("mmbench_cn_cc", "cc", "test", None),
+    ):
+        configs[name] = register_task(name, TaskConfig(
+            task=name, dataset_path="lmms-lab/MMBench",
+            dataset_name=dname, test_split=split,
+            output_type="generate_until", group=group,
+            doc_to_text=_mmbench_text,
+            doc_to_visual=_visual(),
+            doc_to_target=lambda d: d["answer"],
+            generation_kwargs={"max_new_tokens": 4},
+            filter_list=[{"filter": "take_first_line"},
+                         {"filter": "strip"}],
+            metric_list=[{"metric": "exact_match",
+                          "aggregation": "mean"}]))
 
     def _mmmu_text(d):
         """question + parsed options (ref tasks/mmmu/utils.py)."""
@@ -150,6 +161,37 @@ def _register_all() -> Dict[str, TaskConfig]:
         test_split="validation", output_type="generate_until",
         group="paper_core",
         doc_to_text=_mmmu_text,
+        doc_to_visual=_visual("image_1"),
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 16},
+        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+
+    # MMMU-Pro standard split + CMMMU (Chinese MMMU) reuse the MMMU
+    # option-parsing format (tasks/mmmu_pro/*.yaml, tasks/cmmmu/*.yaml)
+    configs["mmmu_pro_standard"] = register_task(
+        "mmmu_pro_standard", TaskConfig(
+            task="mmmu_pro_standard", dataset_path="MMMU/MMMU_Pro",
+            dataset_name="standard", test_split="test",
+            output_type="generate_until",
+            doc_to_text=_mmmu_text,
+            doc_to_visual=_visual("image_1"),
+            doc_to_target=lambda d: d["answer"],
+            generation_kwargs={"max_new_tokens": 16},
+            filter_list=[{"filter": "take_first_line"},
+                         {"filter": "strip"}],
+            metric_list=[{"metric": "exact_match",
+                          "aggregation": "mean"}]))
+
+    configs["cmmmu_val"] = register_task("cmmmu_val", TaskConfig(
+        task="cmmmu_val", dataset_path="lmms-lab/CMMMU",
+        test_split="val", output_type="generate_until",
+        doc_to_text=lambda d: (
+            f"{d['question']}\n"
+            + "\n".join(f"{c}. {d.get(f'option{i}', '')}"
+                        for i, c in enumerate("ABCD", 1)
+                        if d.get(f"option{i}"))
+            + "\n请直接回答选项字母。"),
         doc_to_visual=_visual("image_1"),
         doc_to_target=lambda d: d["answer"],
         generation_kwargs={"max_new_tokens": 16},
@@ -180,6 +222,16 @@ def _register_all() -> Dict[str, TaskConfig]:
         task="seedbench", dataset_path="lmms-lab/SEED-Bench",
         test_split="test", output_type="generate_until",
         group="paper_core",
+        doc_to_text=_seed_text,
+        doc_to_visual=_visual(),
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 4},
+        filter_list=[{"filter": "take_first_line"}, {"filter": "strip"}],
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}]))
+
+    configs["seedbench_2"] = register_task("seedbench_2", TaskConfig(
+        task="seedbench_2", dataset_path="lmms-lab/SEED-Bench-2",
+        test_split="test", output_type="generate_until",
         doc_to_text=_seed_text,
         doc_to_visual=_visual(),
         doc_to_target=lambda d: d["answer"],

@@ -171,7 +171,9 @@ def test_builtin_task_registry_widened():
     for name in ("infovqa_val", "stvqa", "ocrbench", "mmstar",
                  "hallusion_bench_image", "coco2014_cap_val",
                  "flickr30k_test", "ok_vqa_val2014", "iconqa_test",
-                 "vqav2_val", "chartqa"):
+                 "vqav2_val", "chartqa", "mmbench_cn_dev",
+                 "mmbench_en_test", "mmbench_cn_cc", "seedbench_2",
+                 "mmmu_pro_standard", "cmmmu_val"):
         assert name in BUILTIN_TASKS, name
     assert BUILTIN_TASKS["chartqa"].metric_list[0]["metric"] == \
         "relaxed_accuracy"
@@ -179,3 +181,4 @@ def test_builtin_task_registry_widened():
         "vqa_accuracy"
     assert BUILTIN_TASKS["coco2014_cap_val"].metric_list[0][
         "aggregation"] == "cider"
+    assert len(BUILTIN_TASKS) >= 32
