@@ -152,6 +152,32 @@ def export_plain_projector(params: Dict, prefix: str = "mm_projector."
     return out
 
 
+def export_mpt(params: Dict, cfg: DecoderConfig,
+               prefix: str = "transformer.") -> Dict[str, np.ndarray]:
+    """DecoderLM (MPT variant) params -> HF MptForCausalLM state dict
+    (inverse of hf_loader.convert_mpt)."""
+    out: Dict[str, np.ndarray] = {}
+    out[prefix + "wte.weight"] = _np(params["embed_tokens"]["embedding"])
+    out[prefix + "norm_f.weight"] = _np(params["norm"]["weight"])
+    if not cfg.tie_word_embeddings:
+        out["lm_head.weight"] = _np(params["lm_head"]["kernel"]).T.copy()
+    for li in range(cfg.num_hidden_layers):
+        lp = params[f"layers_{li}"]
+        p = f"{prefix}blocks.{li}."
+        out[p + "norm_1.weight"] = _np(lp["input_layernorm"]["weight"])
+        out[p + "norm_2.weight"] = _np(
+            lp["post_attention_layernorm"]["weight"])
+        out[p + "attn.Wqkv.weight"] = _np(
+            lp["self_attn"]["qkv_proj"]["kernel"]).T.copy()
+        out[p + "attn.out_proj.weight"] = _np(
+            lp["self_attn"]["o_proj"]["kernel"]).T.copy()
+        out[p + "ffn.up_proj.weight"] = _np(
+            lp["mlp"]["up_proj"]["kernel"]).T.copy()
+        out[p + "ffn.down_proj.weight"] = _np(
+            lp["mlp"]["down_proj"]["kernel"]).T.copy()
+    return out
+
+
 def export_llava_checkpoint(params: Dict, cfg) -> Dict[str, np.ndarray]:
     """LlavaModel params -> the released-5.1B flat state-dict layout."""
     out: Dict[str, np.ndarray] = {}

@@ -56,6 +56,43 @@ def test_export_reload_matches_outputs(tmp_path):
                                np.asarray(out2.logits), atol=1e-6)
 
 
+def test_export_mpt_roundtrip():
+    """MPT export matches convert_mpt's expectations key-for-key."""
+    import dataclasses
+    from competesmoe_tpu.models.decoder import phi35_mini_config
+    from competesmoe_tpu.models.hf_export import export_mpt
+    from competesmoe_tpu.models.hf_loader import convert_mpt
+
+    cfg = dataclasses.replace(
+        phi35_mini_config(), num_hidden_layers=2, vocab_size=32,
+        hidden_size=16, num_attention_heads=2, num_key_value_heads=2,
+        use_alibi=True, norm_type="layernorm_nobias", mlp_type="gelu",
+        expansion_ratio=2, fused_qkv=True, tie_word_embeddings=True,
+        rope_scaling_type=None, rope_short_factor=None,
+        rope_long_factor=None)
+    rng = np.random.default_rng(0)
+    sd = {"transformer.wte.weight": rng.normal(0, 1, (32, 16)).astype(
+        np.float32),
+          "transformer.norm_f.weight": np.ones(16, np.float32)}
+    for li in range(2):
+        p = f"transformer.blocks.{li}."
+        sd[p + "norm_1.weight"] = np.ones(16, np.float32)
+        sd[p + "norm_2.weight"] = np.ones(16, np.float32)
+        sd[p + "attn.Wqkv.weight"] = rng.normal(0, 1, (48, 16)).astype(
+            np.float32)
+        sd[p + "attn.out_proj.weight"] = rng.normal(0, 1, (16, 16)).astype(
+            np.float32)
+        sd[p + "ffn.up_proj.weight"] = rng.normal(0, 1, (32, 16)).astype(
+            np.float32)
+        sd[p + "ffn.down_proj.weight"] = rng.normal(0, 1, (16, 32)).astype(
+            np.float32)
+    params = convert_mpt(sd, cfg)
+    back = export_mpt(params, cfg)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
 def test_export_plain_projector_and_split_decoder(tmp_path):
     """Non-fused-qkv decoder export + mlp2x projector naming."""
     from competesmoe_tpu.models.hf_export import (
