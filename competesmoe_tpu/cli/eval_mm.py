@@ -44,8 +44,10 @@ def main(argv=None):
     ap.add_argument("--wandb-project", default="competesmoe_tpu-eval")
     ap.add_argument("--return-id-experts", action="store_true",
                     help="collect per-layer routing telemetry")
-    ap.add_argument("--rank", type=int, default=0)
-    ap.add_argument("--world-size", type=int, default=1)
+    # rank/world default from the scheduler env (SLURM/torchrun — the
+    # reference's accelerate-driven rank split, models/llava.py:139-160)
+    ap.add_argument("--rank", type=int, default=None)
+    ap.add_argument("--world-size", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     # quantized inference (reference __main__ passes these through
     # model_args to builder.load_pretrained_model)
@@ -53,6 +55,13 @@ def main(argv=None):
     ap.add_argument("--load-4bit", action="store_true")
     ap.add_argument("--kv-quant", default="", choices=["", "int8"])
     a = ap.parse_args(argv)
+    if a.rank is None or a.world_size is None:
+        from ..parallel.distributed import detect_env
+        denv = detect_env()
+        if a.rank is None:
+            a.rank = denv.rank
+        if a.world_size is None:
+            a.world_size = denv.world_size
 
     # multi-config loop (evaluate/lmms_eval/__main__.py:120-160): a yaml
     # list of run configs, each overriding the CLI flags

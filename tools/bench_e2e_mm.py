@@ -1,0 +1,124 @@
+"""End-to-end CompeteSMoE-5.1B multimodal generate benchmark.
+
+Times the full serving pipeline on one chip: image -> SigLIP-so400m MoE
+tower -> MoE projector -> image-token splice -> Phi-3.5 decoder prefill ->
+32-token greedy scan decode, at the released model's geometry with random
+weights (throughput is architecture/bandwidth-bound).
+
+  python tools/bench_e2e_mm.py [--quant int8] [--kv-quant int8] [--batch B]
+
+Prints one JSON line with seconds per (prefill + 32 tokens) and derived
+tok/s, steady-state (second call; first call compiles).
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from competesmoe_tpu.constants import IMAGE_TOKEN_INDEX
+from competesmoe_tpu.models.builder import llava_config_from_hf
+from competesmoe_tpu.models.llava import LlavaModel, generate
+
+HF_5P1B = dict(
+    model_type="llava_phi", vocab_size=32064, hidden_size=3072,
+    intermediate_size=8192, num_hidden_layers=32,
+    num_attention_heads=32, num_key_value_heads=32, rms_norm_eps=1e-5,
+    max_position_embeddings=131072,
+    original_max_position_embeddings=4096,
+    mm_hidden_size=1152, mm_projector_type="moe", moe_name="smoe",
+    num_experts=4, num_selected=2, clip_smoe=True, mlp_smoe=True,
+    scales=[1],
+    vision_config=dict(hidden_size=1152, intermediate_size=4304,
+                       num_hidden_layers=27, num_attention_heads=16,
+                       image_size=224, patch_size=14),
+    tokenizer_model_max_length=2048)
+
+
+def random_params(model, ids, px, seed=0):
+    import ml_dtypes
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, ids, px), jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+
+    def mk(leaf):
+        if np.issubdtype(leaf.dtype, np.integer):
+            return rng.integers(-127, 128, leaf.shape).astype(leaf.dtype)
+        if leaf.dtype == np.float32:
+            return (rng.standard_normal(leaf.shape) * 2e-4).astype(
+                np.float32)
+        return (rng.standard_normal(leaf.shape, np.float32) * 0.02
+                ).astype(ml_dtypes.bfloat16)
+
+    return jax.tree_util.tree_map(mk, shapes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--new-tokens", type=int, default=32)
+    ap.add_argument("--quant", default="", choices=["", "int8"])
+    ap.add_argument("--kv-quant", default="", choices=["", "int8"])
+    a = ap.parse_args()
+
+    cfg = llava_config_from_hf(HF_5P1B, "llava_phi", jnp.bfloat16)
+    if a.quant or a.kv_quant:
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(
+                cfg.decoder, quant=a.quant or None,
+                kv_quant=a.kv_quant or None))
+    model = LlavaModel(cfg)
+
+    B = a.batch
+    prompt = np.full((B, 48), 5, np.int32)
+    prompt[:, 8] = IMAGE_TOKEN_INDEX
+    px = np.zeros((B, 224, 224, 3), np.float32)
+
+    t0 = time.time()
+    params = random_params(model, jnp.asarray(prompt[:, :4].clip(0)),
+                           jnp.asarray(px))
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"built {n/1e9:.2f}B params in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    def run():
+        toks, _ = generate(model, params, prompt, px,
+                           max_new_tokens=a.new_tokens, temperature=0.0)
+        return toks
+
+    t0 = time.time()
+    run()
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        toks = run()
+        times.append(time.time() - t0)
+    e2e = min(times)
+    print(json.dumps({
+        "metric": "e2e_mm_prefill_plus_decode_s",
+        "value": round(e2e, 3),
+        "unit": "s",
+        "detail": {
+            "geometry": "CompeteSMoE-5.1B (SigLIP-so400m MoE + MoE "
+                        "projector + Phi-3.5-mini)",
+            "batch": B, "new_tokens": a.new_tokens,
+            "prompt_tokens": int(prompt.shape[1]),
+            "image_tokens": cfg.num_image_tokens,
+            "quant": a.quant or "bf16",
+            "kv_quant": a.kv_quant or "bf16",
+            "params_b": round(n / 1e9, 2),
+            "tok_per_s_per_seq": round(a.new_tokens / e2e, 1),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
