@@ -182,6 +182,10 @@ def main():
             # tower -> MoE projector -> Phi-3.5 decoder), batch 1, v5e-1:
             # 0.42 s for image prefill + 32 greedy tokens (~76 tok/s/seq)
             "e2e_5p1b_prefill_plus_32tok_s": 0.42,
+            # same pipeline with int8 weights + int8 KV
+            # (tools/bench_e2e_mm.py --quant int8 --kv-quant int8,
+            # measured 2026-08-17): 0.267 s (~120 tok/s/seq, 1.57x bf16)
+            "e2e_5p1b_prefill_plus_32tok_s_int8_kv8": 0.267,
         },
     }))
 

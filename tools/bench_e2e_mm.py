@@ -82,6 +82,10 @@ def main():
     t0 = time.time()
     params = random_params(model, jnp.asarray(prompt[:, :4].clip(0)),
                            jnp.asarray(px))
+    # put on device ONCE — host numpy params would re-upload ~5 GB per
+    # call (measured: 363 s/call through the tunneled chip)
+    params = jax.device_put(params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"built {n/1e9:.2f}B params in {time.time()-t0:.0f}s",
           file=sys.stderr)
