@@ -72,6 +72,47 @@ def test_tp_decode_matches_unsharded():
     assert all(s == P(None, "model") for s in lm) and lm
 
 
+def test_tp_decode_int8_kv_scales_sharded():
+    """int8 KV cache under tensor parallelism: scales shard alongside the
+    cache (the bench_decode --mesh --kv-quant path) and decode matches the
+    unsharded int8 run exactly."""
+    cfg = tiny_cfg(kv_quant="int8")
+    model = DecoderLM(cfg)
+    B, T, kvlen = 4, 8, 32
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, T), 1, 64)
+    params = model.init(jax.random.PRNGKey(1), ids)
+
+    def decode(params, ids, cache):
+        logits, cache, _ = model.apply(params, ids, cache=cache)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks = [tok]
+        for _ in range(3):
+            logits, cache, _ = model.apply(params, tok[:, None],
+                                           cache=cache)
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            toks.append(tok)
+        return np.stack([np.asarray(t) for t in toks])
+
+    ref = decode(params, ids, KVCache.create(cfg, B, kvlen))
+
+    mesh = make_tp_mesh(n_model=4, devices=jax.devices()[:8])
+    sh_params = jax.device_put(params,
+                               decoder_param_shardings(mesh, params))
+    cache = KVCache.create(cfg, B, kvlen)
+    scale_sh = NamedSharding(mesh, P(None, "data", None, "model"))
+    cache = KVCache(
+        k=jax.device_put(cache.k, kv_cache_sharding(mesh)),
+        v=jax.device_put(cache.v, kv_cache_sharding(mesh)),
+        pos=jax.device_put(cache.pos, NamedSharding(mesh, P("data"))),
+        k_scale=jax.device_put(cache.k_scale, scale_sh),
+        v_scale=jax.device_put(cache.v_scale, scale_sh))
+    with mesh:
+        got = decode(sh_params,
+                     jax.device_put(ids, NamedSharding(mesh, P("data"))),
+                     cache)
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_tp_decode_gqa_and_split_proj():
     """Split q/k/v projections + GQA (llama-style) shard correctly too."""
     cfg = tiny_cfg().__class__(**{**dataclasses.asdict(tiny_cfg()),

@@ -130,10 +130,18 @@ def run_jax(a):
                                    decoder_param_shardings(mesh, params))
         cache = KVCache.create(cfg, a.batch, MAXLEN)
         kv_sh = kv_cache_sharding(mesh)
-        cache = KVCache(k=jax.device_put(cache.k, kv_sh),
-                        v=jax.device_put(cache.v, kv_sh),
-                        pos=jax.device_put(
-                            cache.pos, NamedSharding(mesh, P("data"))))
+        # int8 KV: the dequant scales [L, B, S, hk] shard like the cache
+        # (batch on 'data', kv heads on 'model')
+        scale_sh = NamedSharding(mesh, P(None, "data", None, "model"))
+        cache = KVCache(
+            k=jax.device_put(cache.k, kv_sh),
+            v=jax.device_put(cache.v, kv_sh),
+            pos=jax.device_put(cache.pos,
+                               NamedSharding(mesh, P("data"))),
+            k_scale=(jax.device_put(cache.k_scale, scale_sh)
+                     if cache.k_scale is not None else None),
+            v_scale=(jax.device_put(cache.v_scale, scale_sh)
+                     if cache.v_scale is not None else None))
         ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data")))
         prefill, make_decode = build_decode_fns(model)
         with mesh:
@@ -148,9 +156,14 @@ def run_jax(a):
                 assert np.array_equal(ref, got), \
                     "sharded decode tokens diverge from unsharded"
                 detail["verify"] = "sharded tokens == unsharded (8 steps)"
-                cache = KVCache(k=jax.device_put(cache.k * 0, kv_sh),
-                                v=jax.device_put(cache.v * 0, kv_sh),
-                                pos=cache.pos * 0)
+                cache = KVCache(
+                    k=jax.device_put(cache.k * 0, kv_sh),
+                    v=jax.device_put(cache.v * 0, kv_sh),
+                    pos=cache.pos * 0,
+                    k_scale=(jax.device_put(cache.k_scale * 0, scale_sh)
+                             if cache.k_scale is not None else None),
+                    v_scale=(jax.device_put(cache.v_scale * 0, scale_sh)
+                             if cache.v_scale is not None else None))
             per_tok = time_decode(prefill, make_decode, sh_params, ids_sh,
                                   cache)
     else:
