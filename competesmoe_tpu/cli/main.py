@@ -17,6 +17,15 @@ def main(argv=None) -> None:
     from ..train.lm_task import get_task
     from ..utils.argparser import build_parser
 
+    # COMPETESMOE_PLATFORM=cpu forces the CPU backend before first use —
+    # needed because the container sitecustomize pins the TPU platform at
+    # interpreter start, so JAX_PLATFORMS alone is ignored (e.g. when a
+    # validate subprocess must match a CPU-mesh checkpoint's topology)
+    platform = os.environ.get("COMPETESMOE_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
     cache_dir = os.environ.get("COMPETESMOE_COMPILATION_CACHE")
     if cache_dir:
         import jax

@@ -353,9 +353,21 @@ class SyntheticTransformerTask:
     # -- checkpoint --
 
     def restore(self, path_or_step=None) -> int:
+        """Accepts a step number, a `model-<step>` checkpoint path, or a
+        checkpoint directory (the reference's `--restore <ckpt_path>`
+        convention, run_tests.py:36 / training_helper.py:195-242)."""
         step = None
         if isinstance(path_or_step, str) and path_or_step:
-            step = int(path_or_step)
+            p = Path(path_or_step)
+            if p.exists():
+                if p.name.startswith("model-"):
+                    # point the saver at the foreign checkpoint dir
+                    self.saver.dir = p.parent
+                    step = int(p.name.split("-", 1)[1])
+                else:
+                    self.saver.dir = p
+            else:
+                step = int(path_or_step)
         self.saver["state"] = self.state
         restored = self.saver.restore(step)
         self.state = self.saver["state"]
