@@ -216,12 +216,16 @@ def serve_controller(host: str = "0.0.0.0", port: int = 21001,
     httpd.serve_forever()
 
 
-if __name__ == "__main__":
+def main(argv=None):
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=21001)
     ap.add_argument("--dispatch-method", default="shortest_queue",
                     choices=list(DispatchMethod))
-    a = ap.parse_args()
+    a = ap.parse_args(argv)
     serve_controller(a.host, a.port, a.dispatch_method)
+
+
+if __name__ == "__main__":
+    main()

@@ -162,3 +162,57 @@ def serve_worker(worker: ModelWorker, host: str = "0.0.0.0",
         t.start()
         return httpd
     httpd.serve_forever()
+
+
+def main(argv=None):
+    """Worker launch CLI (the reference's `python -m
+    moe_model.serve.model_worker --model-path ...`, model_worker.py main
+    block): load the checkpoint, register with the controller, serve."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--model-name", default=None)
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--controller-address",
+                    default="http://localhost:21001")
+    ap.add_argument("--worker-address", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=21002)
+    ap.add_argument("--conv-template", default="phi35")
+    ap.add_argument("--limit-model-concurrency", type=int, default=5)
+    ap.add_argument("--max-new-tokens", type=int, default=256)
+    ap.add_argument("--load-8bit", action="store_true")
+    ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--kv-quant", default="", choices=["", "int8"])
+    ap.add_argument("--no-register", action="store_true")
+    a = ap.parse_args(argv)
+
+    from ..eval.llava_adapter import JaxLlava
+    from ..models.builder import load_pretrained_model
+
+    tokenizer, model, params, image_processor, _ = load_pretrained_model(
+        a.model_path, load_8bit=a.load_8bit, load_4bit=a.load_4bit,
+        kv_quant=a.kv_quant or None, dtype=jnp.bfloat16)
+    if tokenizer is None or a.tokenizer:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(
+            a.tokenizer or a.model_path)
+    adapter = JaxLlava(model, params, tokenizer, image_processor,
+                       conv_template=a.conv_template,
+                       max_new_tokens=a.max_new_tokens)
+    name = a.model_name or str(a.model_path).rstrip("/").split("/")[-1]
+    worker_addr = a.worker_address or f"http://localhost:{a.port}"
+    worker = ModelWorker(
+        None if a.no_register else a.controller_address, worker_addr,
+        [name], jax_llava_generate_fn(adapter),
+        limit_model_concurrency=a.limit_model_concurrency)
+    print(f"worker {worker.worker_id} serving {name} on "
+          f"{a.host}:{a.port}", flush=True)
+    serve_worker(worker, a.host, a.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -201,3 +201,44 @@ def test_web_votes_and_models(adapter, tmp_path):
         webhttpd.shutdown()
         whttpd.shutdown()
         chttpd.shutdown()
+
+
+def test_worker_cli_builds_quantized_worker(tmp_path, monkeypatch):
+    """The worker launch CLI loads a checkpoint (incl. quant flags) and
+    wires the generate fn; serve_worker is stubbed to capture the built
+    worker instead of blocking."""
+    from tests.test_builder import make_fake_checkpoint
+    from tests.test_cli_mm import tok_dir  # noqa: F401 (fixture)
+    from competesmoe_tpu.serve import model_worker as mw
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    make_fake_checkpoint(ckpt)
+
+    # local tokenizer (reuse the builder test corpus recipe)
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.train_from_iterator(["what is this a cat <|end|>"] * 10,
+                            trainers.BpeTrainer(
+                                vocab_size=40,
+                                special_tokens=["<pad>", "<s>", "</s>"]))
+    from transformers import PreTrainedTokenizerFast
+    PreTrainedTokenizerFast(tokenizer_object=tok, pad_token="<pad>",
+                            bos_token="<s>", eos_token="</s>"
+                            ).save_pretrained(str(tmp_path / "tok"))
+
+    captured = {}
+    monkeypatch.setattr(mw, "serve_worker",
+                        lambda w, h, p: captured.update(worker=w,
+                                                        host=h, port=p))
+    mw.main(["--model-path", str(ckpt),
+             "--tokenizer", str(tmp_path / "tok"),
+             "--no-register", "--load-8bit", "--kv-quant", "int8",
+             "--model-name", "toy-5b", "--port", "21099"])
+    w = captured["worker"]
+    assert w.model_names == ["toy-5b"]
+    assert captured["port"] == 21099
+    # quant flags reached the model config
+    st = w.get_status()
+    assert st["model_names"] == ["toy-5b"]
