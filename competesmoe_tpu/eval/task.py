@@ -66,12 +66,40 @@ def _resolve(fn, search_dir: Optional[Path] = None):
     return fn
 
 
+def _with_prompt_kwargs(fn, mspk):
+    """Adapt a hook to the reference's two-arg convention
+    (`fn(doc, model_specific_prompt_kwargs)`, api/task.py): if the
+    callable requires (or accepts) a second positional arg, pass the
+    config's prompt kwargs (defaulting to {})."""
+    if fn is None or not callable(fn):
+        return fn
+    import inspect
+    try:
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.kind in (p.POSITIONAL_ONLY,
+                                p.POSITIONAL_OR_KEYWORD)]
+    except (TypeError, ValueError):
+        return fn
+    if len(params) >= 2:
+        return lambda doc: fn(doc, mspk if mspk is not None else {})
+    return fn
+
+
 def load_task_yaml(path, register: bool = True) -> "TaskConfig":
     """Build (and register) a TaskConfig from a reference-style task yaml
     (api/task.py:53-152): supports the `!function utils.fn` tag (resolved
     against .py files next to the yaml), `include:` templates from the
-    same directory, and ignores fields outside our config surface."""
+    same directory, and ignores fields outside our config surface. The
+    lmms_eval/loguru import shims (eval/lmms_compat.py) are installed
+    first so the reference's own per-task utils.py files import
+    unmodified."""
     import yaml
+
+    from .lmms_compat import ensure_lmms_compat, register_tasks_root
+    ensure_lmms_compat()
+    # sibling-module imports (lmms_eval.tasks.<dir>.<mod>) resolve under
+    # the yaml's tasks root
+    register_tasks_root(Path(path).resolve().parent.parent)
 
     path = Path(path)
 
@@ -101,6 +129,10 @@ def load_task_yaml(path, register: bool = True) -> "TaskConfig":
                  "process_results"):
         if hook in kwargs:
             kwargs[hook] = _resolve(kwargs[hook], search_dir=path.parent)
+    # yaml nests prompt kwargs per model; use the "default" entry
+    mspk = kwargs.get("model_specific_prompt_kwargs")
+    if isinstance(mspk, dict) and "default" in mspk:
+        kwargs["model_specific_prompt_kwargs"] = mspk["default"]
     # normalize reference metric_list aggregation callables to names
     for spec in kwargs.get("metric_list", []) or []:
         if isinstance(spec.get("aggregation"), str) and \
@@ -145,6 +177,9 @@ class TaskConfig:
     fewshot_split: Optional[str] = None
     fewshot_seed: int = 1234
     fewshot_delimiter: str = "\n\n"
+    # per-model prompt kwargs passed as the reference hooks' second arg
+    # (yaml `model_specific_prompt_kwargs.default`, api/task.py)
+    model_specific_prompt_kwargs: Optional[Dict[str, Any]] = None
 
 
 class ConfigurableTask:
@@ -152,9 +187,13 @@ class ConfigurableTask:
 
     def __init__(self, cfg: TaskConfig, limit: Optional[int] = None):
         self.cfg = cfg
-        self.doc_to_text = _resolve(cfg.doc_to_text)
-        self.doc_to_visual = _resolve(cfg.doc_to_visual)
-        self.doc_to_target = _resolve(cfg.doc_to_target)
+        mspk = cfg.model_specific_prompt_kwargs
+        self.doc_to_text = _with_prompt_kwargs(
+            _resolve(cfg.doc_to_text), mspk)
+        self.doc_to_visual = _with_prompt_kwargs(
+            _resolve(cfg.doc_to_visual), mspk)
+        self.doc_to_target = _with_prompt_kwargs(
+            _resolve(cfg.doc_to_target), mspk)
         self.process_results = _resolve(cfg.process_results)
         self._docs = self._load_docs(limit)
         self.instances: List[Instance] = []

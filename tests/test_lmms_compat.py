@@ -1,0 +1,90 @@
+"""lmms_eval import-compat shims: reference task yamls + utils.py load
+unmodified through our harness."""
+
+import glob
+from pathlib import Path
+
+import pytest
+
+from competesmoe_tpu.eval.lmms_compat import ensure_lmms_compat
+from competesmoe_tpu.eval.task import load_task_yaml
+
+REF_TASKS = Path("/root/reference/evaluate/lmms_eval/tasks")
+
+
+def test_shim_filters_and_processor():
+    ensure_lmms_compat()
+    from lmms_eval.filters.extraction import (
+        ExtendedRegexFilter,
+        RegexFilter,
+        WhitespaceFilter,
+    )
+    from lmms_eval.filters.transformation import MapFilter
+    from lmms_eval.tasks._task_utils.vqa_eval_metric import (
+        EvalAIAnswerProcessor,
+    )
+
+    f = RegexFilter(r"([A-D])", fallback="[invalid]")
+    assert f.apply([["the answer is B."], ["nope"]], None) == \
+        [["B"], ["[invalid]"]]
+    assert WhitespaceFilter().apply([[" x"]], None) == [["x"]]
+    assert MapFilter({"yes": 1}, 0).apply([["yes", "no"]], None) == \
+        [[1, 0]]
+    erf = ExtendedRegexFilter(ignore_case=True, ignore_punctuation=True)
+    assert erf.filter_ignores("A.") == "a"
+
+    proc = EvalAIAnswerProcessor()
+    assert proc("The Dog") == "dog"
+    assert proc("two") == "2"
+
+
+def test_shim_file_utils_and_caption_metrics(tmp_path):
+    ensure_lmms_compat()
+    import argparse
+
+    from lmms_eval.tasks._task_utils.file_utils import (
+        generate_submission_file,
+    )
+    from pycocoevalcap.eval import Bleu, Cider
+
+    args = argparse.Namespace(output_path=str(tmp_path))
+    p = generate_submission_file("sub.json", args)
+    assert p.endswith("sub.json") and str(tmp_path) in p
+    assert Path(p).parent.exists()
+
+    gts = {"a": ["a cat on the mat"], "b": ["a dog"]}
+    res = {"a": ["a cat on the mat"], "b": ["a dog"]}
+    c, _ = Cider().compute_score(gts, res)
+    assert c > 5.0  # identity captions near the CIDEr ceiling
+    b, _ = Bleu(4).compute_score(gts, res)
+    assert b[0] == pytest.approx(1.0)  # BLEU-1 perfect match
+
+
+@pytest.mark.skipif(not REF_TASKS.exists(), reason="no reference mount")
+def test_reference_yaml_bulk_load():
+    """The vast majority of the reference's ~259 task yamls (incl. their
+    per-task utils.py with lmms_eval/pycocoevalcap/openai imports) load
+    through load_task_yaml without modification; the residue needs spacy
+    or other uninstalled NLP deps."""
+    yams = sorted(glob.glob(str(REF_TASKS / "*" / "*.yaml")))
+    assert len(yams) > 200
+    ok = 0
+    for y in yams:
+        try:
+            cfg = load_task_yaml(y, register=False)
+            assert cfg.output_type
+            ok += 1
+        except Exception:
+            pass
+    assert ok >= 230, f"only {ok}/{len(yams)} reference yamls loaded"
+
+
+@pytest.mark.skipif(not REF_TASKS.exists(), reason="no reference mount")
+def test_sibling_module_import_via_finder():
+    """A reference utils.py importing a SIBLING module
+    (lmms_eval.tasks.mmbench.mmbench_evals) resolves through the
+    registered tasks root."""
+    load_task_yaml(str(REF_TASKS / "mmbench" / "mmbench_en_dev.yaml"),
+                   register=False)
+    from lmms_eval.tasks.mmbench.mmbench_evals import MMBench_Evaluator
+    assert callable(MMBench_Evaluator)
