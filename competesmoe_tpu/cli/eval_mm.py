@@ -73,7 +73,20 @@ def main(argv=None):
 
     for path in a.task_yaml:
         from ..eval.task import load_task_yaml
-        load_task_yaml(path)
+        p = Path(path)
+        if p.is_dir():
+            # a reference-style tasks directory: register every yaml that
+            # loads (some need deps unavailable offline — skip those)
+            n_ok = 0
+            for y in sorted(p.rglob("*.yaml")):
+                try:
+                    load_task_yaml(y)
+                    n_ok += 1
+                except Exception:
+                    pass
+            print(f"registered {n_ok} tasks from {p}")
+        else:
+            load_task_yaml(path)
 
     all_results = []
     for overrides in run_cfgs:
