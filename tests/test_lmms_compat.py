@@ -88,3 +88,36 @@ def test_sibling_module_import_via_finder():
                    register=False)
     from lmms_eval.tasks.mmbench.mmbench_evals import MMBench_Evaluator
     assert callable(MMBench_Evaluator)
+
+
+def test_model_specific_prompt_kwargs_adapter():
+    """Two-arg reference hooks receive the yaml's prompt kwargs; one-arg
+    hooks are untouched (api/task.py convention)."""
+    from competesmoe_tpu.eval.task import ConfigurableTask, TaskConfig
+
+    def two_arg(doc, model_specific_prompt_kwargs):
+        return (model_specific_prompt_kwargs.get("pre_prompt", "")
+                + doc["q"]
+                + model_specific_prompt_kwargs.get("post_prompt", ""))
+
+    def one_arg(doc):
+        return doc["q"].upper()
+
+    docs = [{"q": "hi"}]
+    t = ConfigurableTask(TaskConfig(
+        task="t1", doc_to_text=two_arg, doc_to_visual=lambda d: [],
+        doc_to_target=lambda d: "", docs=docs,
+        model_specific_prompt_kwargs={"pre_prompt": "<", 
+                                      "post_prompt": ">"}))
+    assert t.doc_to_text(docs[0]) == "<hi>"
+
+    # missing kwargs -> empty dict, not None
+    t2 = ConfigurableTask(TaskConfig(
+        task="t2", doc_to_text=two_arg, doc_to_visual=lambda d: [],
+        doc_to_target=lambda d: "", docs=docs))
+    assert t2.doc_to_text(docs[0]) == "hi"
+
+    t3 = ConfigurableTask(TaskConfig(
+        task="t3", doc_to_text=one_arg, doc_to_visual=lambda d: [],
+        doc_to_target=lambda d: "", docs=docs))
+    assert t3.doc_to_text(docs[0]) == "HI"
