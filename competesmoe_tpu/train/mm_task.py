@@ -131,28 +131,89 @@ def make_mm_optimizer(tcfg: MMTrainConfig, params) -> optax.GradientTransformati
 
 def make_mm_train_step(model: LlavaModel,
                        optimizer: optax.GradientTransformation,
-                       donate: bool = True) -> Callable:
-    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+                       donate: bool = True,
+                       n_microbatch: int = 1) -> Callable:
+    """Jitted multimodal train step.
+
+    Sharding is positional, not explicit: run the returned function under a
+    `Mesh` with `state.params` placed by `parallel.mesh.make_param_shardings`
+    (experts on the 'expert' axis, dense params fsdp over 'data' — the
+    ZeRO-3 + set_z3_leaf_modules analog of scripts/zero3.json +
+    train/train.py:1480) and the batch placed by `batch_sharding`; jit
+    propagates the shardings and XLA inserts the ICI collectives. With
+    `parallel.ep_context` active, the MoE layers dispatch tokens over the
+    expert axis via all-to-all instead of gathering expert weights.
+
+    n_microbatch > 1 accumulates gradients over B/n_microbatch slices via
+    lax.scan before one optimizer update — the reference's gradient
+    accumulation in the forked trainer loop (llava_trainer.py:427-953).
+    """
+
+    def loss_for(params, step, batch):
         def loss_fn(params):
             out = model.apply(
                 {"params": params}, batch["input_ids"],
                 batch.get("images"), labels=batch["labels"],
-                attention_mask=batch["attention_mask"], step=state.step,
+                attention_mask=batch["attention_mask"], step=step,
                 train=True)
             return out.loss, out
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        if n_microbatch > 1:
+            b = batch["input_ids"].shape[0]
+            if b % n_microbatch:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"{n_microbatch} microbatches")
+            micro = {k: v.reshape(n_microbatch, b // n_microbatch,
+                                  *v.shape[1:])
+                     for k, v in batch.items() if v is not None}
+
+            def scan_body(carry, mb):
+                acc_grads, acc = carry
+                (loss, out), grads = loss_for(state.params, state.step, mb)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads,
+                                                   grads)
+                acc = (acc[0] + loss, acc[1] + out.aux_mlp,
+                       acc[2] + out.aux_clip)
+                return (acc_grads, acc), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            zeros = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+            (grads, acc), _ = jax.lax.scan(scan_body, (zero_grads, zeros),
+                                           micro)
+            inv = 1.0 / n_microbatch
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss, aux_mlp, aux_clip = (a * inv for a in acc)
+        else:
+            (loss, out), grads = loss_for(state.params, state.step, batch)
+            aux_mlp, aux_clip = out.aux_mlp, out.aux_clip
+
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss/total": loss,
-            "loss/aux_mlp": out.aux_mlp,
-            "loss/aux_clip": out.aux_clip,
+            "loss/aux_mlp": aux_mlp,
+            "loss/aux_clip": aux_clip,
             "grad_norm": optax.global_norm(grads),
         }
         return TrainState(params=new_params, opt_state=new_opt,
                           step=state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_mm_eval_step(model: LlavaModel) -> Callable:
+    """Jitted `eval_step(params, batch) -> loss` for eval-during-training
+    (the reference's _maybe_log_save_evaluate, llava_trainer.py:982-1021)."""
+
+    def step_fn(params, batch):
+        out = model.apply(
+            {"params": params}, batch["input_ids"], batch.get("images"),
+            labels=batch["labels"],
+            attention_mask=batch["attention_mask"], train=False)
+        return out.loss
+
+    return jax.jit(step_fn)

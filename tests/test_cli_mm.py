@@ -106,3 +106,45 @@ def test_eval_mm_cli(ckpt_dir, tok_dir, tmp_path, capsys):
           "--output-path", str(out_q)])
     results_q = json.loads(out_q.read_text())
     assert "cli_toy" in results_q["results"]
+
+
+@pytest.mark.parametrize("version", ["plain", "v1", "llama_2"])
+def test_train_mm_cli_versions(ckpt_dir, tok_dir, data_dir, tmp_path,
+                               version):
+    """All conversation formats are reachable from the CLI (r2 exposed
+    only phi35|plain; the reference trains 7 backbones,
+    train.py:444-1069)."""
+    from competesmoe_tpu.cli.train_mm import main
+    out = tmp_path / f"out-{version}"
+    main(["--data-path", str(data_dir / "data.json"),
+          "--image-folder", str(data_dir / "imgs"),
+          "--tokenizer", tok_dir,
+          "--model-dir", str(ckpt_dir),
+          "--version", version,
+          "--stage", "sft", "--num-train-steps", "1",
+          "--per-device-batch-size", "1", "--model-max-length", "64",
+          "--save-interval", "10", "--log-interval", "1",
+          "--output-dir", str(out)])
+    log = (out / "log_trainer.jsonl").read_text().strip().splitlines()
+    assert any("loss/total" in json.loads(l) for l in log)
+
+
+def test_train_mm_cli_resume(ckpt_dir, tok_dir, data_dir, tmp_path):
+    """--resume picks up the latest checkpoint and continues from its
+    step (train.py:1501-1505 auto-detect role)."""
+    from competesmoe_tpu.cli.train_mm import main
+    out = tmp_path / "out-resume"
+    args = ["--data-path", str(data_dir / "data.json"),
+            "--image-folder", str(data_dir / "imgs"),
+            "--tokenizer", tok_dir, "--model-dir", str(ckpt_dir),
+            "--stage", "sft", "--per-device-batch-size", "1",
+            "--model-max-length", "64", "--save-interval", "2",
+            "--log-interval", "1", "--output-dir", str(out)]
+    main(args + ["--num-train-steps", "2"])
+    assert (out / "checkpoint" / "model-2").exists()
+    main(args + ["--num-train-steps", "4", "--resume"])
+    recs = [json.loads(l) for l in
+            (out / "log_trainer.jsonl").read_text().strip().splitlines()]
+    # the resumed run logged steps >= 2 only (no restart from 0)
+    steps = [r["step"] for r in recs if "loss/total" in r]
+    assert 3 in steps and (out / "checkpoint" / "model-4").exists()
