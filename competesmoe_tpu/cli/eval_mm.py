@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--load-8bit", action="store_true")
     ap.add_argument("--load-4bit", action="store_true")
     ap.add_argument("--kv-quant", default="", choices=["", "int8"])
+    ap.add_argument("--mesh", default="",
+                    help="DxM tensor-parallel mesh (e.g. 1x8): shard the "
+                         "decoder over M chips for eval of models larger "
+                         "than one chip (serve.model_worker shares the "
+                         "same path)")
     a = ap.parse_args(argv)
     if a.rank is None or a.world_size is None:
         from ..parallel.distributed import detect_env
@@ -104,6 +109,9 @@ def main(argv=None):
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(
                 run.tokenizer or run.model_dir)
+        if getattr(run, "mesh", ""):
+            from ..serve.model_worker import shard_llava_params
+            variables = shard_llava_params(variables, run.mesh)
         lm = harness.JaxLlava(model, variables, tokenizer,
                               image_processor,
                               conv_template=run.conv_template,

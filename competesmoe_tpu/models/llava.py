@@ -155,8 +155,13 @@ class LlavaModel(nn.Module):
         default=None, compare=False, hash=False)
 
     def setup(self):
-        self.vision_tower = SiglipSMoEVisionTower(
-            self.cfg.vision, flip_schedule=self.vision_flip_schedule)
+        if self.cfg.vision.tower_type == "clip":
+            from .vision import CLIPSMoEVisionTower
+            self.vision_tower = CLIPSMoEVisionTower(
+                self.cfg.vision, flip_schedule=self.vision_flip_schedule)
+        else:
+            self.vision_tower = SiglipSMoEVisionTower(
+                self.cfg.vision, flip_schedule=self.vision_flip_schedule)
         self.mm_projector = VisionProjector(self.cfg.projector)
         self.language_model = DecoderLM(self.cfg.decoder)
 
@@ -330,6 +335,111 @@ def sample_token(logits: jax.Array, rng: Optional[jax.Array],
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
+                    pixel_values: Optional[np.ndarray],
+                    attention_mask: Optional[np.ndarray] = None,
+                    max_new_tokens: int = 64, temperature: float = 0.0,
+                    top_p: float = 1.0, eos_token_id: Optional[int] = None,
+                    stop_token_ids: Optional[List[int]] = None,
+                    rng: Optional[jax.Array] = None,
+                    chunk_max: int = 8):
+    """Incremental generation: yields np.ndarray token chunks [B, n] as
+    they are sampled — the concurrent-streaming role of the reference
+    worker's threaded `TextIteratorStreamer`
+    (moe_model/serve/model_worker.py:125-180), without the thread: the
+    caller consumes tokens between device steps, so the first token
+    arrives right after prefill (TTFT = prefill time + one decode step)
+    and abandoning the generator cancels the remaining decode steps.
+
+    Chunk sizes follow a 1,1,2,4,...,chunk_max warmup so early tokens
+    stream at per-step latency while the steady state amortizes host-loop
+    overhead through `make_scan_decode` (one device program per chunk).
+    top_p < 1 forces chunk size 1 (host-side nucleus sampling).
+    Stops after every row has produced a stop/eos token; the final chunk
+    is truncated at the stop position.
+    """
+    cfg = model.cfg
+    B, L = input_ids.shape
+    P = cfg.num_image_tokens if pixel_values is not None else 0
+    prompt_len = L - 1 + P if pixel_values is not None else L
+    max_len = prompt_len + max_new_tokens
+    prefill, decode_step = make_generate_fns(model, cfg, max_len)
+    if attention_mask is None:
+        attention_mask = np.ones_like(input_ids)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if pixel_values is not None:
+        last_logits, out = prefill(params, jnp.asarray(input_ids),
+                                   jnp.asarray(pixel_values),
+                                   jnp.asarray(attention_mask))
+    else:
+        cache = KVCache.create(cfg.decoder, B, max_len)
+        res = model.apply(params, jnp.asarray(input_ids), None,
+                          attention_mask=jnp.asarray(attention_mask),
+                          cache=cache)
+        lengths = res.cache.pos
+        last_logits = jnp.take_along_axis(
+            res.logits, (lengths - 1)[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
+        out = res
+    cache = out.cache
+
+    stops = set(stop_token_ids or [])
+    if eos_token_id is not None:
+        stops.add(int(eos_token_id))
+    stop_arr = np.asarray(sorted(stops)) if stops else None
+
+    def cut(chunk: np.ndarray, finished: np.ndarray):
+        """Per row: pad tokens after the first stop with the stop id (so
+        consumers that split at the stop marker see no garbage) and mark
+        the row finished. Rows finished in earlier chunks emit only stop
+        ids. Returns (chunk, finished, all_done)."""
+        if stop_arr is None:
+            return chunk, finished, False
+        for b in range(chunk.shape[0]):
+            if finished[b]:
+                chunk[b, :] = stop_arr[0]
+                continue
+            hits = np.isin(chunk[b], stop_arr)
+            if hits.any():
+                fi = int(hits.argmax())
+                chunk[b, fi + 1:] = chunk[b, fi]
+                finished[b] = True
+        return chunk, finished, bool(finished.all())
+
+    rng, sub = jax.random.split(rng)
+    cur = sample_token(last_logits, sub, temperature, top_p)
+    finished = np.zeros(B, bool)
+    produced = 1
+    chunk_np = np.asarray(cur)[:, None]
+    chunk_np, finished, done = cut(chunk_np, finished)
+    yield chunk_np
+    if done:
+        return
+
+    use_scan = top_p >= 1.0
+    size = 1
+    while produced < max_new_tokens:
+        n = min(size if use_scan else 1, max_new_tokens - produced)
+        rng, sub = jax.random.split(rng)
+        if n > 1:
+            decode_n = make_scan_decode(model, n, temperature)
+            toks, cache = decode_n(params, cur, cache, sub)
+            chunk_np = np.asarray(toks)
+            cur = toks[:, -1]
+        else:
+            logits, cache = decode_step(params, cur, cache)
+            cur = sample_token(logits, sub, temperature, top_p)
+            chunk_np = np.asarray(cur)[:, None]
+        produced += n
+        chunk_np, finished, done = cut(chunk_np, finished)
+        yield chunk_np
+        if done:
+            return
+        size = min(size * 2, chunk_max)
 
 
 def generate(model: LlavaModel, params, input_ids: np.ndarray,

@@ -144,6 +144,25 @@ def decoder_param_shardings(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(to_spec, params)
 
 
+def llava_param_shardings(mesh: Mesh, params):
+    """Tensor-parallel shardings for a full LlavaModel param tree: the
+    decoder ('language_model' subtree) gets the Megatron column/row specs
+    above; the vision tower + projector (a few hundred MB at 5.1B) stay
+    replicated — they run once per request while the decoder runs per
+    token, so sharding them buys nothing and costs gather latency.
+
+    This is the serve/eval sharded-inference role of the reference
+    (evaluate/lmms_eval/models/llava.py:161-169's device_map splitting,
+    done as real tensor parallelism instead of naive layer placement)."""
+    def to_spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        if names and names[0] == "language_model":
+            return NamedSharding(mesh, decoder_param_spec(names, leaf))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(to_spec, params)
+
+
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
     """KV cache [L, B, max_len, kv_heads, head_dim]: batch over 'data',
     kv heads over 'model' (each shard attends with its own heads)."""

@@ -94,8 +94,15 @@ class ModelWorker:
 
 def jax_llava_generate_fn(adapter):
     """Build a worker generate_fn from an eval.JaxLlava adapter: prompt +
-    optional base64 images in, incremental text out."""
-    from ..models.llava import generate
+    optional base64 images in, incremental text out.
+
+    TRUE streaming (the reference's threaded TextIteratorStreamer role,
+    model_worker.py:125-180): tokens are yielded as `stream_generate`
+    samples them — the first chunk goes on the wire right after prefill
+    + one decode step, and a disconnected client (write error in the
+    handler) abandons the generator, cancelling the remaining decode
+    steps between device calls."""
+    from ..models.llava import stream_generate
 
     def fn(params: dict) -> Iterator[str]:
         prompt = params["prompt"]
@@ -109,17 +116,38 @@ def jax_llava_generate_fn(adapter):
             pil = [load_image_from_base64(b) for b in images]
             px = process_images(pil, adapter.image_processor)
         arr = np.asarray([ids], np.int32)
-        toks, _ = generate(
-            adapter.model, adapter.params, arr, px,
-            max_new_tokens=max_new, temperature=temperature, top_p=top_p,
-            eos_token_id=getattr(adapter.tokenizer, "eos_token_id", None),
-            stop_token_ids=adapter.stop_token_ids)
-        text = ""
-        for t in range(toks.shape[1]):
-            text = adapter.tokenizer.decode(list(toks[0, :t + 1]),
+        tokens: list = []
+        for chunk in stream_generate(
+                adapter.model, adapter.params, arr, px,
+                max_new_tokens=max_new, temperature=temperature,
+                top_p=top_p,
+                eos_token_id=getattr(adapter.tokenizer, "eos_token_id",
+                                     None),
+                stop_token_ids=adapter.stop_token_ids):
+            tokens.extend(int(t) for t in chunk[0])
+            text = adapter.tokenizer.decode(tokens,
                                             skip_special_tokens=True)
             yield text.split("<|end|>")[0]
     return fn
+
+
+def shard_llava_params(params: dict, mesh_str: str) -> dict:
+    """Place a loaded LlavaModel param tree on a DxM tensor-parallel mesh
+    ('1x8' -> data=1, model=8). The decoder shards Megatron-style, the
+    vision tower/projector replicate; jit propagates the shardings into
+    every generate call, so no other serving code changes."""
+    import jax
+
+    from ..parallel.mesh import llava_param_shardings, make_tp_mesh
+
+    d, m = (int(v) for v in mesh_str.lower().split("x"))
+    if d * m > len(jax.devices()):
+        raise SystemExit(f"mesh {mesh_str} needs {d * m} devices, have "
+                         f"{len(jax.devices())}")
+    mesh = make_tp_mesh(n_model=m, devices=jax.devices()[:d * m])
+    inner = params.get("params", params)
+    sharded = jax.device_put(inner, llava_param_shardings(mesh, inner))
+    return {"params": sharded} if "params" in params else sharded
 
 
 def make_handler(worker: ModelWorker):
@@ -187,6 +215,11 @@ def main(argv=None):
     ap.add_argument("--load-8bit", action="store_true")
     ap.add_argument("--load-4bit", action="store_true")
     ap.add_argument("--kv-quant", default="", choices=["", "int8"])
+    ap.add_argument("--mesh", default="",
+                    help="DxM tensor-parallel mesh, e.g. 1x8: shard the "
+                         "decoder Megatron-style over M chips "
+                         "(parallel.mesh.llava_param_shardings) so the "
+                         "5.1B serves across a v5e-8 slice")
     ap.add_argument("--no-register", action="store_true")
     a = ap.parse_args(argv)
 
@@ -196,6 +229,8 @@ def main(argv=None):
     tokenizer, model, params, image_processor, _ = load_pretrained_model(
         a.model_path, load_8bit=a.load_8bit, load_4bit=a.load_4bit,
         kv_quant=a.kv_quant or None, dtype=jnp.bfloat16)
+    if a.mesh:
+        params = shard_llava_params(params, a.mesh)
     if tokenizer is None or a.tokenizer:
         from transformers import AutoTokenizer
         tokenizer = AutoTokenizer.from_pretrained(

@@ -242,3 +242,117 @@ def test_worker_cli_builds_quantized_worker(tmp_path, monkeypatch):
     # quant flags reached the model config
     st = w.get_status()
     assert st["model_names"] == ["toy-5b"]
+
+
+def test_stream_generate_yields_before_completion(adapter, monkeypatch):
+    """First chunk arrives straight from prefill — before ANY decode step
+    has run (the TTFT = prefill-time property of true streaming; the
+    round-2 worker generated everything first and replayed it)."""
+    import competesmoe_tpu.models.llava as L
+
+    calls = {"decode": 0, "scan": 0}
+    orig_fns = L.make_generate_fns
+    orig_scan = L.make_scan_decode
+
+    def wrapped_fns(model, cfg, max_len):
+        prefill, decode_step = orig_fns(model, cfg, max_len)
+
+        def counting_decode(params, token, cache):
+            calls["decode"] += 1
+            return decode_step(params, token, cache)
+        return prefill, counting_decode
+
+    def wrapped_scan(model, n, temperature=0.0):
+        fn = orig_scan(model, n, temperature)
+
+        def counting(params, tok, cache, rng):
+            calls["scan"] += n
+            return fn(params, tok, cache, rng)
+        return counting
+
+    monkeypatch.setattr(L, "make_generate_fns", wrapped_fns)
+    monkeypatch.setattr(L, "make_scan_decode", wrapped_scan)
+
+    ids = np.full((1, 5), 2, np.int32)
+    gen = L.stream_generate(adapter.model, adapter.params, ids, None,
+                            max_new_tokens=6)
+    first = next(gen)
+    assert first.shape == (1, 1)
+    assert calls["decode"] == 0 and calls["scan"] == 0, \
+        "first chunk must not wait for any decode step"
+    rest = list(gen)
+    total = 1 + sum(c.shape[1] for c in rest)
+    assert total == 6
+    # warmup chunk schedule: per-step latency early, scan chunks later
+    assert rest[0].shape[1] == 1
+    assert calls["decode"] + calls["scan"] == 5
+
+
+def test_stream_generate_cancellation(adapter, monkeypatch):
+    """Abandoning the generator between chunks cancels remaining decode
+    steps (the client-disconnect path of the worker handler)."""
+    import competesmoe_tpu.models.llava as L
+
+    calls = {"n": 0}
+    orig_scan = L.make_scan_decode
+
+    def wrapped_scan(model, n, temperature=0.0):
+        fn = orig_scan(model, n, temperature)
+
+        def counting(params, tok, cache, rng):
+            calls["n"] += 1
+            return fn(params, tok, cache, rng)
+        return counting
+
+    monkeypatch.setattr(L, "make_scan_decode", wrapped_scan)
+    ids = np.full((1, 5), 2, np.int32)
+    gen = L.stream_generate(adapter.model, adapter.params, ids, None,
+                            max_new_tokens=32)
+    next(gen)
+    gen.close()
+    assert calls["n"] <= 1, "close() must stop the decode loop"
+
+
+def test_worker_stream_matches_batch_generate(adapter):
+    """Streamed text == one-shot generate text, and the stream is
+    incremental (multiple monotonically-growing partials)."""
+    from competesmoe_tpu.models.llava import generate
+
+    fn = jax_llava_generate_fn(adapter)
+    texts = list(fn({"prompt": "hello world", "max_new_tokens": 6}))
+    assert len(texts) >= 3, "expected incremental partial texts"
+    for a, b in zip(texts, texts[1:]):
+        assert b.startswith(a[:len(a)])
+
+    ids = np.asarray(
+        [adapter.tokenizer_ids_for_prompt("hello world", False)], np.int32)
+    toks, _ = generate(adapter.model, adapter.params, ids, None,
+                       max_new_tokens=6,
+                       stop_token_ids=adapter.stop_token_ids)
+    ref = adapter.tokenizer.decode(list(toks[0]),
+                                   skip_special_tokens=True)
+    assert texts[-1] == ref.split("<|end|>")[0]
+
+
+def test_worker_tp_sharded_stream_token_exact(adapter):
+    """--mesh DxM serving: decoder sharded Megatron-style over the model
+    axis streams byte-identical text vs the unsharded worker (the
+    reference's sharded-inference role, evaluate models/llava.py:161-169,
+    as true tensor parallelism)."""
+    from jax.sharding import PartitionSpec as P
+
+    from competesmoe_tpu.serve.model_worker import shard_llava_params
+
+    sharded = shard_llava_params(adapter.params, "2x4")
+    # decoder matmuls genuinely sharded over the model axis
+    inner = sharded["params"] if "params" in sharded else sharded
+    qkv = inner["language_model"]["layers_0"]["self_attn"]["qkv_proj"][
+        "kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+
+    a2 = JaxLlava(adapter.model, sharded, adapter.tokenizer,
+                  ImageProcessorConfig(size=28), max_new_tokens=3)
+    req = {"prompt": "hello world", "max_new_tokens": 6}
+    t_ref = list(jax_llava_generate_fn(adapter)(dict(req)))
+    t_tp = list(jax_llava_generate_fn(a2)(dict(req)))
+    assert t_tp == t_ref
