@@ -28,6 +28,7 @@ from ..multimodal.mm_utils import ImageProcessorConfig
 from .decoder import DecoderConfig
 from .hf_loader import (
     _strip_prefix,
+    convert_clip_tower,
     convert_decoder,
     convert_mlpmoe_projector,
     convert_siglip_tower,
@@ -91,13 +92,29 @@ def llava_config_from_hf(cfg: Dict, model_name: str = "",
     moe_args = moe_args_from_hf(cfg)
     clip_smoe = cfg.get("clip_smoe", True)
     mlp_smoe = cfg.get("mlp_smoe", True)
+    # tower dispatch by mm_vision_tower name (reference builder dispatch +
+    # clip_encoder.py vs siglip_encoder.py): "clip" without "siglip" picks
+    # the CLIP tower (CLS token, pre-LN, quick_gelu, eps 1e-5)
+    tower_name = str(cfg.get("mm_vision_tower", "")).lower()
+    is_clip = "clip" in tower_name and "siglip" not in tower_name
+    defaults = ((1024, 4096, 24, 16, 336) if is_clip
+                else (1152, 4304, 27, 16, 224))
     vis = VisionConfig(
-        hidden_size=vision_cfg_d.get("hidden_size", 1152),
-        intermediate_size=vision_cfg_d.get("intermediate_size", 4304),
-        num_hidden_layers=vision_cfg_d.get("num_hidden_layers", 27),
-        num_attention_heads=vision_cfg_d.get("num_attention_heads", 16),
-        image_size=vision_cfg_d.get("image_size", 224),
+        hidden_size=vision_cfg_d.get("hidden_size", defaults[0]),
+        intermediate_size=vision_cfg_d.get("intermediate_size",
+                                           defaults[1]),
+        num_hidden_layers=vision_cfg_d.get("num_hidden_layers",
+                                           defaults[2]),
+        num_attention_heads=vision_cfg_d.get("num_attention_heads",
+                                             defaults[3]),
+        image_size=vision_cfg_d.get("image_size", defaults[4]),
         patch_size=vision_cfg_d.get("patch_size", 14),
+        layer_norm_eps=vision_cfg_d.get(
+            "layer_norm_eps", 1e-5 if is_clip else 1e-6),
+        hidden_act=vision_cfg_d.get(
+            "hidden_act", "quick_gelu" if is_clip else "gelu_tanh"),
+        use_cls_token=is_clip,
+        tower_type="clip" if is_clip else "siglip",
         moe_name=moe_name if clip_smoe else None,
         num_experts=cfg.get("num_experts", 4),
         num_selected=cfg.get("num_selected", 2),
@@ -123,9 +140,10 @@ def convert_llava_checkpoint(sd: Dict[str, np.ndarray],
     """Released-checkpoint state dict -> LlavaModel params."""
     vision_sd = _strip_prefix(sd, "model.vision_tower.vision_tower.")
     proj_sd = _strip_prefix(sd, "model.mm_projector.")
+    convert_tower = (convert_clip_tower if cfg.vision.tower_type == "clip"
+                     else convert_siglip_tower)
     params = {
-        "vision_tower": convert_siglip_tower(vision_sd, cfg.vision,
-                                             prefix=""),
+        "vision_tower": convert_tower(vision_sd, cfg.vision, prefix=""),
         "mm_projector": convert_mlpmoe_projector(
             proj_sd, cfg.projector.num_experts, prefix="")
         if cfg.projector.projector_type == "moe" else

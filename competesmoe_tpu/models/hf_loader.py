@@ -159,6 +159,18 @@ def convert_siglip_tower(sd: Dict[str, np.ndarray], cfg: VisionConfig,
             "position_embedding": m["embeddings.position_embedding.weight"],
         },
     }
+    _convert_vision_layers(m, cfg, params, upcycle, rng)
+    return params
+
+
+def _convert_vision_layers(m: Dict[str, np.ndarray], cfg: VisionConfig,
+                           params: Dict, upcycle: bool,
+                           rng: np.random.Generator) -> None:
+    """Shared SigLIP/CLIP encoder-block conversion: HF
+    `encoder.layers.<i>` modules (identical layout in both towers) into
+    `layers_<i>` trees, with dense MLPs either kept, replicated into all
+    experts (sparse upcycling, llava_arch.py:128-156), or read from a
+    trained `moelayer.experts.<i>` checkpoint."""
     for li in range(cfg.num_hidden_layers):
         p = f"encoder.layers.{li}."
         layer: Dict = {
@@ -188,6 +200,41 @@ def convert_siglip_tower(sd: Dict[str, np.ndarray], cfg: VisionConfig,
                 ).astype(np.float32)
             layer["moelayer"] = moe
         params[f"layers_{li}"] = layer
+
+
+def convert_clip_tower(sd: Dict[str, np.ndarray], cfg: VisionConfig,
+                       prefix: str = "vision_model.",
+                       upcycle: bool = False,
+                       rng: Optional[np.random.Generator] = None) -> Dict:
+    """CLIP vision state dict -> CLIPSMoEVisionTower params.
+
+    Mirrors `convert_siglip_tower` with the CLIP embedding differences
+    (ref clip_encoder.py:34-166 loads these via HF CLIPVisionModel):
+    - CLS token (`embeddings.class_embedding`, a bare [D] parameter);
+    - bias-free patch conv;
+    - P+1 position embeddings (CLS gets slot 0);
+    - the `pre_layrnorm` before the encoder stack (HF's spelling).
+    upcycle=True replicates each block's dense MLP into all experts, as
+    for SigLIP.
+    """
+    m = _strip_prefix(sd, prefix) if prefix else dict(sd)
+    if ("embeddings.class_embedding" not in m
+            and any(k.startswith("vision_model.") for k in m)):
+        # HF CLIPVisionModel nests everything under vision_model.
+        m = _strip_prefix(m, "vision_model.")
+    rng = rng or np.random.default_rng(42)
+    params: Dict = {
+        "embeddings": {
+            "patch_embedding": {
+                "kernel": _conv_kernel(
+                    m["embeddings.patch_embedding.weight"]),
+            },
+            "class_embedding": m["embeddings.class_embedding"],
+            "position_embedding": m["embeddings.position_embedding.weight"],
+        },
+        "pre_layrnorm": _ln(m, "pre_layrnorm"),
+    }
+    _convert_vision_layers(m, cfg, params, upcycle, rng)
     return params
 
 

@@ -48,6 +48,8 @@ class VisionConfig:
     layer_norm_eps: float = 1e-6
     hidden_act: str = "gelu_tanh"      # gelu_pytorch_tanh
     use_cls_token: bool = False        # True for CLIP
+    tower_type: str = "siglip"         # 'siglip' | 'clip' (builder.py:29-
+                                       # 184 dispatch by mm_vision_tower)
     # MoE-ification
     moe_name: Optional[str] = None     # None -> dense MLP blocks
     num_experts: int = 4
@@ -131,7 +133,8 @@ class VisionEncoderLayer(nn.Module):
                 args=cfg.moe_args,
                 expert_hidden_dim=cfg.intermediate_size,
                 expert_act="gelu_tanh" if "tanh" in cfg.hidden_act
-                else "gelu")
+                else ("quick_gelu" if cfg.hidden_act == "quick_gelu"
+                      else "gelu"))
         else:
             self.mlp = VisionMLP(cfg)
 

@@ -111,6 +111,10 @@ class MoeLayerBase(nn.Module):
             return gelu_exact
         if self.expert_act == "gelu_tanh":
             return lambda x: jax.nn.gelu(x, approximate=True)
+        if self.expert_act == "quick_gelu":
+            # CLIP tower upcycling: experts must reproduce the dense
+            # CLIPMLP activation exactly (x * sigmoid(1.702 x))
+            return lambda x: x * jax.nn.sigmoid(1.702 * x)
         raise ValueError(f"unknown expert_act {self.expert_act!r}")
 
     def _expert_params(self, n_experts: Optional[int] = None):

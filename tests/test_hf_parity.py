@@ -196,3 +196,87 @@ def test_mpt_logits_parity():
     logits, _, _ = model.apply({"params": params}, jnp.asarray(ids.numpy()))
     np.testing.assert_allclose(np.asarray(logits), want, rtol=3e-4,
                                atol=3e-4)
+
+
+def test_clip_dense_tower_parity():
+    """CLIP tower (CLS + pre-LN + quick_gelu) vs HF CLIPVisionModel:
+    select_layer=-2 patch features (ref clip_encoder.py:34-166 /
+    builder dispatch by mm_vision_tower name)."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from competesmoe_tpu.models.hf_loader import convert_clip_tower
+    from competesmoe_tpu.models.vision import CLIPSMoEVisionTower
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        hidden_act="quick_gelu")
+    hf = CLIPVisionModel(hf_cfg).eval()
+    cfg = VisionConfig(hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=3, num_attention_heads=2,
+                       image_size=28, patch_size=14, moe_name=None,
+                       hidden_act="quick_gelu", layer_norm_eps=1e-5,
+                       use_cls_token=True, tower_type="clip")
+    params = convert_clip_tower(_sd(hf), cfg)
+    px = torch.randn(2, 3, 28, 28)
+    with torch.no_grad():
+        want = hf(px, output_hidden_states=True
+                  ).hidden_states[-2][:, 1:].numpy()
+    tower = CLIPSMoEVisionTower(cfg)
+    feats, aux, _ = tower.apply(
+        {"params": params}, jnp.asarray(px.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_clip_moe_upcycled_matches_dense_at_init():
+    """CLIP sparse upcycling: every expert = the dense MLP, so the MoE
+    tower reproduces the dense tower at init (llava_arch.py:128-156)."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from competesmoe_tpu.models.hf_loader import convert_clip_tower
+    from competesmoe_tpu.models.vision import CLIPSMoEVisionTower
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        hidden_act="quick_gelu")
+    hf = CLIPVisionModel(hf_cfg).eval()
+    sd = _sd(hf)
+    common = dict(hidden_size=32, intermediate_size=64,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  image_size=28, patch_size=14, hidden_act="quick_gelu",
+                  layer_norm_eps=1e-5, use_cls_token=True,
+                  tower_type="clip")
+    dense_cfg = VisionConfig(moe_name=None, **common)
+    moe_cfg = VisionConfig(moe_name="smoe", num_experts=4, num_selected=2,
+                           **common)
+    p_dense = convert_clip_tower(sd, dense_cfg)
+    p_moe = convert_clip_tower(sd, moe_cfg, upcycle=True)
+    px = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 28, 28, 3)).astype(np.float32))
+    f_dense, _, _ = CLIPSMoEVisionTower(dense_cfg).apply(
+        {"params": p_dense}, px)
+    f_moe, _, _ = CLIPSMoEVisionTower(moe_cfg).apply(
+        {"params": p_moe}, px)
+    np.testing.assert_allclose(np.asarray(f_moe), np.asarray(f_dense),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_builder_dispatches_clip_tower_by_name():
+    """llava_config_from_hf routes mm_vision_tower names to the right
+    tower (builder.py:29-184 name dispatch)."""
+    from competesmoe_tpu.models.builder import llava_config_from_hf
+
+    base = {"vocab_size": 64, "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 2}
+    clip = llava_config_from_hf(
+        {**base, "mm_vision_tower": "openai/clip-vit-large-patch14-336"})
+    assert clip.vision.tower_type == "clip"
+    assert clip.vision.use_cls_token
+    assert clip.vision.hidden_act == "quick_gelu"
+    assert clip.vision.image_size == 336
+    sig = llava_config_from_hf(
+        {**base, "mm_vision_tower": "google/siglip-so400m-patch14-224"})
+    assert sig.vision.tower_type == "siglip"
+    assert not sig.vision.use_cls_token
