@@ -42,6 +42,75 @@ def _have(name: str) -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Pluggable frame sampler: the decord.VideoReader role for video tasks
+# ---------------------------------------------------------------------------
+
+_FRAME_SAMPLER = None
+
+
+def set_frame_sampler(fn) -> None:
+    """Install a frame source for video-family tasks: fn(path) -> sequence
+    of HxWx3 uint8 frames. The reference decodes videos with decord
+    (e.g. evaluate/lmms_eval/tasks/videomme/utils.py); offline, tests and
+    pipelines supply frames directly (synthetic, or pre-extracted)."""
+    global _FRAME_SAMPLER
+    _FRAME_SAMPLER = fn
+
+
+def _default_frame_sampler(path):
+    """Images-from-frames default: a directory of image files (sorted) or
+    an .npy [N, H, W, 3] array acts as the 'video'."""
+    import os
+
+    import numpy as np
+    if str(path).endswith(".npy"):
+        return list(np.load(path))
+    if os.path.isdir(path):
+        from PIL import Image
+        frames = []
+        for name in sorted(os.listdir(path)):
+            if name.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                frames.append(np.asarray(
+                    Image.open(os.path.join(path, name)).convert("RGB")))
+        if frames:
+            return frames
+    raise RuntimeError(
+        f"no frame source for {path!r}: real video decoding is "
+        "unavailable offline — pass a frame directory/.npy, or install "
+        "a sampler via eval.lmms_compat.set_frame_sampler")
+
+
+class _FrameBatch:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def asnumpy(self):
+        return self._arr
+
+
+class _frame_sampler_video_reader:
+    """decord.VideoReader stand-in backed by the pluggable frame sampler:
+    supports len(), get_avg_fps(), get_batch(indices).asnumpy() — the
+    surface the reference video tasks use."""
+
+    def __init__(self, path, *args, **kwargs):
+        import numpy as np
+        sampler = _FRAME_SAMPLER or _default_frame_sampler
+        self._frames = np.stack([np.asarray(f) for f in sampler(path)])
+
+    def __len__(self):
+        return len(self._frames)
+
+    def get_avg_fps(self):
+        return 1.0
+
+    def get_batch(self, indices):
+        import numpy as np
+        idx = np.asarray(indices, np.int64) % len(self._frames)
+        return _FrameBatch(self._frames[idx])
+
+
 class _Filter:
     """lmms_eval.api.filter.Filter protocol: apply(resps, docs)."""
 
@@ -391,14 +460,86 @@ def ensure_lmms_compat() -> None:
         mod.api_base = ""
     if not _have("decord"):
         mod = _module("decord")
-
-        def _no_video(*a, **k):
-            raise RuntimeError(
-                "decord is unavailable (video decoding n/a offline)")
-        mod.VideoReader = _no_video
-        mod.cpu = _no_video
-        mod.gpu = _no_video
+        mod.VideoReader = _frame_sampler_video_reader
+        mod.cpu = lambda *a, **k: None
+        mod.gpu = lambda *a, **k: None
         mod.bridge = types.SimpleNamespace(set_bridge=lambda *a, **k: None)
+    if not _have("spacy"):
+        # vcr_wiki tokenization (tasks/vcr_wiki/utils.py:8-41,88-99): the
+        # tasks only use `[t.text for t in nlp(text)]`, so a light
+        # tokenizer (wordpunct for en, per-character for zh) is a faithful
+        # offline stand-in.
+        import re as _re
+        mod = _module("spacy")
+
+        class _Tok:
+            __slots__ = ("text",)
+
+            def __init__(self, t):
+                self.text = t
+
+        def _load(name, *a, **k):
+            zh = name.startswith("zh")
+
+            def nlp(text):
+                if zh:
+                    return [_Tok(c) for c in text if not c.isspace()]
+                return [_Tok(t) for t in
+                        _re.findall(r"\w+|[^\w\s]", text)]
+            return nlp
+
+        mod.load = _load
+        cli = _module("spacy.cli")
+        cli.download = lambda *a, **k: None
+        mod.cli = cli
+    if not _have("anls"):
+        # conbench (tasks/conbench/utils.py:3): pip `anls`'s anls_score ->
+        # our registered ANLS metric (eval/metrics.py)
+        from .metrics import anls as _anls_metric
+        mod = _module("anls")
+
+        def anls_score(prediction="", gold_labels=(), threshold=0.5):
+            return _anls_metric(prediction, list(gold_labels), threshold)
+        mod.anls_score = anls_score
+    if not _have("zss"):
+        # synthdog tree-edit-distance accuracy
+        # (tasks/synthdog/donut_evaluator.py:16-21): real Zhang-Shasha,
+        # not a stub — the task runs fully offline.
+        from . import zss_compat
+        sys.modules["zss"] = zss_compat
+    if not _have("capture_metric"):
+        # detailcaps CAPTURE metric needs a parser model download; config
+        # loading works, scoring raises clearly offline.
+        mod = _module("capture_metric")
+        cap = _module("capture_metric.capture")
+
+        class CAPTURE:
+            def compute_score(self, *a, **k):
+                raise RuntimeError(
+                    "CAPTURE metric needs its parser model (offline "
+                    "n/a); detailcaps' other metrics still work")
+        cap.CAPTURE = CAPTURE
+        mod.capture = cap
+    if not _have("reka"):
+        # vibe_eval judge client (tasks/vibe_eval/utils.py:7-8)
+        mod = _module("reka")
+
+        class ChatMessage:
+            def __init__(self, *a, **k):
+                self.__dict__.update(k)
+        mod.ChatMessage = ChatMessage
+        client = _module("reka.client")
+
+        class Reka:
+            def __init__(self, *a, **k):
+                pass
+
+            def __getattr__(self, name):
+                raise RuntimeError(
+                    "reka API is unavailable offline; vibe_eval's judge "
+                    "scoring needs it (config loading is fine)")
+        client.Reka = Reka
+        mod.client = client
 
     if _have("lmms_eval"):
         return

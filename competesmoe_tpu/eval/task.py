@@ -182,6 +182,18 @@ class TaskConfig:
     model_specific_prompt_kwargs: Optional[Dict[str, Any]] = None
 
 
+def _containment_score(pred, target) -> float:
+    """Offline stand-in for GPT-judge scoring: exact match or target
+    containment on normalized text. Reported under
+    `offline_judge_containment` with the `offline_metric` flag set, so it
+    can never be confused with a real judge score."""
+    p = " ".join(str(pred).lower().split())
+    t = " ".join(str(target).lower().split())
+    if not t:
+        return 0.0
+    return 1.0 if (p == t or t in p) else 0.0
+
+
 class ConfigurableTask:
     """Builds requests from docs, applies filters, scores and aggregates."""
 
@@ -302,7 +314,21 @@ class ConfigurableTask:
             doc = self._docs[inst.doc_id]
             resps = inst.filtered_resps.get("default", inst.resps)
             if self.process_results is not None:
-                results = self.process_results(doc, resps)
+                try:
+                    results = self.process_results(doc, resps)
+                except RuntimeError as e:
+                    # GPT-judge tasks (llava-in-the-wild etc.) raise from
+                    # the offline openai/reka stubs; fall back to an
+                    # exact/containment score and FLAG it — offline
+                    # numbers must never be mistaken for judge scores.
+                    if "offline" not in str(e):
+                        raise
+                    tgt = (self.doc_to_target(doc)
+                           if self.doc_to_target else "")
+                    results = {"offline_judge_containment":
+                               _containment_score(resps[0] if resps
+                                                  else "", tgt)}
+                    self.offline_metric = True
                 for k, v in results.items():
                     per_metric.setdefault(k, []).append(self._coerce_float(v))
                 continue
@@ -328,5 +354,7 @@ class ConfigurableTask:
         for name, vals in per_metric.items():
             if name not in out:
                 out[name] = get_aggregation("mean")(vals)
+        if getattr(self, "offline_metric", False):
+            out["offline_metric"] = True
         self.sample_scores = per_metric
         return out

@@ -290,3 +290,64 @@ def test_fewshot_context():
         doc_to_text=lambda d: d["q"],
         doc_to_target=lambda d: d["a"], docs=docs, num_fewshot=2))
     assert task2.build_all_requests()[0].arguments[0] == ctx
+
+
+def test_video_task_end_to_end_synthetic_frames(jax_llava, tmp_path):
+    """A video-family task runs end-to-end: doc_to_visual samples frames
+    through the decord compat reader (images-from-frames), frames become
+    the visual inputs, metrics aggregate (videomme-style flow,
+    evaluate/lmms_eval/tasks/videomme/utils.py role)."""
+    from competesmoe_tpu.eval.lmms_compat import ensure_lmms_compat
+    ensure_lmms_compat()
+    import decord
+
+    vid = tmp_path / "clip"
+    vid.mkdir()
+    for i in range(4):
+        Image.new("RGB", (28, 28), (60 * i, 0, 0)).save(vid / f"{i}.png")
+
+    def doc_to_visual(doc):
+        vr = decord.VideoReader(doc["video"], ctx=decord.cpu(0))
+        n = len(vr)
+        idx = np.linspace(0, n - 1, 2).astype(int).tolist()
+        frames = vr.get_batch(idx).asnumpy()
+        return [Image.fromarray(f) for f in frames]
+
+    docs = [{"video": str(vid), "question": "what color", "answer": "red"}
+            for _ in range(2)]
+    register_task("toy_video", TaskConfig(
+        task="toy_video", output_type="generate_until",
+        doc_to_text=lambda d: d["question"],
+        doc_to_visual=doc_to_visual,
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 2},
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"}],
+        docs=docs))
+    results = simple_evaluate(jax_llava, ["toy_video"])
+    assert "exact_match" in results["results"]["toy_video"]
+
+
+def test_offline_judge_fallback_flagged(jax_llava):
+    """GPT-judge process_results raising the offline stub error falls
+    back to containment scoring WITH the offline_metric flag (VERDICT r2
+    item 7: llava-in-the-wild has no offline judge)."""
+    def judge_process_results(doc, resps):
+        raise RuntimeError("openai is unavailable offline; this task's "
+                           "GPT-judge scoring needs it")
+
+    docs = [{"question": "what is this", "answer": "red",
+             "img": Image.new("RGB", (30, 30), (255, 0, 0))}
+            for _ in range(2)]
+    register_task("toy_judge", TaskConfig(
+        task="toy_judge", output_type="generate_until",
+        doc_to_text=lambda d: d["question"],
+        doc_to_visual=lambda d: [d["img"]],
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 2},
+        process_results=judge_process_results,
+        metric_list=[{"metric": "gpt_eval", "aggregation": "mean"}],
+        docs=docs))
+    results = simple_evaluate(jax_llava, ["toy_judge"])
+    r = results["results"]["toy_judge"]
+    assert r.get("offline_metric") is True
+    assert "offline_judge_containment" in r
