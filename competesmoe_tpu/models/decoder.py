@@ -315,7 +315,8 @@ class DecoderAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
-                 cache_idx=None, layer_idx: int = 0):
+                 cache_idx=None, layer_idx: int = 0,
+                 attn_window: Optional[int] = None):
         """mask: [B, Tq, Tk] bool (True = attend). cache_kv: the FULL
         stacked (k, v) buffers [L, B, max_len, h_kv, d] — this layer
         scatters into its own [layer_idx] slice in place (restacking
@@ -388,6 +389,19 @@ class DecoderAttention(nn.Module):
                     v, unique_indices=True)
                 k, v = ck[layer_idx], cv[layer_idx]
                 new_cache = (ck, cv)
+            if attn_window is not None and attn_window < k.shape[1]:
+                # Windowed KV read: every valid position is < attn_window
+                # (caller contract: pos + T <= attn_window), and slots at
+                # or beyond it are masked -1e30 anyway — so slicing them
+                # off is token-exact while skipping their HBM reads. At
+                # a 512-slot cache with ~137 live positions this removes
+                # ~half the per-step KV traffic (the dominant non-weight
+                # term: L*B*S*hk*d*2 bytes/step).
+                k = k[:, :attn_window]
+                v = v[:, :attn_window]
+                if k_scale is not None:
+                    k_scale = k_scale[:, :attn_window]
+                    v_scale = v_scale[:, :attn_window]
 
         # GQA: group the query heads per KV head instead of jnp.repeat-ing
         # K/V (repeat materializes h/hk expanded copies — pure wasted HBM
@@ -470,12 +484,13 @@ class DecoderLayer(nn.Module):
 
     def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
                  cache_idx=None, layer_idx: int = 0, step=None,
-                 train=False):
+                 train=False, attn_window=None):
         res = x
         h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
                                       mask=mask, cache_kv=cache_kv,
                                       cache_idx=cache_idx,
-                                      layer_idx=layer_idx)
+                                      layer_idx=layer_idx,
+                                      attn_window=attn_window)
         x = res + h
         res = x
         h = self.post_attention_layernorm(x)
@@ -521,7 +536,8 @@ class DecoderLM(nn.Module):
     def __call__(self, input_ids=None, *, inputs_embeds=None,
                  attention_mask=None, position_ids=None,
                  cache: Optional[KVCache] = None, step=None, train=False,
-                 seq_len_cap: Optional[int] = None):
+                 seq_len_cap: Optional[int] = None,
+                 attn_window: Optional[int] = None):
         cfg = self.cfg
         if inputs_embeds is None:
             inputs_embeds = self.embed(input_ids)
@@ -554,6 +570,11 @@ class DecoderLM(nn.Module):
 
         # Build the attention mask [B, Tq, Tk].
         if cache is not None:
+            if attn_window is not None and attn_window < kv_len:
+                # windowed KV read (see DecoderAttention): mask matches
+                # the sliced cache; validity is the caller's contract
+                # (pos + T <= attn_window)
+                kv_len = attn_window
             kpos = jnp.arange(kv_len)[None, None]           # [1,1,K]
             qpos = (cache.pos[:, None] + jnp.maximum(cum, 0))[:, :, None]
             mask = kpos <= qpos
@@ -578,7 +599,8 @@ class DecoderLM(nn.Module):
         for li, layer in enumerate(self.layers):
             x, updated, aux = layer(
                 x, cos, sin, mask=mask, cache_kv=cache_kv,
-                cache_idx=cache_idx, layer_idx=li, step=step, train=train)
+                cache_idx=cache_idx, layer_idx=li, step=step, train=train,
+                attn_window=attn_window)
             total_aux = total_aux + aux.aux_loss
             auxes.append(aux)
             if updated is not None:

@@ -84,3 +84,74 @@ def test_int8_kv_respects_padding_mask():
     np.testing.assert_allclose(np.asarray(l1[:, -1]),
                                np.asarray(l2[:, -1]), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(c1.pos), np.asarray(c2.pos))
+
+
+def test_attn_window_token_exact():
+    """Windowed KV reads (attn_window) produce identical decode tokens:
+    slots at or past the live prefix are masked anyway, so slicing them
+    off only skips their HBM traffic (tools/bench_decode.py windowed)."""
+    import numpy as np
+
+    from competesmoe_tpu.models.decoder import (
+        DecoderConfig, DecoderLM, KVCache)
+
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        original_max_position_embeddings=128, fused_qkv=True,
+        dtype=jnp.float32)
+    model = DecoderLM(cfg)
+    B, T, MAX = 2, 6, 64
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, T), 1, 64)
+    params = model.init(jax.random.PRNGKey(1), ids)
+
+    def decode(window):
+        cache = KVCache.create(cfg, B, MAX)
+        logits, cache, _ = model.apply(params, ids, cache=cache)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks = [np.asarray(tok)]
+        for _ in range(5):
+            logits, cache, _ = model.apply(params, tok[:, None],
+                                           cache=cache,
+                                           attn_window=window)
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            toks.append(np.asarray(tok))
+        return np.stack(toks)
+
+    full = decode(None)
+    win = decode(16)   # prefill 6 + 5 steps = 11 live slots < 16
+    np.testing.assert_array_equal(full, win)
+
+
+def test_attn_window_int8_kv_token_exact():
+    import numpy as np
+
+    from competesmoe_tpu.models.decoder import (
+        DecoderConfig, DecoderLM, KVCache)
+
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        original_max_position_embeddings=128, fused_qkv=True,
+        kv_quant="int8", dtype=jnp.float32)
+    model = DecoderLM(cfg)
+    B, T, MAX = 2, 6, 64
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, T), 1, 64)
+    params = model.init(jax.random.PRNGKey(1), ids)
+
+    def decode(window):
+        cache = KVCache.create(cfg, B, MAX)
+        logits, cache, _ = model.apply(params, ids, cache=cache)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks = [np.asarray(tok)]
+        for _ in range(4):
+            logits, cache, _ = model.apply(params, tok[:, None],
+                                           cache=cache,
+                                           attn_window=window)
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            toks.append(np.asarray(tok))
+        return np.stack(toks)
+
+    np.testing.assert_array_equal(decode(None), decode(16))

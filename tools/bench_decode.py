@@ -23,11 +23,15 @@ Measured on v5e-1 (2026-08-16): ~13.9 ms/step at batch 8 -> ~578
 tok/s/chip for the full 32-layer 3.8B decoder (kv 512).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -43,39 +47,71 @@ PREFILL, MAXLEN = 128, 512
 
 
 def random_bf16_params(model, rng_seed=0):
-    """Host-built random params honoring each leaf's dtype (bf16 weights,
-    int8 kernel_q + f32 scale under --quant)."""
-    import ml_dtypes
+    """Random params honoring each leaf's dtype (bf16 weights, int8
+    kernel_q + f32 scale under --quant), built ON DEVICE: host-numpy
+    trees re-upload 7.6 GB through the axon tunnel (~10 min at the
+    measured ~14 MB/s), while a jitted per-leaf initializer materializes
+    them directly in HBM in seconds."""
     shapes = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32)),
         jax.random.PRNGKey(rng_seed))
-    rng = np.random.default_rng(rng_seed)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
-    def mk(leaf):
-        if np.issubdtype(leaf.dtype, np.integer):
-            return rng.integers(-127, 128, leaf.shape).astype(leaf.dtype)
-        if leaf.dtype == np.float32:
-            return (rng.standard_normal(leaf.shape) * 2e-4).astype(
-                np.float32)
-        a = rng.standard_normal(leaf.shape, np.float32) * 0.02
-        return a.astype(ml_dtypes.bfloat16)
-
-    return jax.tree_util.tree_map(mk, shapes)
-
-
-def build_decode_fns(model):
     @jax.jit
+    def build(key):
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for k, leaf in zip(keys, leaves):
+            if jnp.issubdtype(leaf.dtype, jnp.integer):
+                out.append(jax.random.randint(
+                    k, leaf.shape, -127, 128, jnp.int32).astype(leaf.dtype))
+            elif leaf.size < 10**6:
+                # norms / quant scales: small, stay f32
+                out.append(jax.random.normal(k, leaf.shape) * 2e-4)
+            else:
+                # weight matrices serve as bf16 regardless of the init
+                # spec's f32 (a served checkpoint is bf16 on device)
+                out.append((jax.random.normal(k, leaf.shape) * 0.02)
+                           .astype(jnp.bfloat16))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return build(jax.random.PRNGKey(rng_seed))
+
+
+def build_decode_fns(model, windowed: bool = False):
+    """windowed=True reads only the live KV prefix (rounded up to 128)
+    instead of the full cache each step (models/decoder.py attn_window;
+    token-exact — positions past `pos` are masked anyway).
+
+    Measured A/B at kv_len 512 / live 161 (v5e, 2026-08-17): windowed
+    13.74 -> 16.72 ms/step — SLOWER, because XLA materializes the sliced
+    K/V (a copy of O(window) bytes per layer per step) instead of fusing
+    the slice into the attention read, and at 512 slots the copy exceeds
+    the skipped traffic. The crossover is max_len >> live prefix (e.g. a
+    4096-slot serving cache with a 300-token conversation: copy 2*w vs
+    skip max_len - w). Default off at this bench's geometry.
+    # The cache (1.6 GB at 32 layers / batch 8 / kv 512) is donated into
+    # both programs: un-donated, the scan's carry double-buffer plus the
+    # live input pushed predicted peak HBM to 17.55 G of 15.75 G (compile
+    # OOM). Each timing rep re-runs prefill on a fresh cache instead of
+    # reusing a donated buffer.
+    @partial(jax.jit, donate_argnums=(2,))
     def prefill(params, ids, cache):
         logits, cache, _ = model.apply(params, ids, cache=cache)
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
 
     def make_decode(n, collect=False):
-        @jax.jit
+        win = None
+        if windowed:
+            win = min(MAXLEN, -(-(PREFILL + n + 1) // 128) * 128)
+
+        @partial(jax.jit, donate_argnums=(2,))
         def dec(params, tok, cache):
             def step(carry, _):
                 tok, cache = carry
                 logits, cache, _ = model.apply(params, tok[:, None],
-                                               cache=cache)
+                                               cache=cache,
+                                               attn_window=win)
                 nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
                 return (nxt, cache), nxt
             (_, cache), toks = jax.lax.scan(step, (tok, cache), None,
@@ -86,20 +122,27 @@ def build_decode_fns(model):
     return prefill, make_decode
 
 
-def time_decode(prefill, make_decode, params, ids, cache, reps=3):
-    tok, cache = prefill(params, ids, cache)
-    jax.block_until_ready(tok)
+def time_decode(prefill, make_decode, params, ids, cache, reps=3,
+                fresh_cache=None):
+    """Slope timing: each rep re-prefills into a fresh (donated) cache
+    outside the timed window; prefill cost is identical across the d1 and
+    d33 arms so it cancels in the slope."""
+    fresh = fresh_cache or (lambda: jax.tree_util.tree_map(
+        jnp.zeros_like, cache))
     d1, d33 = make_decode(1), make_decode(33)
-    float(d1(params, tok, cache))
-    float(d33(params, tok, cache))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(d1(params, tok, cache))
-    t1 = time.perf_counter()
-    for _ in range(reps):
-        float(d33(params, tok, cache))
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / reps / 32
+
+    def run(dec):
+        tok, c = prefill(params, ids, fresh())
+        jax.block_until_ready(tok)
+        t0 = time.perf_counter()
+        out = float(dec(params, tok, c))
+        return time.perf_counter() - t0
+
+    run(d1)
+    run(d33)   # warmup/compile
+    t1 = sum(run(d1) for _ in range(reps))
+    t33 = sum(run(d33) for _ in range(reps))
+    return (t33 - t1) / reps / 32
 
 
 def run_jax(a):
@@ -144,6 +187,17 @@ def run_jax(a):
                      if cache.v_scale is not None else None))
         ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data")))
         prefill, make_decode = build_decode_fns(model)
+
+        def fresh_sharded():
+            c = KVCache.create(cfg, a.batch, MAXLEN)
+            return KVCache(
+                k=jax.device_put(c.k, kv_sh),
+                v=jax.device_put(c.v, kv_sh),
+                pos=jax.device_put(c.pos, NamedSharding(mesh, P("data"))),
+                k_scale=(jax.device_put(c.k_scale, scale_sh)
+                         if c.k_scale is not None else None),
+                v_scale=(jax.device_put(c.v_scale, scale_sh)
+                         if c.v_scale is not None else None))
         with mesh:
             if a.verify:
                 tok0, c0 = prefill(params, ids,
@@ -156,20 +210,14 @@ def run_jax(a):
                 assert np.array_equal(ref, got), \
                     "sharded decode tokens diverge from unsharded"
                 detail["verify"] = "sharded tokens == unsharded (8 steps)"
-                cache = KVCache(
-                    k=jax.device_put(cache.k * 0, kv_sh),
-                    v=jax.device_put(cache.v * 0, kv_sh),
-                    pos=cache.pos * 0,
-                    k_scale=(jax.device_put(cache.k_scale * 0, scale_sh)
-                             if cache.k_scale is not None else None),
-                    v_scale=(jax.device_put(cache.v_scale * 0, scale_sh)
-                             if cache.v_scale is not None else None))
             per_tok = time_decode(prefill, make_decode, sh_params, ids_sh,
-                                  cache)
+                                  None, fresh_cache=fresh_sharded)
     else:
         params = jax.device_put(params)
         cache = KVCache.create(cfg, a.batch, MAXLEN)
-        prefill, make_decode = build_decode_fns(model)
+        prefill, make_decode = build_decode_fns(model,
+                                                windowed=a.window)
+        detail["attn_window"] = a.window
         per_tok = time_decode(prefill, make_decode, params, ids, cache)
 
     print(f"built {detail['params_b']}B params in {time.time()-t0:.0f}s",
@@ -241,6 +289,9 @@ def main():
     ap.add_argument("--hf-baseline", action="store_true")
     ap.add_argument("--quant", default="", choices=["", "int8", "w8a8"],
                     help="int8 weight-only / w8a8 dynamic decode")
+    ap.add_argument("--window", action="store_true",
+                    help="windowed KV read (pays off when max_len >> "
+                         "live prefix; slower at this bench's kv 512)")
     ap.add_argument("--kv-quant", default="", choices=["", "int8"],
                     help="int8 KV cache (halves KV read bandwidth)")
     # positional back-compat: bench_decode.py [n_layers] [batch]
