@@ -138,6 +138,19 @@ def main():
             # for the double GEMM alone -> deleted (ops/gmm_pallas.py);
             # stable-argsort+bincount+scatter dispatch 1.42 ms vs
             # composite-key sort 0.11 ms -> replaced in sort_by_expert.
+            # Round-3 stage profile (tools/profile_dispatch.py, v5e,
+            # 2026-08-17): sort 78 us + x-gather 192 us (43% of its HBM
+            # floor) + double ragged GEMM 424 us + combine 266 us (35%)
+            # ~= 960 us — the pipeline is GATHER-bound; XLA's gather
+            # efficiency is the binding constraint on pct_hbm_sol here.
+            # A Pallas aligned-group fused double-GEMM (ops/gmm_fused.py,
+            # opt-in impl='fused') measures 96 us standalone / 280 us
+            # in-loop vs 424 us for the XLA GEMMs, but its end-to-end
+            # pipeline is 1203 vs 1046 us on the same harness: the +25%
+            # aligned-padding gather and pallas-in-fori overhead erase
+            # the kernel win at this gather-bound shape (full analysis +
+            # the measured searchsorted/scalar-take XLA pathologies in
+            # that module's docstring).
             # companion headline metric, measured with
             # tools/bench_decode.py (full 32-layer Phi-3.5-mini-geometry
             # decoder, bf16, batch 8, greedy scan decode, kv 512, v5e-1,
@@ -153,7 +166,13 @@ def main():
             # tensor-parallel path (decoder_param_shardings +
             # kv_cache_sharding, verified token-exact on the virtual
             # 8-device mesh) scales the per-replica bandwidth 8x.
-            "decode_tok_per_sec_chip_5p1b_batch8": 577.7,
+            # remeasured 2026-08-17 (same slope method, cache donation +
+            # on-device random params): 582.2 tok/s at 13.74 ms/step.
+            # A windowed-KV read (attn_window, token-exact) was built and
+            # A/B'd: 16.72 ms — SLOWER at kv 512 because XLA materializes
+            # the sliced K/V; it pays off when max_len >> live prefix
+            # (kept opt-in, tools/bench_decode.py --window).
+            "decode_tok_per_sec_chip_5p1b_batch8": 582.2,
             # int8 weight-only decode (QuantDense runtime, load_8bit):
             # weights stream as int8 and dequantize inside the dot's
             # operand read. Measured 2026-08-16 on v5e-1: 967.4 tok/s at
@@ -171,7 +190,16 @@ def main():
             "hf_torch_cpu_decode_tok_per_sec_same_geometry": 2.49,
             "a100_weight_bw_sol_tok_per_s_per_seq": 266.8,
             "v5e_weight_bw_sol_tok_per_s_per_seq": 107.2,
-            "decode_pct_of_v5e_weight_bw_sol": 67.4,
+            "decode_pct_of_v5e_weight_bw_sol": 67.9,
+            # The weight-only SOL above ignores the OTHER mandatory HBM
+            # traffic each step: the KV-cache read (L*B*S*hk*d*2 x 2
+            # bytes = 1.61 GB at this geometry, MHA hk=32, kv 512).
+            # Composite floor = (7.64 + 1.61) GB / 819 GB/s = 11.30
+            # ms/step = 708 tok/s; measured 13.74 ms = 82% of the
+            # composite speed of light — the honest efficiency number
+            # for bf16+bf16KV. Cutting KV (int8 KV below) is how the
+            # remaining headroom is actually claimed.
+            "decode_pct_of_v5e_composite_sol_weights_plus_kv": 82.2,
             # 154M CompeteSMoE LM train throughput (16 layers, E=64,
             # es=128, k=8, bf16, batch 16 x 512 tokens, flip schedule
             # active, v5e-1, 2026-08-16 after the composite-key dispatch

@@ -249,7 +249,8 @@ def moe_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
                b1: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
     """MoE FFN dispatcher (keys/values parameterization).
 
-    impl: 'auto' | 'dense' | 'grouped' | 'ep'. 'auto' computes all experts
+    impl: 'auto' | 'dense' | 'grouped' | 'ep' | 'fused' (opt-in Pallas
+    path, see ops/gmm_fused.py). 'auto' computes all experts
     densely when the overcompute factor E/k <= 2 (MXU-friendly, zero
     dispatch cost), otherwise sorts + grouped-GEMMs; with an active EP mesh
     (parallel.ep_context) it dispatches tokens over the expert axis with
@@ -266,6 +267,14 @@ def moe_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
         args = (x, sel, weights, keys, values)
         return fn(*args, b1) if b1 is not None else fn(*args)
     n_experts, k = keys.shape[0], sel.shape[-1]
+    if impl == "fused":
+        # opt-in Pallas aligned-group double-GEMM (ops/gmm_fused.py) —
+        # measured slower e2e at the 154M bench shape (gather-bound, see
+        # the module docstring) but wins when GEMM time dominates
+        from .gmm_fused import fused_grouped_ffn_kv, fused_path_available
+        if b1 is None and fused_path_available(x, keys, activation):
+            return fused_grouped_ffn_kv(x, sel, weights, keys, values)
+        impl = "grouped"
     if impl in ("auto", "ep"):
         impl = "dense" if n_experts <= 2 * k else "grouped"
     if impl == "dense":
