@@ -212,8 +212,14 @@ def main():
             "e2e_5p1b_prefill_plus_32tok_s": 0.42,
             # same pipeline with int8 weights + int8 KV
             # (tools/bench_e2e_mm.py --quant int8 --kv-quant int8,
-            # measured 2026-08-17): 0.267 s (~120 tok/s/seq, 1.57x bf16)
-            "e2e_5p1b_prefill_plus_32tok_s_int8_kv8": 0.267,
+            # remeasured 2026-08-17 post r3): 0.250 s (127.9 tok/s/seq)
+            "e2e_5p1b_prefill_plus_32tok_s_int8_kv8": 0.250,
+            # time-to-first-token through the serving path
+            # (stream_generate: prefill + ONE decode step before the
+            # first chunk hits the wire — round 2's worker generated the
+            # full reply first, TTFT == total). Measured on the 5.09B
+            # int8+kv8 pipeline 2026-08-17: 76 ms vs 250 ms total.
+            "streaming_ttft_s_5p1b_int8_kv8": 0.076,
         },
     }))
 

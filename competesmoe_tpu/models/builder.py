@@ -241,21 +241,26 @@ _DECODER_QUANT_MODULES = ("qkv_proj", "q_proj", "k_proj", "v_proj",
                           "up_proj", "down_proj", "lm_head")
 
 
-def quantize_decoder_to_int8(decoder_params: Dict) -> Dict:
-    """Convert the decoder's Dense kernels to QuantDense int8 params
+def quantize_decoder_to_int8(decoder_params: Dict, bits: int = 8) -> Dict:
+    """Convert the decoder's Dense kernels to QuantDense params
     (kernel_q + per-output-channel scale) — the runtime load_8bit path:
-    weights are STORED and STREAMED as int8 and dequantized inside the
-    dot's operand read (models/decoder.py:QuantDense), halving decode
-    HBM traffic."""
+    weights are STORED and STREAMED as int8 (or packed int4 with bits=4,
+    two values per byte on TPU) and dequantized inside the dot's operand
+    read (models/decoder.py:QuantDense), halving (quartering) decode HBM
+    traffic."""
+    qmax = 7 if bits == 4 else 127
+
     def walk(tree):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict) and k in _DECODER_QUANT_MODULES \
                     and "kernel" in v:
                 w = np.asarray(v["kernel"], np.float32)
-                scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
-                q = np.round(w / scale[None, :]).clip(-127, 127)
-                entry = {"kernel_q": q.astype(np.int8),
+                scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / qmax
+                q = np.round(w / scale[None, :]).clip(-qmax, qmax)
+                q = (jnp.asarray(q, jnp.int4) if bits == 4
+                     else q.astype(np.int8))
+                entry = {"kernel_q": q,
                          "scale": scale.astype(np.float32)}
                 if "bias" in v:
                     entry["bias"] = v["bias"]

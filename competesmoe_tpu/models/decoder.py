@@ -248,25 +248,30 @@ class QuantDense(nn.Module):
     Params: kernel_q int8 [in, out] + per-output-channel scale f32 [out]
     (+ bias). 'int8' dequantizes in the dot's operand read (XLA fuses the
     convert+scale, halving HBM weight traffic); 'w8a8' also quantizes the
-    activations per row and runs the int8 MXU path."""
+    activations per row and runs the int8 MXU path; 'int4' (w4a16) stores
+    the kernel as jnp.int4 — TPU packs two values per byte, so weight
+    reads halve again vs int8 (per-output-channel symmetric [-7, 7])."""
 
     features: int
-    mode: str = "int8"            # 'int8' (w8a16) | 'w8a8'
+    mode: str = "int8"            # 'int8' (w8a16) | 'w8a8' | 'int4'
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
+        qmax = 7 if self.mode == "int4" else 127
+        qtype = jnp.int4 if self.mode == "int4" else jnp.int8
 
-        def q_init(key, shape, dtype=jnp.int8):
+        def q_init(key, shape, dtype=qtype):
             w = jax.random.normal(key, shape) * (in_dim ** -0.5)
-            s = jnp.maximum(jnp.abs(w).max(0), 1e-8) / 127.0
-            return jnp.round(w / s).clip(-127, 127).astype(jnp.int8)
+            s = jnp.maximum(jnp.abs(w).max(0), 1e-8) / qmax
+            return jnp.round(w / s).clip(-qmax, qmax).astype(qtype)
 
         kernel_q = self.param("kernel_q", q_init, (in_dim, self.features))
         scale = self.param("scale",
-                           nn.initializers.constant(in_dim ** -0.5 / 127),
+                           nn.initializers.constant(
+                               in_dim ** -0.5 / qmax),
                            (self.features,))
         if self.mode == "w8a8":
             amax = jnp.max(jnp.abs(x), axis=-1,

@@ -1,6 +1,7 @@
 """Zero-shot battery driver (tools/run_zeroshot_battery.py): train a tiny
 checkpoint, run the driver end-to-end, check the cached JSON + table."""
 
+import pytest
 import json
 import sys
 from pathlib import Path
@@ -8,6 +9,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 import run_zeroshot_battery as battery  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
 
 
 def test_battery_driver_end_to_end(tmp_path):

@@ -9,6 +9,9 @@ from PIL import Image
 
 from tests.test_builder import make_fake_checkpoint
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tok_dir(tmp_path_factory):

@@ -20,6 +20,9 @@ from competesmoe_tpu.moe.pretrain_layers import PretrainCompeteSMoE, PretrainSMo
 from competesmoe_tpu.parallel import make_mesh, use_expert_parallel
 from competesmoe_tpu.parallel.mesh import batch_sharding, make_param_shardings
 
+pytestmark = pytest.mark.slow
+
+
 
 def make_ep_mesh(n_expert=2, n_total=4):
     return make_mesh(n_expert=n_expert, devices=jax.devices()[:n_total])

@@ -22,6 +22,9 @@ from competesmoe_tpu.multimodal.mm_utils import ImageProcessorConfig
 from tests.test_llava import tiny_llava_cfg
 from tests.test_mm_train import WordTok
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_collator_restores_order():
     reqs = ["bbbb", "a", "ccc", "dd"]

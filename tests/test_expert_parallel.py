@@ -10,6 +10,9 @@ from competesmoe_tpu.parallel import batch_sharding, make_mesh
 from competesmoe_tpu.parallel.expert_parallel import make_ep_ffn_kv
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+pytestmark = pytest.mark.fast
+
+
 
 @pytest.mark.parametrize("n_ep", [2, 4])
 def test_ep_matches_single_device(n_ep):

@@ -16,6 +16,9 @@ from competesmoe_tpu.data.lm_data import (
 from competesmoe_tpu.train.checkpoint import Saver
 from competesmoe_tpu.utils.argparser import ArgumentParser
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_token_chunk_dataset(tmp_path):
     a = np.arange(100, dtype=np.uint16)

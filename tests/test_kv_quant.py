@@ -155,3 +155,41 @@ def test_attn_window_int8_kv_token_exact():
         return np.stack(toks)
 
     np.testing.assert_array_equal(decode(None), decode(16))
+
+
+def test_int4_weight_runtime_decode():
+    """w4a16: kernels stored as jnp.int4 (packed 2/byte on TPU), decode
+    runs and tracks the bf16 model (loose tolerance — 4-bit grid)."""
+    import dataclasses
+
+    import numpy as np
+
+    from competesmoe_tpu.models.builder import quantize_decoder_to_int8
+    from competesmoe_tpu.models.decoder import (
+        DecoderConfig, DecoderLM, KVCache)
+
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        original_max_position_embeddings=128, fused_qkv=True,
+        dtype=jnp.float32)
+    model = DecoderLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 6), 1, 64)
+    params = model.init(jax.random.PRNGKey(1), ids)["params"]
+    ref, _, _ = model.apply({"params": params}, ids)
+
+    q4 = quantize_decoder_to_int8(params, bits=4)
+    kq = q4["layers_0"]["self_attn"]["qkv_proj"]["kernel_q"]
+    assert kq.dtype == jnp.int4
+    cfg4 = dataclasses.replace(cfg, quant="int4")
+    model4 = DecoderLM(cfg4)
+    out, _, _ = model4.apply({"params": q4}, ids)
+    # 4-bit grid: ranking should broadly survive on a tiny random model
+    ref_p = jax.nn.softmax(np.asarray(ref, np.float32), axis=-1)
+    out_p = jax.nn.softmax(np.asarray(out, np.float32), axis=-1)
+    assert np.abs(ref_p - out_p).max() < 0.35
+    # and decode with cache runs
+    cache = KVCache.create(cfg4, 2, 16)
+    logits, cache, _ = model4.apply({"params": q4}, ids, cache=cache)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -21,6 +21,9 @@ from competesmoe_tpu.models.projector import ProjectorConfig
 from competesmoe_tpu.models.vision import VisionConfig
 from competesmoe_tpu.moe import MoEArgs
 
+pytestmark = pytest.mark.slow
+
+
 
 def tiny_llava_cfg(moe=True):
     vis = VisionConfig(hidden_size=16, intermediate_size=32,

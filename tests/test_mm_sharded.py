@@ -31,6 +31,9 @@ from competesmoe_tpu.train.mm_task import (
 )
 from tests.test_llava import tiny_llava_cfg
 
+pytestmark = pytest.mark.slow
+
+
 
 def mm_batch(B=8, L=12, seed=0):
     rng = np.random.default_rng(seed)

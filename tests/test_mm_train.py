@@ -27,6 +27,9 @@ from competesmoe_tpu.train.mm_task import (
 )
 from tests.test_llava import tiny_llava_cfg
 
+pytestmark = pytest.mark.slow
+
+
 
 class WordTok:
     """Toy word tokenizer with bos=1 and special tokens (<|end|> etc.) as

@@ -19,6 +19,9 @@ from competesmoe_tpu.models.moa import (
 )
 from competesmoe_tpu.moe import MoEArgs
 
+pytestmark = pytest.mark.slow
+
+
 
 def moa_cfg(**kw):
     base = dict(vocab_size=64, d_model=32, n_layers=2, n_heads=2,

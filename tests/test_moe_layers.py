@@ -19,6 +19,9 @@ PT_NAMES = ["smoe", "smoe_sigmoid", "xmoe", "smoe_perturbed", "deepseekv2",
 
 B, N, D = 2, 9, 16
 
+pytestmark = pytest.mark.slow
+
+
 
 def _mk_mm(name, **kw):
     cls = get_moe(name)

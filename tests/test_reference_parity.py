@@ -36,6 +36,9 @@ RTOL, ATOL = 2e-5, 2e-6
 # helpers
 # ---------------------------------------------------------------------------
 
+pytestmark = pytest.mark.fast
+
+
 def mm_cls(name):
     rl.mm_moe(name)  # ensure module (and its registration) is loaded
     return rl.mm_moe("register").MOE_REGISTRY[

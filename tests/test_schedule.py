@@ -1,5 +1,6 @@
 """CompeteSMoE flip-schedule generator tests."""
 
+import pytest
 import numpy as np
 
 from competesmoe_tpu.moe.schedule import (
@@ -8,6 +9,9 @@ from competesmoe_tpu.moe.schedule import (
     schedule_from_dict,
     schedule_to_dict,
 )
+
+pytestmark = pytest.mark.fast
+
 
 
 def test_deterministic_across_calls():

@@ -24,6 +24,9 @@ from competesmoe_tpu.serve.model_worker import (
 from tests.test_eval_harness import EvalTok
 from tests.test_llava import tiny_llava_cfg
 
+pytestmark = pytest.mark.slow
+
+
 
 def free_port():
     s = socket.socket()

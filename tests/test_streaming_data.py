@@ -24,6 +24,9 @@ DOCS = ["the quick brown fox jumps over the lazy dog",
         "how vexingly quick daft zebras jump",
         "sphinx of black quartz judge my vow"] * 8
 
+pytestmark = pytest.mark.slow
+
+
 
 def write_shard(path, docs, mode="gz"):
     lines = "".join(json.dumps({"text": d}) + "\n" for d in docs)

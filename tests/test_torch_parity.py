@@ -6,6 +6,7 @@ These oracles are re-implementations of the documented behavior (see
 SURVEY.md §2a/§2b), not copies of the reference code.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,9 @@ from competesmoe_tpu.moe import MoEArgs, get_moe, get_pretrain_moe
 torch.manual_seed(0)
 
 B, N, D, E, K = 2, 7, 16, 4, 2
+
+pytestmark = pytest.mark.fast
+
 
 
 def torch_moe_mlp2_forward(x, gate_w, w1, b1, w2, b2, k):

@@ -63,8 +63,9 @@ def random_bf16_params(model, rng_seed=0):
         out = []
         for k, leaf in zip(keys, leaves):
             if jnp.issubdtype(leaf.dtype, jnp.integer):
+                hi = 8 if leaf.dtype == jnp.int4 else 128
                 out.append(jax.random.randint(
-                    k, leaf.shape, -127, 128, jnp.int32).astype(leaf.dtype))
+                    k, leaf.shape, 1 - hi, hi, jnp.int32).astype(leaf.dtype))
             elif leaf.size < 10**6:
                 # norms / quant scales: small, stay f32
                 out.append(jax.random.normal(k, leaf.shape) * 2e-4)
@@ -89,7 +90,7 @@ def build_decode_fns(model, windowed: bool = False):
     the slice into the attention read, and at 512 slots the copy exceeds
     the skipped traffic. The crossover is max_len >> live prefix (e.g. a
     4096-slot serving cache with a 300-token conversation: copy 2*w vs
-    skip max_len - w). Default off at this bench's geometry.
+    skip max_len - w). Default off at this bench's geometry."""
     # The cache (1.6 GB at 32 layers / batch 8 / kv 512) is donated into
     # both programs: un-donated, the scan's carry double-buffer plus the
     # live input pushed predicted peak HBM to 17.55 G of 15.75 G (compile
@@ -287,7 +288,7 @@ def main():
                     help="DxM tensor-parallel mesh, e.g. 1x8")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--hf-baseline", action="store_true")
-    ap.add_argument("--quant", default="", choices=["", "int8", "w8a8"],
+    ap.add_argument("--quant", default="", choices=["", "int8", "w8a8", "int4"],
                     help="int8 weight-only / w8a8 dynamic decode")
     ap.add_argument("--window", action="store_true",
                     help="windowed KV read (pays off when max_len >> "

@@ -11,6 +11,9 @@ Prints one JSON line with seconds per (prefill + 32 tokens) and derived
 tok/s, steady-state (second call; first call compiles).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json
@@ -41,21 +44,32 @@ HF_5P1B = dict(
 
 
 def random_params(model, ids, px, seed=0):
-    import ml_dtypes
+    """Random params built ON DEVICE (host-numpy + device_put measured
+    ~8 min for the 5.09B tree through the tunnel; tools/bench_decode.py
+    has the same fix): one jitted initializer, big float leaves bf16,
+    small ones (norms/scales) f32."""
     shapes = jax.eval_shape(
         lambda k: model.init(k, ids, px), jax.random.PRNGKey(seed))
-    rng = np.random.default_rng(seed)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
-    def mk(leaf):
-        if np.issubdtype(leaf.dtype, np.integer):
-            return rng.integers(-127, 128, leaf.shape).astype(leaf.dtype)
-        if leaf.dtype == np.float32:
-            return (rng.standard_normal(leaf.shape) * 2e-4).astype(
-                np.float32)
-        return (rng.standard_normal(leaf.shape, np.float32) * 0.02
-                ).astype(ml_dtypes.bfloat16)
+    @jax.jit
+    def build(key):
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for k, leaf in zip(keys, leaves):
+            if jnp.issubdtype(leaf.dtype, jnp.integer):
+                hi = 8 if leaf.dtype == jnp.int4 else 128
+                out.append(jax.random.randint(
+                    k, leaf.shape, 1 - hi, hi,
+                    jnp.int32).astype(leaf.dtype))
+            elif leaf.size < 10**6:
+                out.append(jax.random.normal(k, leaf.shape) * 2e-4)
+            else:
+                out.append((jax.random.normal(k, leaf.shape) * 0.02)
+                           .astype(jnp.bfloat16))
+        return jax.tree_util.tree_unflatten(treedef, out)
 
-    return jax.tree_util.tree_map(mk, shapes)
+    return build(jax.random.PRNGKey(seed))
 
 
 def main():
@@ -104,6 +118,25 @@ def main():
         toks = run()
         times.append(time.time() - t0)
     e2e = min(times)
+
+    # TTFT via the serving path (stream_generate): time to the FIRST
+    # yielded chunk — by construction prefill + one sampling step, the
+    # property the true-streaming worker restored (VERDICT r2 item 2;
+    # round-2's worker generated everything before the first byte).
+    from competesmoe_tpu.models.llava import stream_generate
+
+    def first_chunk_s():
+        gen = stream_generate(model, params, prompt, px,
+                              max_new_tokens=a.new_tokens,
+                              temperature=0.0)
+        t0 = time.time()
+        next(gen)
+        dt = time.time() - t0
+        gen.close()
+        return dt
+
+    first_chunk_s()  # compile
+    ttft = min(first_chunk_s() for _ in range(3))
     print(json.dumps({
         "metric": "e2e_mm_prefill_plus_decode_s",
         "value": round(e2e, 3),
@@ -118,6 +151,7 @@ def main():
             "kv_quant": a.kv_quant or "bf16",
             "params_b": round(n / 1e9, 2),
             "tok_per_s_per_seq": round(a.new_tokens / e2e, 1),
+            "streaming_ttft_s": round(ttft, 3),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
         },

@@ -24,6 +24,9 @@ Usage:
 Exit code 0 iff all layers match.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 from pathlib import Path

@@ -14,6 +14,9 @@ Results cache as `result_competition_<ckpt>.json` (the reference's
 naming) so reruns skip finished checkpoints.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
