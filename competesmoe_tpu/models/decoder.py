@@ -80,6 +80,38 @@ class DecoderConfig:
     # bandwidth every decode step (the decode-time analog of load_8bit;
     # see boom paged-attention's quantized KV cache design)
     kv_quant: Optional[str] = None
+    # Serving-mode norm-scale folding: with norm_folded=True the model
+    # skips every foldable norm's per-channel scale multiply, expecting
+    # params transformed by `fold_norm_scales` (the scale absorbed into
+    # the following projection's kernel). Removes 2 tiny f32[d] weight
+    # reads per layer per decode step, each of which profiled as a
+    # ~14 µs VMEM-copy stall on v5e (~0.9 ms/step at 32 layers).
+    norm_folded: bool = False
+    # Deferred batched KV write on decode steps (T==1): layers attend
+    # over the existing cache plus the in-register current token, and
+    # one batched scatter at step end writes all layers' k/v, removing
+    # the per-layer scatter-index staging stalls (~1.5 ms/step at 32
+    # layers on v5e). Token-exact vs the per-layer scatter path.
+    # Default OFF: a same-process A/B (v5e, 2026-08-17) measured bf16
+    # 13.45 vs 13.79 ms/step (+2.6%) but int8+kv8 8.78 vs 6.97 ms/step
+    # (-26%) — the end-of-step stacked scatter defeats XLA's in-place
+    # cache aliasing (donation warning fires; a full cache copy per
+    # step). Keep off for the quantized serving headline.
+    deferred_decode: bool = False
+    # Route small-M (decode-step) projections through the Pallas
+    # weight-streaming matmul (ops/matvec.py). Single-chip serving only:
+    # a pallas_call is opaque to the SPMD partitioner, so keep this off
+    # under tensor-parallel meshes. No effect on CPU (tests) or large-M
+    # (prefill/train) shapes, which use XLA's GEMM either way.
+    matvec_kernel: bool = False
+    # KV cache memory layout: 'stacked' = one [L, B, S, hk, d] buffer
+    # per tensor, each layer scattering at (layer, b, slot); 'per_layer'
+    # = a tuple of L [B, S, hk, d] buffers, every layer scattering with
+    # the IDENTICAL (b, slot) index vector so XLA stages the scatter
+    # indices through scoped memory once per step instead of once per
+    # layer (the staging copies profiled as ~94 µs/layer stalls behind
+    # the weight-stream DMA queue on v5e).
+    cache_layout: str = "stacked"
     dtype: Any = jnp.float32
 
     @property
@@ -122,6 +154,13 @@ def phi35_mini_config(dtype=jnp.bfloat16) -> "DecoderConfig":
 class RMSNorm(nn.Module):
     eps: float
     dtype: Any = jnp.float32
+    # folded=True: the per-channel scale has been absorbed into the
+    # following projection's kernel (fold_norm_scales) — skip the weight
+    # read. Profiling showed the decode loop stalls ~14 µs/layer/step
+    # waiting on the tiny f32[d] weight copies into VMEM (0.9 ms/step at
+    # 32 layers on v5e, 2026-08-17); folding removes the read entirely.
+    # The param is still created so checkpoints stay interchangeable.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -130,6 +169,8 @@ class RMSNorm(nn.Module):
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         # exact 1/sqrt (lax.rsqrt is an approximation, ~1e-5 off torch)
         xf = xf / jnp.sqrt(var + self.eps)
+        if self.folded:
+            return xf.astype(x.dtype)
         return (xf * w.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -138,6 +179,7 @@ class LayerNormNoBias(nn.Module):
 
     eps: float
     dtype: Any = jnp.float32
+    folded: bool = False   # see RMSNorm.folded
 
     @nn.compact
     def __call__(self, x):
@@ -146,13 +188,16 @@ class LayerNormNoBias(nn.Module):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
         xf = (xf - mean) / jnp.sqrt(var + self.eps)
+        if self.folded:
+            return xf.astype(x.dtype)
         return (xf * w.astype(jnp.float32)).astype(x.dtype)
 
 
-def make_norm(cfg: "DecoderConfig"):
+def make_norm(cfg: "DecoderConfig", foldable: bool = False):
+    folded = bool(getattr(cfg, "norm_folded", False)) and foldable
     if cfg.norm_type == "layernorm_nobias":
-        return LayerNormNoBias(cfg.rms_norm_eps, cfg.dtype)
-    return RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+        return LayerNormNoBias(cfg.rms_norm_eps, cfg.dtype, folded=folded)
+    return RMSNorm(cfg.rms_norm_eps, cfg.dtype, folded=folded)
 
 
 def alibi_slopes(n_heads: int) -> np.ndarray:
@@ -210,26 +255,42 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 @flax.struct.dataclass
 class KVCache:
-    k: jax.Array  # [L, B, max_len, kv_heads, head_dim] (dtype or int8)
-    v: jax.Array
+    # 'stacked' layout: one [L, B, max_len, kv_heads, head_dim] array
+    # (dtype or int8) per field; 'per_layer' layout: a length-L tuple of
+    # [B, max_len, kv_heads, head_dim] arrays (see
+    # DecoderConfig.cache_layout). `k[i]` reads layer i's buffer under
+    # either layout, which is why the attention path is layout-agnostic
+    # everywhere except the scatter.
+    k: Any
+    v: Any
     pos: jax.Array  # [B] current length per sequence
     # int8 KV mode only: per (L, B, slot, kv-head) dequant scales
-    k_scale: Optional[jax.Array] = None
-    v_scale: Optional[jax.Array] = None
+    k_scale: Any = None
+    v_scale: Any = None
+
+    @property
+    def max_len(self) -> int:
+        if isinstance(self.k, (list, tuple)):
+            return self.k[0].shape[1]
+        return self.k.shape[2]
 
     @classmethod
     def create(cls, cfg: DecoderConfig, batch: int, max_len: int):
-        shape = (cfg.num_hidden_layers, batch, max_len,
-                 cfg.num_key_value_heads, cfg.head_dim)
+        L = cfg.num_hidden_layers
+        shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        per_layer = getattr(cfg, "cache_layout", "stacked") == "per_layer"
+
+        def buf(shp, dt):
+            if per_layer:
+                return tuple(jnp.zeros(shp, dt) for _ in range(L))
+            return jnp.zeros((L,) + shp, dt)
+
         if cfg.kv_quant == "int8":
-            sshape = shape[:-1]
-            return cls(k=jnp.zeros(shape, jnp.int8),
-                       v=jnp.zeros(shape, jnp.int8),
+            return cls(k=buf(shape, jnp.int8), v=buf(shape, jnp.int8),
                        pos=jnp.zeros((batch,), jnp.int32),
-                       k_scale=jnp.zeros(sshape, cfg.dtype),
-                       v_scale=jnp.zeros(sshape, cfg.dtype))
-        return cls(k=jnp.zeros(shape, cfg.dtype),
-                   v=jnp.zeros(shape, cfg.dtype),
+                       k_scale=buf(shape[:-1], cfg.dtype),
+                       v_scale=buf(shape[:-1], cfg.dtype))
+        return cls(k=buf(shape, cfg.dtype), v=buf(shape, cfg.dtype),
                    pos=jnp.zeros((batch,), jnp.int32))
 
 
@@ -256,6 +317,7 @@ class QuantDense(nn.Module):
     mode: str = "int8"            # 'int8' (w8a16) | 'w8a8' | 'int4'
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
+    matvec_kernel: bool = False   # Pallas small-M path (int8 mode only)
 
     @nn.compact
     def __call__(self, x):
@@ -283,9 +345,55 @@ class QuantDense(nn.Module):
                 preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * (amax / 127.0) * scale
         else:
-            wd = kernel_q.astype(x.dtype) * scale[None, :].astype(x.dtype)
-            y = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+            lead = x.shape[:-1]
+            m = int(np.prod(lead)) if lead else 1
+            use_pallas = False
+            if self.matvec_kernel and self.mode == "int8":
+                from ..ops.matvec import (quant_small_m_matmul,
+                                          small_m_viable)
+                use_pallas = (jax.default_backend() != "cpu"
+                              and small_m_viable(m, in_dim, self.features))
+            if use_pallas:
+                y = quant_small_m_matmul(
+                    x.reshape(m, in_dim), kernel_q,
+                    scale.astype(jnp.float32)).reshape(*lead, self.features)
+            else:
+                wd = (kernel_q.astype(x.dtype)
+                      * scale[None, :].astype(x.dtype))
+                y = jnp.dot(x, wd, preferred_element_type=jnp.float32)
         y = y.astype(x.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,)).astype(y.dtype)
+        return y
+
+
+class PallasDense(nn.Module):
+    """nn.Dense-compatible layer that routes small-M (decode-step) matmuls
+    through the Pallas weight-streaming kernel (ops/matvec.py) and
+    everything else through XLA's GEMM. Parameter tree ('kernel'/'bias')
+    is identical to nn.Dense, so checkpoints are interchangeable."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.matvec import small_m_matmul, small_m_viable
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features))
+        lead = x.shape[:-1]
+        m = int(np.prod(lead)) if lead else 1
+        if (jax.default_backend() != "cpu"
+                and small_m_viable(m, in_dim, self.features)):
+            y = small_m_matmul(x.reshape(m, in_dim),
+                               kernel.astype(x.dtype)).reshape(*lead,
+                                                               self.features)
+        else:
+            y = jnp.dot(x, kernel.astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.features,)).astype(y.dtype)
@@ -296,7 +404,11 @@ def _make_dense(cfg: "DecoderConfig", features: int, name: str,
                 use_bias: bool = False):
     if cfg.quant:
         return QuantDense(features, mode=cfg.quant, use_bias=use_bias,
-                          dtype=cfg.dtype, name=name)
+                          dtype=cfg.dtype, name=name,
+                          matvec_kernel=cfg.matvec_kernel)
+    if cfg.matvec_kernel:
+        return PallasDense(features, use_bias=use_bias, dtype=cfg.dtype,
+                           name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype,
                     name=name)
 
@@ -321,7 +433,8 @@ class DecoderAttention(nn.Module):
     @nn.compact
     def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
                  cache_idx=None, layer_idx: int = 0,
-                 attn_window: Optional[int] = None):
+                 attn_window: Optional[int] = None,
+                 deferred: bool = False):
         """mask: [B, Tq, Tk] bool (True = attend). cache_kv: the FULL
         stacked (k, v) buffers [L, B, max_len, h_kv, d] — this layer
         scatters into its own [layer_idx] slice in place (restacking
@@ -357,24 +470,68 @@ class DecoderAttention(nn.Module):
 
         new_cache = None
         k_scale = v_scale = None
-        if cache_kv is not None:
+        k_self = v_self = None
+        if cache_kv is not None and deferred:
+            # Deferred batched write (decode, T==1): do NOT scatter here.
+            # Attend over the existing cache plus the current token's
+            # k/v held in registers; DecoderLM scatters every layer's
+            # pending k/v in ONE batched scatter at step end. Rationale
+            # (profiled on v5e, 2026-08-17): per-layer scatters stage
+            # their s32 index vectors through a shared scoped-memory
+            # slot, and each tiny index copy waits ~94 us behind the
+            # weight-stream DMA queue — 16 serialized stalls = 1.5 ms of
+            # a 13.8 ms bf16 step. One scatter pays that latency once.
+            if len(cache_kv) == 4:
+                kq, k_s = _quantize_kv(k)
+                vq, v_s = _quantize_kv(v)
+                new_cache = (kq, vq, k_s, v_s)   # pending, not scattered
+                # quantize->dequantize the self term so deferred output
+                # is bit-identical to the scatter path's cache read
+                k_self = kq.astype(x.dtype) * k_s[..., None].astype(x.dtype)
+                v_self = vq.astype(x.dtype) * v_s[..., None].astype(x.dtype)
+                k = cache_kv[0][layer_idx]
+                v = cache_kv[1][layer_idx]
+                k_scale = cache_kv[2][layer_idx]
+                v_scale = cache_kv[3][layer_idx]
+            else:
+                new_cache = (k, v)               # pending, not scattered
+                k_self, v_self = k, v
+                k = cache_kv[0][layer_idx]
+                v = cache_kv[1][layer_idx]
+            if attn_window is not None and attn_window < k.shape[1]:
+                k = k[:, :attn_window]
+                v = v[:, :attn_window]
+                if k_scale is not None:
+                    k_scale = k_scale[:, :attn_window]
+                    v_scale = v_scale[:, :attn_window]
+        elif cache_kv is not None:
             # In-place batched scatter into this layer's slice. Prefill
             # pads share the dump slot, so unique_indices is a promise we
             # break for garbage slots only — any duplicate pad write may
             # win; all are dead.
             b_idx = jnp.arange(B)[:, None]
+
+            def _scatter(buf, upd):
+                # per_layer layout: scatter into this layer's own array
+                # with the (b, slot) index shared by every layer; the
+                # tuple rebuild is Python-only (no copy of other layers)
+                if isinstance(buf, (list, tuple)):
+                    new = buf[layer_idx].at[b_idx, cache_idx].set(
+                        upd, unique_indices=True,
+                        mode='promise_in_bounds')
+                    return tuple(new if i == layer_idx else a
+                                 for i, a in enumerate(buf))
+                return buf.at[layer_idx, b_idx, cache_idx].set(
+                    upd, unique_indices=True, mode='promise_in_bounds')
+
             if len(cache_kv) == 4:  # int8 KV: values + per-slot scales
                 ck, cv, cks, cvs = cache_kv
                 kq, k_s = _quantize_kv(k)
                 vq, v_s = _quantize_kv(v)
-                ck = ck.at[layer_idx, b_idx, cache_idx].set(
-                    kq, unique_indices=True)
-                cv = cv.at[layer_idx, b_idx, cache_idx].set(
-                    vq, unique_indices=True)
-                cks = cks.at[layer_idx, b_idx, cache_idx].set(
-                    k_s, unique_indices=True)
-                cvs = cvs.at[layer_idx, b_idx, cache_idx].set(
-                    v_s, unique_indices=True)
+                ck = _scatter(ck, kq)
+                cv = _scatter(cv, vq)
+                cks = _scatter(cks, k_s)
+                cvs = _scatter(cvs, v_s)
                 # Do NOT dequantize the big K/V tensors here (XLA would
                 # materialize bf16 copies, erasing the bandwidth win —
                 # measured 8.54 vs 8.27 ms/step). The int8 values flow
@@ -388,10 +545,8 @@ class DecoderAttention(nn.Module):
                 new_cache = (ck, cv, cks, cvs)
             else:
                 ck, cv = cache_kv
-                ck = ck.at[layer_idx, b_idx, cache_idx].set(
-                    k, unique_indices=True)
-                cv = cv.at[layer_idx, b_idx, cache_idx].set(
-                    v, unique_indices=True)
+                ck = _scatter(ck, k)
+                cv = _scatter(cv, v)
                 k, v = ck[layer_idx], cv[layer_idx]
                 new_cache = (ck, cv)
             if attn_window is not None and attn_window < k.shape[1]:
@@ -413,6 +568,7 @@ class DecoderAttention(nn.Module):
         # bandwidth in decode; grouping keeps K/V at their stored width)
         rep = h // hk
         q = q.reshape(B, T, hk, rep, p)
+        n_cached = k.shape[1]
         scores = jnp.einsum("bqhrd,bkhd->bhrqk", q, k.astype(q.dtype),
                             preferred_element_type=jnp.float32)
         if k_scale is not None:
@@ -420,20 +576,34 @@ class DecoderAttention(nn.Module):
             # q·(k8*s) == (q·k8)*s per (slot, kv-head)
             scores = scores * jnp.moveaxis(k_scale, 1, -1)[
                 :, :, None, None, :].astype(scores.dtype)
+        if k_self is not None:
+            # deferred write: the current token's score column rides at
+            # the end of the key axis (softmax is order-invariant)
+            scores = jnp.concatenate(
+                [scores,
+                 jnp.einsum("bqhrd,bkhd->bhrqk", q,
+                            k_self.astype(q.dtype),
+                            preferred_element_type=jnp.float32)], axis=-1)
         scores = scores / math.sqrt(p)
         if cfg.use_alibi:
             # bias = -slope_h * (qpos - kpos); qpos from cos (carries
             # position ids when alibi is on)
             qpos = cos[:, :, 0]                      # [B, T] positions
-            kv_len = k.shape[1]
-            kpos = jnp.arange(kv_len, dtype=jnp.float32)
+            kpos = jnp.arange(n_cached, dtype=jnp.float32)
             dist = qpos[:, :, None] - kpos[None, None, :]   # [B, T, K]
+            if k_self is not None:
+                # self column: distance 0 (token attends to itself)
+                dist = jnp.concatenate(
+                    [dist, jnp.zeros_like(dist[:, :, :1])], axis=-1)
             slopes = jnp.asarray(alibi_slopes(h)).reshape(hk, rep)
             scores = scores - (slopes[None, :, :, None, None]
                                * dist[:, None, None, :, :])
         if mask is not None:
             scores = jnp.where(mask[:, None, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
+        self_probs = None
+        if k_self is not None:
+            probs, self_probs = probs[..., :n_cached], probs[..., n_cached:]
         if v_scale is not None:
             # fold the V dequant scale into the probabilities:
             # p·(v8*s) == (p*s)·v8 per (slot, kv-head)
@@ -442,6 +612,11 @@ class DecoderAttention(nn.Module):
         probs = probs.astype(x.dtype)
         out = jnp.einsum("bhrqk,bkhd->bqhrd", probs, v.astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
+        if self_probs is not None:
+            out = out + jnp.einsum(
+                "bhrqk,bkhd->bqhrd", self_probs.astype(x.dtype),
+                v_self.astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, T, h * p)
         out = _make_dense(cfg, cfg.hidden_size, "o_proj",
                           cfg.attention_bias)(out)
@@ -475,8 +650,12 @@ class DecoderLayer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.input_layernorm = make_norm(cfg)
-        self.post_attention_layernorm = make_norm(cfg)
+        # input norm folds into qkv; post-attn norm folds into the dense
+        # MLP's first projection (not into an MoE FFN: the router AND
+        # every expert would each have to absorb it)
+        self.input_layernorm = make_norm(cfg, foldable=True)
+        self.post_attention_layernorm = make_norm(
+            cfg, foldable=cfg.moe_name is None)
         self.self_attn = DecoderAttention(cfg)
         if cfg.moe_name is not None:
             self.moe = get_moe(cfg.moe_name)(
@@ -489,13 +668,14 @@ class DecoderLayer(nn.Module):
 
     def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
                  cache_idx=None, layer_idx: int = 0, step=None,
-                 train=False, attn_window=None):
+                 train=False, attn_window=None, deferred=False):
         res = x
         h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
                                       mask=mask, cache_kv=cache_kv,
                                       cache_idx=cache_idx,
                                       layer_idx=layer_idx,
-                                      attn_window=attn_window)
+                                      attn_window=attn_window,
+                                      deferred=deferred)
         x = res + h
         res = x
         h = self.post_attention_layernorm(x)
@@ -526,7 +706,9 @@ class DecoderLM(nn.Module):
             embedding_init=nn.initializers.normal(0.02))
         self.layers = [DecoderLayer(cfg)
                        for _ in range(cfg.num_hidden_layers)]
-        self.norm = make_norm(cfg)
+        # the final norm folds into lm_head; with tied embeddings the
+        # embedding matrix is also the input table, so it cannot absorb
+        self.norm = make_norm(cfg, foldable=not cfg.tie_word_embeddings)
         if not cfg.tie_word_embeddings:
             if cfg.quant:
                 self.lm_head = QuantDense(cfg.vocab_size, mode=cfg.quant,
@@ -555,7 +737,7 @@ class DecoderLM(nn.Module):
                      if attention_mask is not None
                      else jnp.ones((B, T), jnp.int32))
             cum = jnp.cumsum(valid, axis=1) - 1              # [B, T]
-            kv_len = cache.k.shape[2]
+            kv_len = cache.max_len
             # pad tokens write to the dump slot kv_len-1 (see
             # DecoderAttention) so their K/V never shadow real positions
             cache_idx = jnp.where(valid.astype(bool),
@@ -564,7 +746,7 @@ class DecoderLM(nn.Module):
                 position_ids = cache.pos[:, None] + jnp.maximum(cum, 0)
         elif position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
-        cap = seq_len_cap or (cache.k.shape[2] if cache is not None else T)
+        cap = seq_len_cap or (cache.max_len if cache is not None else T)
         if cfg.use_alibi:
             # no rope; smuggle position ids to the attention for the
             # alibi distance term
@@ -572,6 +754,16 @@ class DecoderLM(nn.Module):
             sin = jnp.zeros_like(cos)
         else:
             cos, sin = rope_tables(cfg, position_ids, cap)
+
+        # Decode steps (T==1) defer the KV write: layers attend over the
+        # existing cache plus the in-register current token, and ONE
+        # batched scatter at step end writes all layers' k/v (see
+        # DecoderAttention for the profiled rationale).
+        deferred = (getattr(cfg, "deferred_decode", False)
+                    and cache is not None and T == 1
+                    # deferred's end-of-step batched scatter targets the
+                    # stacked layout; per_layer scatters inline instead
+                    and not isinstance(cache.k, (list, tuple)))
 
         # Build the attention mask [B, Tq, Tk].
         if cache is not None:
@@ -582,9 +774,19 @@ class DecoderLM(nn.Module):
                 kv_len = attn_window
             kpos = jnp.arange(kv_len)[None, None]           # [1,1,K]
             qpos = (cache.pos[:, None] + jnp.maximum(cum, 0))[:, :, None]
-            mask = kpos <= qpos
-            if cfg.sliding_window:
-                mask = mask & (kpos > qpos - cfg.sliding_window)
+            if deferred:
+                # cached slots strictly precede the current token (its
+                # k/v is not in the cache yet); the self column at the
+                # end is valid iff the token itself is
+                mask = kpos < qpos
+                if cfg.sliding_window:
+                    mask = mask & (kpos > qpos - cfg.sliding_window)
+                mask = jnp.concatenate(
+                    [mask, valid[:, :, None].astype(bool)], axis=-1)
+            else:
+                mask = kpos <= qpos
+                if cfg.sliding_window:
+                    mask = mask & (kpos > qpos - cfg.sliding_window)
         else:
             qpos = position_ids[:, :, None]
             kpos = position_ids[:, None, :]
@@ -601,15 +803,32 @@ class DecoderLM(nn.Module):
                         else (cache.k, cache.v))
         total_aux = jnp.zeros((), jnp.float32)
         auxes: List[MoEAux] = []
+        pending = []
         for li, layer in enumerate(self.layers):
             x, updated, aux = layer(
                 x, cos, sin, mask=mask, cache_kv=cache_kv,
                 cache_idx=cache_idx, layer_idx=li, step=step, train=train,
-                attn_window=attn_window)
+                attn_window=attn_window, deferred=deferred)
             total_aux = total_aux + aux.aux_loss
             auxes.append(aux)
             if updated is not None:
-                cache_kv = updated
+                if deferred:
+                    pending.append(updated)
+                else:
+                    cache_kv = updated
+        if deferred and pending:
+            # ONE batched scatter for all layers: stack the pending k/v
+            # to [L, B, 1, hk, d] and write every layer's slot in a
+            # single op — the index vector (b, slot) is prepared (and
+            # staged through scoped memory) once per step instead of
+            # once per layer.
+            b_idx = jnp.arange(B)[:, None]
+            stacked = [jnp.stack([p[i] for p in pending])
+                       for i in range(len(pending[0]))]
+            cache_kv = tuple(
+                buf.at[:, b_idx, cache_idx].set(
+                    upd, unique_indices=True, mode='promise_in_bounds')
+                for buf, upd in zip(cache_kv, stacked))
 
         x = self.norm(x)
         if cfg.tie_word_embeddings:
@@ -630,3 +849,68 @@ class DecoderLM(nn.Module):
                 v_scale=cache_kv[3] if len(cache_kv) == 4 else None)
         return logits, new_cache, {"total_aux_loss": total_aux,
                                    "layers": auxes}
+
+
+# ---------------------------------------------------------------------------
+# Serving-mode weight transforms
+# ---------------------------------------------------------------------------
+
+def _fold_into_dense(proj: dict, w: jax.Array) -> None:
+    """Absorb a per-input-channel scale w [in] into a projection's params
+    (in place on a mutable dict). Handles nn.Dense/PallasDense ('kernel')
+    and QuantDense int8/int4 ('kernel_q' + per-output 'scale'): the int
+    kernel is dequantized, scaled per input channel, and requantized per
+    output channel."""
+    if "kernel" in proj:
+        k = proj["kernel"]
+        proj["kernel"] = (k.astype(jnp.float32)
+                          * w.astype(jnp.float32)[:, None]).astype(k.dtype)
+        return
+    kq, s = proj["kernel_q"], proj["scale"]
+    qmax = 7 if kq.dtype == jnp.int4 else 127
+    wf = (kq.astype(jnp.float32) * s.astype(jnp.float32)[None, :]
+          * w.astype(jnp.float32)[:, None])
+    s_new = jnp.maximum(jnp.abs(wf).max(axis=0), 1e-8) / qmax
+    proj["kernel_q"] = jnp.round(wf / s_new[None, :]).clip(
+        -qmax, qmax).astype(kq.dtype)
+    proj["scale"] = s_new.astype(s.dtype)
+
+
+def fold_norm_scales(params, cfg: DecoderConfig):
+    """Fold every foldable norm's per-channel scale into the following
+    projection kernel and reset the norm weight to ones. Use together
+    with a model built with `norm_folded=True`; the transformed params
+    remain loadable by an unfolded model (the norm weights are ones, the
+    kernels carry the scales — same function either way).
+
+    Folds: input_layernorm -> qkv (or q/k/v); post_attention_layernorm
+    -> gate_up (or gate+up / MPT up) unless the FFN is an MoE; final
+    norm -> lm_head unless embeddings are tied."""
+    def to_dict(t):
+        if isinstance(t, dict) or hasattr(t, "items"):
+            return {k: to_dict(v) for k, v in t.items()}
+        return t
+
+    p = to_dict(params)
+    root = p["params"] if "params" in p else p
+    for name, layer in root.items():
+        if not name.startswith("layers_"):
+            continue
+        w = layer["input_layernorm"]["weight"]
+        attn = layer["self_attn"]
+        for proj in (("qkv_proj",) if "qkv_proj" in attn
+                     else ("q_proj", "k_proj", "v_proj")):
+            _fold_into_dense(attn[proj], w)
+        layer["input_layernorm"]["weight"] = jnp.ones_like(w)
+        if "mlp" in layer and cfg.moe_name is None:
+            w = layer["post_attention_layernorm"]["weight"]
+            mlp = layer["mlp"]
+            for proj in ("gate_up_proj", "gate_proj", "up_proj"):
+                if proj in mlp:
+                    _fold_into_dense(mlp[proj], w)
+            layer["post_attention_layernorm"]["weight"] = jnp.ones_like(w)
+    if "lm_head" in root and not cfg.tie_word_embeddings:
+        w = root["norm"]["weight"]
+        _fold_into_dense(root["lm_head"], w)
+        root["norm"]["weight"] = jnp.ones_like(w)
+    return p

@@ -1,0 +1,197 @@
+"""Serving-mode decode optimizations: Pallas small-M matmul
+(ops/matvec.py) and norm-scale folding (models/decoder.fold_norm_scales).
+
+The Pallas kernel runs in interpret mode on CPU; on TPU it streams
+weights for small-M decode matmuls. Folding is a load-time param
+transform that must be numerically exact (bf16) / near-exact (int8
+requantization) against the unfolded model.
+
+Reference role: the reference has no serving-side weight transforms —
+these are TPU decode-bandwidth headroom over its HF generate path
+(moe_model/serve/model_worker.py).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from competesmoe_tpu.models.decoder import (
+    DecoderLM,
+    fold_norm_scales,
+    phi35_mini_config,
+)
+from competesmoe_tpu.ops.matvec import (
+    quant_small_m_matmul,
+    small_m_matmul,
+    small_m_viable,
+)
+
+pytestmark = pytest.mark.fast
+
+
+# ---------------------------------------------------------------------------
+# ops/matvec.py
+# ---------------------------------------------------------------------------
+
+def test_small_m_viable():
+    assert small_m_viable(8, 3072, 9216)
+    assert small_m_viable(1, 3072, 8192)
+    assert not small_m_viable(64, 3072, 9216)   # large M -> XLA GEMM
+    assert not small_m_viable(8, 3072, 100)     # N not 128-divisible
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 512, 1024), (8, 768, 384),
+                                   (16, 1024, 128)])
+def test_small_m_matmul_matches_dot(m, k, n):
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (m, k), jnp.float32).astype(jnp.bfloat16)
+    w = jax.random.normal(kw, (k, n), jnp.float32).astype(jnp.bfloat16)
+    got = small_m_matmul(x, w, interpret=True)
+    want = jnp.dot(x, w, preferred_element_type=jnp.float32
+                   ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_quant_small_m_matmul_matches_dequant_dot():
+    m, k, n = 8, 512, 256
+    kx, kw, ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(kx, (m, k), jnp.float32).astype(jnp.bfloat16)
+    wq = jax.random.randint(kw, (k, n), -127, 128, jnp.int32
+                            ).astype(jnp.int8)
+    scale = jax.random.uniform(ks, (n,), jnp.float32, 1e-3, 2e-3)
+    got = quant_small_m_matmul(x, wq, scale, interpret=True)
+    wd = wq.astype(jnp.bfloat16) * scale[None, :].astype(jnp.bfloat16)
+    want = jnp.dot(x, wd, preferred_element_type=jnp.float32
+                   ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# fold_norm_scales
+# ---------------------------------------------------------------------------
+
+def tiny_cfg(**kw):
+    base = dataclasses.replace(
+        phi35_mini_config(), num_hidden_layers=2, vocab_size=128,
+        hidden_size=64, intermediate_size=128, num_attention_heads=4,
+        num_key_value_heads=4, rope_scaling_type=None,
+        rope_short_factor=None, rope_long_factor=None, dtype=jnp.float32)
+    return dataclasses.replace(base, **kw)
+
+
+def _randomize_norm_weights(params, seed=3):
+    """Folding is trivially a no-op on all-ones norm weights; perturb
+    them so the test actually exercises the transform."""
+    key = jax.random.PRNGKey(seed)
+
+    def visit(path, leaf):
+        nonlocal key
+        if any(getattr(p, "key", "") in ("input_layernorm",
+                                         "post_attention_layernorm",
+                                         "norm")
+               for p in path) and leaf.ndim == 1:
+            key, sub = jax.random.split(key)
+            return leaf + jax.random.uniform(sub, leaf.shape,
+                                             leaf.dtype, -0.3, 0.3)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+@pytest.mark.parametrize("moe_name", [None, "smoe"])
+def test_fold_norm_scales_exact(moe_name):
+    cfg = tiny_cfg(moe_name=moe_name)
+    model = DecoderLM(cfg)
+    folded_model = DecoderLM(dataclasses.replace(cfg, norm_folded=True))
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, 128)
+    params = _randomize_norm_weights(
+        model.init(jax.random.PRNGKey(1), ids))
+    logits, _, _ = model.apply(params, ids)
+    fparams = fold_norm_scales(params, cfg)
+    flogits, _, _ = folded_model.apply(fparams, ids)
+    np.testing.assert_allclose(np.asarray(flogits), np.asarray(logits),
+                               rtol=1e-5, atol=1e-5)
+    # folded params stay loadable by the unfolded model (norm weights
+    # are ones; the kernels carry the scales)
+    ulogits, _, _ = model.apply(fparams, ids)
+    np.testing.assert_allclose(np.asarray(ulogits), np.asarray(logits),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_norm_scales_int8():
+    cfg = tiny_cfg(quant="int8", dtype=jnp.bfloat16)
+    model = DecoderLM(cfg)
+    folded_model = DecoderLM(dataclasses.replace(cfg, norm_folded=True))
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, 128)
+    params = _randomize_norm_weights(
+        model.init(jax.random.PRNGKey(1), ids))
+    logits, _, _ = model.apply(params, ids)
+    fparams = fold_norm_scales(params, cfg)
+    flogits, _, _ = folded_model.apply(fparams, ids)
+    # int8 requantization after absorbing the scale is lossy at the
+    # last-bit level; logits must still agree closely
+    np.testing.assert_allclose(np.asarray(flogits, np.float32),
+                               np.asarray(logits, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+# ---------------------------------------------------------------------------
+# KV cache layouts: per_layer and deferred vs the stacked scatter path
+# ---------------------------------------------------------------------------
+
+def _greedy_decode(cfg, params, ids, n_steps=5):
+    from competesmoe_tpu.models.decoder import KVCache
+    model = DecoderLM(cfg)
+    cache = KVCache.create(cfg, ids.shape[0], 32)
+    mask = jnp.ones_like(ids)
+    logits, cache, _ = model.apply(params, ids, cache=cache,
+                                   attention_mask=mask)
+    cache = cache.replace(pos=cache.pos + ids.shape[1])
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    toks = [np.asarray(tok)]
+    for _ in range(n_steps):
+        logits, cache, _ = model.apply(params, tok[:, None], cache=cache)
+        cache = cache.replace(pos=cache.pos + 1)
+        tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+        toks.append(np.asarray(tok))
+    return np.stack(toks), logits
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_per_layer_cache_layout_token_exact(kv_quant):
+    cfg = tiny_cfg(kv_quant=kv_quant)
+    params = DecoderLM(cfg).init(
+        jax.random.PRNGKey(1),
+        jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, 128))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 128)
+    ref_toks, ref_logits = _greedy_decode(cfg, params, ids)
+    got_toks, got_logits = _greedy_decode(
+        dataclasses.replace(cfg, cache_layout="per_layer"), params, ids)
+    assert np.array_equal(ref_toks, got_toks)
+    np.testing.assert_array_equal(np.asarray(ref_logits),
+                                  np.asarray(got_logits))
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_deferred_decode_token_exact(kv_quant):
+    cfg = tiny_cfg(kv_quant=kv_quant)
+    params = DecoderLM(cfg).init(
+        jax.random.PRNGKey(1),
+        jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, 128))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 128)
+    ref_toks, ref_logits = _greedy_decode(cfg, params, ids)
+    got_toks, got_logits = _greedy_decode(
+        dataclasses.replace(cfg, deferred_decode=True), params, ids)
+    assert np.array_equal(ref_toks, got_toks)
+    # deferred splits softmax·V into cache + self einsums — same math,
+    # different summation order, so only fp-associativity-level drift
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-4)

@@ -150,10 +150,22 @@ def run_jax(a):
     cfg = dataclasses.replace(phi35_mini_config(),
                               num_hidden_layers=a.layers,
                               quant=a.quant or None,
-                              kv_quant=a.kv_quant or None)
+                              kv_quant=a.kv_quant or None,
+                              matvec_kernel=a.matvec and not a.mesh,
+                              norm_folded=a.fold_norms,
+                              # TP sharding specs address the stacked
+                              # [L,B,S,hk,d] layout
+                              cache_layout=(a.cache_layout if not a.mesh
+                                            else "stacked"),
+                              deferred_decode=a.deferred)
     model = DecoderLM(cfg)
     t0 = time.time()
     params = random_bf16_params(model)
+    if a.fold_norms:
+        # random norm weights are ~ones already, but run the real
+        # transform so the benched program is the served one
+        from competesmoe_tpu.models.decoder import fold_norm_scales
+        params = jax.jit(lambda p: fold_norm_scales(p, cfg))(params)
     nparams = sum(x.size for x in jax.tree_util.tree_leaves(params))
     ids = jnp.ones((a.batch, PREFILL), jnp.int32)
     detail = {"n_layers": a.layers, "batch": a.batch,
@@ -219,6 +231,10 @@ def run_jax(a):
         prefill, make_decode = build_decode_fns(model,
                                                 windowed=a.window)
         detail["attn_window"] = a.window
+        detail["matvec_kernel"] = a.matvec and not a.mesh
+        detail["norm_folded"] = a.fold_norms
+        detail["cache_layout"] = a.cache_layout
+        detail["deferred_decode"] = a.deferred
         per_tok = time_decode(prefill, make_decode, params, ids, cache)
 
     print(f"built {detail['params_b']}B params in {time.time()-t0:.0f}s",
@@ -293,8 +309,25 @@ def main():
     ap.add_argument("--window", action="store_true",
                     help="windowed KV read (pays off when max_len >> "
                          "live prefix; slower at this bench's kv 512)")
+    ap.add_argument("--fold-norms", action="store_true",
+                    help="fold norm scales into the following projections "
+                         "(fold_norm_scales) and skip the norm weight "
+                         "reads in the step")
+    ap.add_argument("--matvec", action="store_true",
+                    help="Pallas small-M weight-streaming matmuls in the "
+                         "decode step (single-chip only; ignored with "
+                         "--mesh)")
     ap.add_argument("--kv-quant", default="", choices=["", "int8"],
                     help="int8 KV cache (halves KV read bandwidth)")
+    ap.add_argument("--cache-layout", default="stacked",
+                    choices=["stacked", "per_layer"],
+                    help="per_layer: tuple-of-L KV buffers so every "
+                         "layer's scatter shares one (b, slot) index "
+                         "vector (see DecoderConfig.cache_layout)")
+    ap.add_argument("--deferred", action="store_true",
+                    help="deferred end-of-step batched KV write "
+                         "(measured net-negative on int8 — see "
+                         "DecoderConfig.deferred_decode)")
     # positional back-compat: bench_decode.py [n_layers] [batch]
     ap.add_argument("pos", nargs="*", type=int)
     a = ap.parse_args()
