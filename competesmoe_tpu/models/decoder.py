@@ -739,9 +739,18 @@ class DecoderLM(nn.Module):
             cum = jnp.cumsum(valid, axis=1) - 1              # [B, T]
             kv_len = cache.max_len
             # pad tokens write to the dump slot kv_len-1 (see
-            # DecoderAttention) so their K/V never shadow real positions
+            # DecoderAttention) so their K/V never shadow real positions.
+            # The minimum() is a no-op for callers honoring the
+            # pos + T <= kv_len contract; it exists for the serving
+            # engine's retired slots, which keep riding the batched step
+            # with ever-growing pos — without the clamp their scatters
+            # would eventually index past the cache (promise_in_bounds
+            # makes that UB, not an error). Clamped writes land in the
+            # dump slot of a dead row: harmless.
             cache_idx = jnp.where(valid.astype(bool),
-                                  cache.pos[:, None] + cum, kv_len - 1)
+                                  jnp.minimum(cache.pos[:, None] + cum,
+                                              kv_len - 1),
+                                  kv_len - 1)
             if position_ids is None:
                 position_ids = cache.pos[:, None] + jnp.maximum(cum, 0)
         elif position_ids is None:

@@ -131,6 +131,41 @@ def jax_llava_generate_fn(adapter):
     return fn
 
 
+def engine_generate_fn(adapter, engine):
+    """Worker generate_fn backed by the continuous-batching DecodeEngine
+    (serve/engine.py): concurrent requests share ONE batched decode step
+    instead of time-slicing batch-1 generates. top_p is not supported by
+    the engine's on-device sampler; such requests fall back to the solo
+    streaming path."""
+    solo = jax_llava_generate_fn(adapter)
+
+    def fn(params: dict) -> Iterator[str]:
+        if float(params.get("top_p", 1.0)) < 1.0:
+            yield from solo(params)
+            return
+        prompt = params["prompt"]
+        images = params.get("images") or []
+        ids = adapter.tokenizer_ids_for_prompt(prompt, bool(images))
+        px = None
+        if images:
+            pil = [load_image_from_base64(b) for b in images]
+            px = np.asarray(process_images(pil, adapter.image_processor))
+        eos = set(adapter.stop_token_ids or [])
+        if getattr(adapter.tokenizer, "eos_token_id", None) is not None:
+            eos.add(int(adapter.tokenizer.eos_token_id))
+        tokens: list = []
+        for tok in engine.submit(
+                np.asarray(ids, np.int32), pixel_values=px,
+                max_new_tokens=int(params.get("max_new_tokens", 128)),
+                temperature=float(params.get("temperature", 0.0)),
+                eos_ids=sorted(eos)):
+            tokens.append(tok)
+            text = adapter.tokenizer.decode(tokens,
+                                            skip_special_tokens=True)
+            yield text.split("<|end|>")[0]
+    return fn
+
+
 def shard_llava_params(params: dict, mesh_str: str) -> dict:
     """Place a loaded LlavaModel param tree on a DxM tensor-parallel mesh
     ('1x8' -> data=1, model=8). The decoder shards Megatron-style, the
@@ -220,6 +255,11 @@ def main(argv=None):
                          "decoder Megatron-style over M chips "
                          "(parallel.mesh.llava_param_shardings) so the "
                          "5.1B serves across a v5e-8 slice")
+    ap.add_argument("--engine-slots", type=int, default=0,
+                    help="enable the continuous-batching DecodeEngine "
+                         "with this many sequence slots (serve/engine.py)"
+                         "; 0 = per-request solo streaming")
+    ap.add_argument("--engine-max-len", type=int, default=2048)
     ap.add_argument("--no-register", action="store_true")
     a = ap.parse_args(argv)
 
@@ -240,10 +280,19 @@ def main(argv=None):
                        max_new_tokens=a.max_new_tokens)
     name = a.model_name or str(a.model_path).rstrip("/").split("/")[-1]
     worker_addr = a.worker_address or f"http://localhost:{a.port}"
+    if a.engine_slots > 0:
+        from .engine import DecodeEngine
+        engine = DecodeEngine(model, adapter.params,
+                              n_slots=a.engine_slots,
+                              max_len=a.engine_max_len)
+        gen_fn = engine_generate_fn(adapter, engine)
+        concurrency = max(a.limit_model_concurrency, a.engine_slots)
+    else:
+        gen_fn = jax_llava_generate_fn(adapter)
+        concurrency = a.limit_model_concurrency
     worker = ModelWorker(
         None if a.no_register else a.controller_address, worker_addr,
-        [name], jax_llava_generate_fn(adapter),
-        limit_model_concurrency=a.limit_model_concurrency)
+        [name], gen_fn, limit_model_concurrency=concurrency)
     print(f"worker {worker.worker_id} serving {name} on "
           f"{a.host}:{a.port}", flush=True)
     serve_worker(worker, a.host, a.port)

@@ -151,14 +151,13 @@ def _greedy_decode(cfg, params, ids, n_steps=5):
     model = DecoderLM(cfg)
     cache = KVCache.create(cfg, ids.shape[0], 32)
     mask = jnp.ones_like(ids)
+    # DecoderLM advances cache.pos itself
     logits, cache, _ = model.apply(params, ids, cache=cache,
                                    attention_mask=mask)
-    cache = cache.replace(pos=cache.pos + ids.shape[1])
     tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
     toks = [np.asarray(tok)]
     for _ in range(n_steps):
         logits, cache, _ = model.apply(params, tok[:, None], cache=cache)
-        cache = cache.replace(pos=cache.pos + 1)
         tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
         toks.append(np.asarray(tok))
     return np.stack(toks), logits
