@@ -244,11 +244,17 @@ _DECODER_QUANT_MODULES = ("qkv_proj", "q_proj", "k_proj", "v_proj",
 def quantize_decoder_to_int8(decoder_params: Dict, bits: int = 8) -> Dict:
     """Convert the decoder's Dense kernels to QuantDense params
     (kernel_q + per-output-channel scale) — the runtime load_8bit path:
-    weights are STORED and STREAMED as int8 (or packed int4 with bits=4,
-    two values per byte on TPU) and dequantized inside the dot's operand
-    read (models/decoder.py:QuantDense), halving (quartering) decode HBM
+    weights are STORED and STREAMED as int8 (or nibble-packed int4 with
+    bits=4, two values per byte — models/decoder.py:pack_int4) and
+    dequantized inside the dot's operand read
+    (models/decoder.py:QuantDense), halving (quartering) decode HBM
     traffic."""
     qmax = 7 if bits == 4 else 127
+
+    def pack4(q):  # numpy twin of decoder.pack_int4
+        lo = q[0::2] & 0x0F
+        hi = q[1::2] & 0x0F
+        return (lo | (hi << 4)).astype(np.int8)
 
     def walk(tree):
         out = {}
@@ -258,7 +264,7 @@ def quantize_decoder_to_int8(decoder_params: Dict, bits: int = 8) -> Dict:
                 w = np.asarray(v["kernel"], np.float32)
                 scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / qmax
                 q = np.round(w / scale[None, :]).clip(-qmax, qmax)
-                q = (jnp.asarray(q, jnp.int4) if bits == 4
+                q = (pack4(q.astype(np.int8)) if bits == 4
                      else q.astype(np.int8))
                 entry = {"kernel_q": q,
                          "scale": scale.astype(np.float32)}

@@ -303,6 +303,29 @@ def _quantize_kv(x: jax.Array):
     return q.clip(-127, 127).astype(jnp.int8), scale.astype(x.dtype)
 
 
+def pack_int4(q):
+    """int8 values in [-8, 7], [K, N] -> nibble-packed int8 [K//2, N]
+    (row 2i in the low nibble, row 2i+1 in the high nibble).
+
+    Why not jnp.int4: on the axon TPU backend an int4 array cannot cross
+    a jit boundary at all — the relayout in jax's `_array_shard_arg`
+    re-enters device_put and recurses (repro 2026-08-17). Packing into
+    int8 streams the same bytes with none of the dtype's sharp edges,
+    and keeps the format under our control for Pallas kernels."""
+    lo = q[0::2] & 0x0F
+    hi = q[1::2] & 0x0F
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(p):
+    """Inverse of pack_int4: int8 [K//2, N] -> sign-extended int8 [K, N].
+    Pure elementwise shifts — fuses into the consumer's operand read."""
+    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    K2, N = p.shape
+    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
+
+
 class QuantDense(nn.Module):
     """Weight-quantized Dense for inference (load_8bit runtime).
 
@@ -310,8 +333,8 @@ class QuantDense(nn.Module):
     (+ bias). 'int8' dequantizes in the dot's operand read (XLA fuses the
     convert+scale, halving HBM weight traffic); 'w8a8' also quantizes the
     activations per row and runs the int8 MXU path; 'int4' (w4a16) stores
-    the kernel as jnp.int4 — TPU packs two values per byte, so weight
-    reads halve again vs int8 (per-output-channel symmetric [-7, 7])."""
+    the kernel nibble-packed two values per int8 byte (pack_int4), so
+    weight reads halve again vs int8 (per-output symmetric [-7, 7])."""
 
     features: int
     mode: str = "int8"            # 'int8' (w8a16) | 'w8a8' | 'int4'
@@ -322,15 +345,24 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        qmax = 7 if self.mode == "int4" else 127
-        qtype = jnp.int4 if self.mode == "int4" else jnp.int8
+        int4 = self.mode == "int4"
+        qmax = 7 if int4 else 127
 
-        def q_init(key, shape, dtype=qtype):
-            w = jax.random.normal(key, shape) * (in_dim ** -0.5)
+        def q_init(key, shape, dtype=jnp.int8):
+            w = jax.random.normal(key, (in_dim, self.features)) \
+                * (in_dim ** -0.5)
             s = jnp.maximum(jnp.abs(w).max(0), 1e-8) / qmax
-            return jnp.round(w / s).clip(-qmax, qmax).astype(qtype)
+            q = jnp.round(w / s).clip(-qmax, qmax).astype(jnp.int8)
+            return pack_int4(q) if int4 else q
 
-        kernel_q = self.param("kernel_q", q_init, (in_dim, self.features))
+        if int4 and in_dim % 2:
+            raise ValueError("int4 mode needs an even input dim")
+        kernel_q = self.param(
+            "kernel_q", q_init,
+            ((in_dim // 2, self.features) if int4
+             else (in_dim, self.features)))
+        if int4:
+            kernel_q = unpack_int4(kernel_q)
         scale = self.param("scale",
                            nn.initializers.constant(
                                in_dim ** -0.5 / qmax),
@@ -876,12 +908,15 @@ def _fold_into_dense(proj: dict, w: jax.Array) -> None:
                           * w.astype(jnp.float32)[:, None]).astype(k.dtype)
         return
     kq, s = proj["kernel_q"], proj["scale"]
-    qmax = 7 if kq.dtype == jnp.int4 else 127
+    packed = kq.shape[0] * 2 == w.shape[0]   # nibble-packed int4 mode
+    if packed:
+        kq = unpack_int4(kq)
+    qmax = 7 if packed else 127
     wf = (kq.astype(jnp.float32) * s.astype(jnp.float32)[None, :]
           * w.astype(jnp.float32)[:, None])
     s_new = jnp.maximum(jnp.abs(wf).max(axis=0), 1e-8) / qmax
-    proj["kernel_q"] = jnp.round(wf / s_new[None, :]).clip(
-        -qmax, qmax).astype(kq.dtype)
+    q = jnp.round(wf / s_new[None, :]).clip(-qmax, qmax).astype(jnp.int8)
+    proj["kernel_q"] = pack_int4(q) if packed else q
     proj["scale"] = s_new.astype(s.dtype)
 
 

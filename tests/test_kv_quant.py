@@ -158,8 +158,10 @@ def test_attn_window_int8_kv_token_exact():
 
 
 def test_int4_weight_runtime_decode():
-    """w4a16: kernels stored as jnp.int4 (packed 2/byte on TPU), decode
-    runs and tracks the bf16 model (loose tolerance — 4-bit grid)."""
+    """w4a16: kernels stored nibble-packed (two int4 values per int8
+    byte — decoder.pack_int4; jnp.int4 cannot cross jit boundaries on
+    the axon TPU backend), decode runs and tracks the bf16 model (loose
+    tolerance — 4-bit grid)."""
     import dataclasses
 
     import numpy as np
@@ -181,7 +183,8 @@ def test_int4_weight_runtime_decode():
 
     q4 = quantize_decoder_to_int8(params, bits=4)
     kq = q4["layers_0"]["self_attn"]["qkv_proj"]["kernel_q"]
-    assert kq.dtype == jnp.int4
+    assert kq.dtype == jnp.int8
+    assert kq.shape[0] == cfg.hidden_size // 2   # nibble-packed
     cfg4 = dataclasses.replace(cfg, quant="int4")
     model4 = DecoderLM(cfg4)
     out, _, _ = model4.apply({"params": q4}, ids)
