@@ -261,10 +261,15 @@ def quantize_decoder_to_int8(decoder_params: Dict, bits: int = 8) -> Dict:
         for k, v in tree.items():
             if isinstance(v, dict) and k in _DECODER_QUANT_MODULES \
                     and "kernel" in v:
+                # int4 keeps the lm_head at int8 (models/decoder.py
+                # DecoderLM.setup: vocab widths don't tile the Pallas
+                # int4 kernel)
+                mq = 127 if (bits == 4 and k == "lm_head") else qmax
                 w = np.asarray(v["kernel"], np.float32)
-                scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / qmax
-                q = np.round(w / scale[None, :]).clip(-qmax, qmax)
-                q = (pack4(q.astype(np.int8)) if bits == 4
+                scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / mq
+                q = np.round(w / scale[None, :]).clip(-mq, mq)
+                q = (pack4(q.astype(np.int8))
+                     if bits == 4 and k != "lm_head"
                      else q.astype(np.int8))
                 entry = {"kernel_q": q,
                          "scale": scale.astype(np.float32)}

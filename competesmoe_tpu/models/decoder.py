@@ -304,26 +304,39 @@ def _quantize_kv(x: jax.Array):
 
 
 def pack_int4(q):
-    """int8 values in [-8, 7], [K, N] -> nibble-packed int8 [K//2, N]
-    (row 2i in the low nibble, row 2i+1 in the high nibble).
+    """int8 values in [-8, 7], [K, N] -> nibble-packed int8 [K//2, N]:
+    rows [0, K/2) in the low nibble, rows [K/2, K) in the high nibble
+    (split-half, NOT interleaved — so a contraction can be computed as
+    x[:, :K/2] @ low + x[:, K/2:] @ high with contiguous slices, which
+    both XLA and the Pallas int4 matvec kernel handle without ever
+    materializing the unpacked matrix).
 
     Why not jnp.int4: on the axon TPU backend an int4 array cannot cross
     a jit boundary at all — the relayout in jax's `_array_shard_arg`
     re-enters device_put and recurses (repro 2026-08-17). Packing into
     int8 streams the same bytes with none of the dtype's sharp edges,
     and keeps the format under our control for Pallas kernels."""
-    lo = q[0::2] & 0x0F
-    hi = q[1::2] & 0x0F
+    K = q.shape[0]
+    lo = q[: K // 2] & 0x0F
+    hi = q[K // 2:] & 0x0F
     return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4_halves(p):
+    """int8 [K//2, N] -> (low, high) sign-extended int8 [K//2, N] each:
+    low = original rows [0, K/2), high = rows [K/2, K). Pure elementwise
+    shifts — fuse into a consumer dot's operand read."""
+    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    return lo, hi
 
 
 def unpack_int4(p):
     """Inverse of pack_int4: int8 [K//2, N] -> sign-extended int8 [K, N].
-    Pure elementwise shifts — fuses into the consumer's operand read."""
-    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
-    hi = (p >> 4).astype(jnp.int8)
-    K2, N = p.shape
-    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
+    Materializes the full matrix (the concat can't fuse) — use the
+    halves form in compute paths."""
+    lo, hi = unpack_int4_halves(p)
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 class QuantDense(nn.Module):
@@ -361,8 +374,6 @@ class QuantDense(nn.Module):
             "kernel_q", q_init,
             ((in_dim // 2, self.features) if int4
              else (in_dim, self.features)))
-        if int4:
-            kernel_q = unpack_int4(kernel_q)
         scale = self.param("scale",
                            nn.initializers.constant(
                                in_dim ** -0.5 / qmax),
@@ -376,6 +387,33 @@ class QuantDense(nn.Module):
                 x8, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * (amax / 127.0) * scale
+        elif int4:
+            from ..ops.matvec import (quant_small_m_matmul_int4,
+                                      small_m_viable_int4)
+            lead = x.shape[:-1]
+            m = int(np.prod(lead)) if lead else 1
+            if (jax.default_backend() != "cpu"
+                    and small_m_viable_int4(m, in_dim, self.features)):
+                # Pallas path: streams the PACKED bytes once (the whole
+                # point of int4 — see quant_small_m_matmul_int4). Always
+                # on at viable shapes: XLA has no non-materializing
+                # lowering for packed weights.
+                y = quant_small_m_matmul_int4(
+                    x.reshape(m, in_dim), kernel_q,
+                    scale.astype(jnp.float32)
+                ).reshape(*lead, self.features)
+            else:
+                # fallback (CPU tests, non-tiling shapes, prefill):
+                # contract each packed half against its x slice — the
+                # packed buffer is read twice (int8-equivalent traffic)
+                # but the unpacked matrix is never materialized
+                lo, hi = unpack_int4_halves(kernel_q)
+                h = in_dim // 2
+                sc = scale[None, :].astype(x.dtype)
+                y = (jnp.dot(x[..., :h], lo.astype(x.dtype) * sc,
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(x[..., h:], hi.astype(x.dtype) * sc,
+                               preferred_element_type=jnp.float32))
         else:
             lead = x.shape[:-1]
             m = int(np.prod(lead)) if lead else 1
@@ -743,7 +781,12 @@ class DecoderLM(nn.Module):
         self.norm = make_norm(cfg, foldable=not cfg.tie_word_embeddings)
         if not cfg.tie_word_embeddings:
             if cfg.quant:
-                self.lm_head = QuantDense(cfg.vocab_size, mode=cfg.quant,
+                # int4 keeps the lm_head at int8: vocab sizes (32064)
+                # don't tile the Pallas int4 kernel's 128-lane blocks,
+                # and the XLA halves fallback reads packed bytes twice —
+                # int8 streams the same traffic with none of the caveats
+                mode = "int8" if cfg.quant == "int4" else cfg.quant
+                self.lm_head = QuantDense(cfg.vocab_size, mode=mode,
                                           name="lm_head")
             else:
                 self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,

@@ -115,6 +115,73 @@ def small_m_matmul(x: jax.Array, w: jax.Array,
     )(x, w)
 
 
+def small_m_viable_int4(m: int, k: int, n: int) -> bool:
+    """Viability of the packed-int4 kernel: the K blocks tile the PACKED
+    rows (k//2)."""
+    return (m <= MAX_SMALL_M and k % 2 == 0
+            and _pick(_BLOCK_K, k // 2) is not None
+            and _pick(_BLOCK_N, n) is not None)
+
+
+def _qmm4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, out_ref, acc_ref, *,
+                 n_k: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # unpack the nibble-packed block IN VMEM (int32 shift ops sign-extend
+    # reliably across Mosaic versions): low nibble = original rows
+    # [0, K/2), high nibble = rows [K/2, K) — pack_int4's split-half
+    # convention, so each half contracts against its own x slice.
+    p = w_ref[...].astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(xlo_ref.dtype)
+    hi = (p >> 4).astype(xlo_ref.dtype)
+    acc_ref[...] += jnp.dot(xlo_ref[...], lo,
+                            preferred_element_type=jnp.float32)
+    acc_ref[...] += jnp.dot(xhi_ref[...], hi,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[...] = (acc_ref[...]
+                        * s_ref[...].astype(jnp.float32)
+                        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_small_m_matmul_int4(x: jax.Array, w_packed: jax.Array,
+                              scale: jax.Array,
+                              interpret: bool = False) -> jax.Array:
+    """[M, K] x nibble-packed int4 [K//2, N] * scale [N] -> [M, N]
+    (w4a16 decode path — models/decoder.py:pack_int4 split-half layout).
+
+    Streams HALF the bytes of the int8 kernel: the packed block is
+    unpacked in VMEM with vector shifts and contracted as
+    x[:, :K/2] @ low + x[:, K/2:] @ high. XLA cannot do this without
+    materializing the unpacked matrix (measured 59.8 ms/step vs 6.8 for
+    int8 at the 5.1B geometry — the concat defeats operand-read fusion),
+    which is precisely why this kernel exists.
+    """
+    m, kdim = x.shape
+    half, n = w_packed.shape
+    bk, bn = _pick(_BLOCK_K, half), _pick(_BLOCK_N, n)
+    n_k = half // bk
+    return pl.pallas_call(
+        functools.partial(_qmm4_kernel, n_k=n_k),
+        grid=(n // bn, n_k),
+        in_specs=[pl.BlockSpec((m, bk), lambda j, k: (0, k)),
+                  pl.BlockSpec((m, bk), lambda j, k: (0, k)),
+                  pl.BlockSpec((bk, bn), lambda j, k: (k, j)),
+                  pl.BlockSpec((1, bn), lambda j, k: (0, j))],
+        out_specs=pl.BlockSpec((m, bn), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        interpret=interpret,
+    )(x[:, :kdim // 2], x[:, kdim // 2:], w_packed, scale.reshape(1, n))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def quant_small_m_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
                          interpret: bool = False) -> jax.Array:

@@ -194,3 +194,24 @@ def test_deferred_decode_token_exact(kv_quant):
     np.testing.assert_allclose(np.asarray(got_logits),
                                np.asarray(ref_logits),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_quant_small_m_matmul_int4_matches_halves():
+    from competesmoe_tpu.models.decoder import pack_int4, unpack_int4
+    from competesmoe_tpu.ops.matvec import (quant_small_m_matmul_int4,
+                                            small_m_viable_int4)
+    m, k, n = 8, 1024, 256
+    kx, kw, ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    x = jax.random.normal(kx, (m, k), jnp.float32).astype(jnp.bfloat16)
+    q = jax.random.randint(kw, (k, n), -7, 8, jnp.int32).astype(jnp.int8)
+    scale = jax.random.uniform(ks, (n,), jnp.float32, 1e-3, 2e-3)
+    packed = pack_int4(q)
+    assert small_m_viable_int4(m, k, n)
+    got = quant_small_m_matmul_int4(x, packed, scale, interpret=True)
+    # oracle: dense dequantized matmul through the unpacked matrix
+    assert np.array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
+    wd = q.astype(jnp.float32) * scale[None, :]
+    want = jnp.dot(x.astype(jnp.float32), wd)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
