@@ -215,6 +215,17 @@ def main():
             # bandwidth SOL). Naive dequant-then-einsum measured SLOWER
             # (8.54 ms) than bf16 KV - the scale folding is the point.
             "decode_tok_per_sec_chip_5p1b_batch8_int8_kv8": 1178.0,
+            # + int4 weights (w4a16): kernels nibble-packed two values
+            # per int8 byte (jnp.int4 cannot cross jit boundaries on
+            # this backend) and streamed by a dedicated Pallas kernel
+            # that unpacks in VMEM (ops/matvec.py:
+            # quant_small_m_matmul_int4) — XLA's own lowering
+            # materializes the unpacked matrix (59.8 ms/step). Measured
+            # 2026-08-17 on v5e-1: 1266.5 tok/s at 6.32 ms/step. The
+            # full round-3 A/B record (deferred writes, per-layer cache
+            # layouts, norm folding, int8 matvec — all measured, most
+            # rejected) is in docs/perf.md.
+            "decode_tok_per_sec_chip_5p1b_batch8_int4_kv8": 1266.5,
             "hf_torch_cpu_decode_tok_per_sec_same_geometry": 2.49,
             "a100_weight_bw_sol_tok_per_s_per_seq": 266.8,
             "v5e_weight_bw_sol_tok_per_s_per_seq": 107.2,

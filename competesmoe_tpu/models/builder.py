@@ -251,9 +251,10 @@ def quantize_decoder_to_int8(decoder_params: Dict, bits: int = 8) -> Dict:
     traffic."""
     qmax = 7 if bits == 4 else 127
 
-    def pack4(q):  # numpy twin of decoder.pack_int4
-        lo = q[0::2] & 0x0F
-        hi = q[1::2] & 0x0F
+    def pack4(q):  # numpy twin of decoder.pack_int4 (split-half layout)
+        K = q.shape[0]
+        lo = q[: K // 2] & 0x0F
+        hi = q[K // 2:] & 0x0F
         return (lo | (hi << 4)).astype(np.int8)
 
     def walk(tree):
@@ -378,7 +379,19 @@ def load_pretrained_model(model_path, model_name: Optional[str] = None,
                       {k: v for k, v in params.items()
                        if k != "language_model"})}
     elif load_4bit:
-        params = quantize_nf4_weight_only(params)
+        # decoder: true w4a16 runtime — kernels nibble-packed int4
+        # streamed by the Pallas decode kernel (measured 1267 vs 1178
+        # tok/s for int8 at the 5.1B geometry, docs/perf.md);
+        # vision/projector: NF4 value-quantized (the reference's bnb
+        # nf4 analog — small towers, bf16 compute)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, decoder=_dc.replace(cfg.decoder,
+                                                   quant="int4"))
+        params = {"language_model": quantize_decoder_to_int8(
+                      params["language_model"], bits=4),
+                  **quantize_nf4_weight_only(
+                      {k: v for k, v in params.items()
+                       if k != "language_model"})}
     if kv_quant:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, decoder=_dc.replace(cfg.decoder,

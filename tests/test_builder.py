@@ -183,15 +183,27 @@ def test_lora_merge_and_quant_loading(tmp_path):
     assert not np.array_equal(deq, base_k)        # actually quantized
     np.testing.assert_allclose(deq, base_k,
                                atol=np.abs(base_k).max() / 80)
-    # load_4bit: value-quantized through the nf4 grid
-    _, _, v4, _, _ = load_pretrained_model(
+    # load_4bit: decoder = true w4a16 runtime (nibble-packed kernel_q,
+    # Pallas-streamed at decode shapes); vision/projector = NF4
+    # value-quantized (the reference's bnb nf4 analog)
+    from competesmoe_tpu.models.decoder import unpack_int4
+    _, model4, v4, _, _ = load_pretrained_model(
         base_dir, model_name="llava_phi", load_4bit=True,
         dtype=jnp.float32)
-    k4 = np.asarray(v4["params"]["language_model"]["layers_0"]
-                    ["self_attn"]["o_proj"]["kernel"])
-    assert not np.array_equal(k4, base_k)
-    # int8 grid is finer than nf4
-    assert np.abs(deq - base_k).mean() < np.abs(k4 - base_k).mean()
+    assert model4.cfg.decoder.quant == "int4"
+    o4 = v4["params"]["language_model"]["layers_0"]["self_attn"]["o_proj"]
+    assert np.asarray(o4["kernel_q"]).dtype == np.int8
+    assert o4["kernel_q"].shape[0] == base_k.shape[0] // 2   # packed
+    deq4 = (np.asarray(unpack_int4(jnp.asarray(o4["kernel_q"])),
+                       np.float32) * np.asarray(o4["scale"])[None, :])
+    # int8 grid is finer than int4
+    assert np.abs(deq - base_k).mean() < np.abs(deq4 - base_k).mean()
+    np.testing.assert_allclose(deq4, base_k,
+                               atol=np.abs(base_k).max() / 6)
+    # the int4-runtime model runs
+    out4 = model4.apply(v4, jnp.asarray(np.full((1, 4), 3, np.int32)),
+                        jnp.asarray(np.zeros((1, 28, 28, 3), np.float32)))
+    assert np.all(np.isfinite(np.asarray(out4.logits)))
     # the int8-runtime model runs and roughly matches the bf16 model
     ids = np.full((1, 4), 3, np.int32)
     px = np.zeros((1, 28, 28, 3), np.float32)
