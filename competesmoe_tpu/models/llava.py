@@ -290,16 +290,18 @@ _SCAN_FN_CACHE: Dict = {}
 
 
 def make_scan_decode(model: LlavaModel, n_tokens: int,
-                     temperature: float = 0.0):
+                     temperature: float = 0.0, top_p: float = 1.0):
     """Jitted fully-on-device decode: generates n_tokens with lax.scan
     (one device launch for the whole generation — the per-call RPC latency
     of host-loop decode would otherwise dominate on a tunneled TPU).
-    Cached per (model, n_tokens, temperature) so repeated generate() calls
-    don't recompile.
+    Cached per (model, n_tokens, temperature, top_p) so repeated
+    generate() calls don't recompile. top_p < 1 samples from the nucleus
+    on device (sort+cumsum inside the scan body — the vocab sort is paid
+    only when nucleus sampling was actually requested).
 
     Returns fn(params, first_token [B], cache, rng) -> tokens [B, n].
     """
-    key = (model, n_tokens, temperature)
+    key = (model, n_tokens, temperature, top_p)
     hit = _SCAN_FN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -310,7 +312,7 @@ def make_scan_decode(model: LlavaModel, n_tokens: int,
             out = model.apply(params, token[:, None], None, cache=cache)
             logits = out.logits[:, 0]
             rng, sub = jax.random.split(rng)
-            nxt = sample_token(logits, sub, temperature)
+            nxt = sample_token(logits, sub, temperature, top_p)
             return (nxt, out.cache, rng), nxt
 
         (_, cache, _), toks = jax.lax.scan(
@@ -355,8 +357,8 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
 
     Chunk sizes follow a 1,1,2,4,...,chunk_max warmup so early tokens
     stream at per-step latency while the steady state amortizes host-loop
-    overhead through `make_scan_decode` (one device program per chunk).
-    top_p < 1 forces chunk size 1 (host-side nucleus sampling).
+    overhead through `make_scan_decode` (one device program per chunk);
+    top_p < 1 rides inside the scan (device-side nucleus sampling).
     Stops after every row has produced a stop/eos token; the final chunk
     is truncated at the stop position.
     """
@@ -420,13 +422,12 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
     if done:
         return
 
-    use_scan = top_p >= 1.0
     size = 1
     while produced < max_new_tokens:
-        n = min(size if use_scan else 1, max_new_tokens - produced)
+        n = min(size, max_new_tokens - produced)
         rng, sub = jax.random.split(rng)
         if n > 1:
-            decode_n = make_scan_decode(model, n, temperature)
+            decode_n = make_scan_decode(model, n, temperature, top_p)
             toks, cache = decode_n(params, cur, cache, sub)
             chunk_np = np.asarray(toks)
             cur = toks[:, -1]
@@ -456,7 +457,7 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
     scan_decode=True (default) generates all tokens in ONE device program
     (lax.scan) and truncates at stop tokens on the host — the TPU-native
     fast path. scan_decode=False is a host loop with early exit per step
-    (better when stops hit early and top_p is needed).
+    (better when stops hit early).
     Returns (generated ids [B, <=max_new_tokens], prefill output with
     routing telemetry) — the role of `LlavaPhiForCausalLM.generate`
     (llava_phi.py:147-220)."""
@@ -492,8 +493,9 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
         stops.add(int(eos_token_id))
     cur = sample_token(last_logits, rng, temperature, top_p)
 
-    if scan_decode and max_new_tokens > 1 and top_p >= 1.0:
-        decode_n = make_scan_decode(model, max_new_tokens - 1, temperature)
+    if scan_decode and max_new_tokens > 1:
+        decode_n = make_scan_decode(model, max_new_tokens - 1, temperature,
+                                    top_p)
         rng, sub = jax.random.split(rng)
         rest, _ = decode_n(params, cur, cache, sub)
         all_toks = np.concatenate(

@@ -20,8 +20,10 @@ re-designed for XLA's static shapes):
   slots ride along in the step with static shapes — their writes are
   clamped into their own retired rows (models/decoder.py cache_idx
   clamp) and the host ignores their tokens;
-- per-slot temperature rides as a device vector, so greedy and sampled
-  requests coexist in one step program;
+- per-slot temperature and top_p ride as device vectors, so greedy and
+  sampled requests coexist in one step program; the nucleus (top_p<1)
+  variant is a second compiled program selected only while such a
+  request is live, so the common path never pays the vocab sort;
 - the step is ONE donated jitted call that scans `steps_per_call`
   decode steps and samples on device — on a tunneled TPU (~30 ms RPC
   per call) this amortizes dispatch latency; on a local chip
@@ -61,6 +63,7 @@ class _Request:
     pixel_values: Optional[np.ndarray]
     max_new_tokens: int
     temperature: float
+    top_p: float
     eos_ids: frozenset
     out: "queue.Queue[Optional[int]]" = field(
         default_factory=lambda: queue.Queue())
@@ -93,6 +96,7 @@ class DecodeEngine:
         self._cache = KVCache.create(self.cfg.decoder, n_slots, max_len)
         self._cur = jnp.zeros((n_slots,), jnp.int32)
         self._temps = np.zeros((n_slots,), np.float32)
+        self._topps = np.ones((n_slots,), np.float32)
         self.error: Optional[Exception] = None
         self._build_fns()
         self._stop = threading.Event()
@@ -108,31 +112,46 @@ class DecodeEngine:
         self._prefill, _ = make_generate_fns(model, self.cfg,
                                              self.max_len)
 
-        @partial(jax.jit, donate_argnums=(2,))
-        def step(params, cur, cache, rng, temps):
-            """k_steps decode steps with on-device per-slot sampling.
-            Donating the cache keeps the scatter in-place (un-donated,
-            XLA copies the full cache every step — the deferred-write
-            A/B measured that copy at ~1.5 ms on the 5.1B int8 config).
-            """
-            def one(carry, sub):
-                cur, cache = carry
-                # DecoderLM advances cache.pos itself (decoder.py
-                # new_cache construction)
-                out = model.apply(params, cur[:, None], None, cache=cache)
-                logits = out.logits[:, 0]
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-                drawn = jax.random.categorical(sub, scaled,
-                                               axis=-1).astype(jnp.int32)
-                nxt = jnp.where(temps > 0, drawn, greedy)
-                return (nxt, out.cache), nxt
+        def make_step(nucleus: bool):
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, cur, cache, rng, temps, topps):
+                """k_steps decode steps with on-device per-slot sampling.
+                Donating the cache keeps the scatter in-place (un-donated,
+                XLA copies the full cache every step — the deferred-write
+                A/B measured that copy at ~1.5 ms on the 5.1B int8 config).
+                The nucleus variant pays a per-step vocab sort, so it is a
+                SEPARATE program selected only while a top_p<1 request is
+                live — the greedy/temperature path stays sort-free.
+                """
+                def one(carry, sub):
+                    cur, cache = carry
+                    # DecoderLM advances cache.pos itself (decoder.py
+                    # new_cache construction)
+                    out = model.apply(params, cur[:, None], None,
+                                      cache=cache)
+                    logits = out.logits[:, 0]
+                    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+                    if nucleus:
+                        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+                        cum = jnp.cumsum(jax.nn.softmax(srt, -1), axis=-1)
+                        ci = jnp.sum(cum < topps[:, None], axis=-1,
+                                     keepdims=True)
+                        cutoff = jnp.take_along_axis(srt, ci, axis=-1)
+                        scaled = jnp.where(scaled < cutoff, -jnp.inf,
+                                           scaled)
+                    drawn = jax.random.categorical(sub, scaled,
+                                                   axis=-1).astype(jnp.int32)
+                    nxt = jnp.where(temps > 0, drawn, greedy)
+                    return (nxt, out.cache), nxt
 
-            subs = jax.random.split(rng, k_steps)
-            (cur, cache), toks = jax.lax.scan(one, (cur, cache), subs)
-            return jnp.swapaxes(toks, 0, 1), cur, cache
+                subs = jax.random.split(rng, k_steps)
+                (cur, cache), toks = jax.lax.scan(one, (cur, cache), subs)
+                return jnp.swapaxes(toks, 0, 1), cur, cache
+            return step
 
-        self._step = step
+        self._step_plain = make_step(nucleus=False)
+        self._step_nucleus = make_step(nucleus=True)
 
         @partial(jax.jit, donate_argnums=(0,))
         def insert(cache: KVCache, row: KVCache, slot, cur, tok):
@@ -183,10 +202,12 @@ class DecodeEngine:
             slot = self._free.pop()
             last_logits, row_cache = self._prefill_one(req)
             self._rng, sub = jax.random.split(self._rng)
-            tok = sample_token(last_logits, sub, req.temperature)
+            tok = sample_token(last_logits, sub, req.temperature,
+                               req.top_p)
             self._cache, self._cur = self._insert(
                 self._cache, row_cache, jnp.int32(slot), self._cur, tok)
             self._temps[slot] = req.temperature
+            self._topps[slot] = req.top_p
             req.slot = slot
             self._live[slot] = req
             self._emit(req, int(np.asarray(tok)[0]))
@@ -224,9 +245,13 @@ class DecodeEngine:
                 self._woken.clear()
                 continue
             self._rng, sub = jax.random.split(self._rng)
-            toks, self._cur, self._cache = self._step(
+            step = (self._step_nucleus
+                    if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
+                           for r in self._live.values())
+                    else self._step_plain)
+            toks, self._cur, self._cache = step(
                 self.params, self._cur, self._cache, sub,
-                jnp.asarray(self._temps))
+                jnp.asarray(self._temps), jnp.asarray(self._topps))
             toks = np.asarray(toks)                  # [n_slots, k]
             for k in range(toks.shape[1]):
                 for slot, req in list(self._live.items()):
@@ -237,6 +262,7 @@ class DecodeEngine:
     def submit(self, ids: np.ndarray,
                pixel_values: Optional[np.ndarray] = None,
                max_new_tokens: int = 128, temperature: float = 0.0,
+               top_p: float = 1.0,
                eos_ids: Optional[List[int]] = None
                ) -> Iterator[int]:
         """Enqueue a prompt; yields sampled token ids as they decode."""
@@ -248,6 +274,7 @@ class DecodeEngine:
                        pixel_values=pixel_values,
                        max_new_tokens=max_new_tokens,
                        temperature=temperature,
+                       top_p=top_p,
                        eos_ids=frozenset(eos_ids or []))
         self._requests.put(req)
         self._woken.set()

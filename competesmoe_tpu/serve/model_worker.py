@@ -134,15 +134,10 @@ def jax_llava_generate_fn(adapter):
 def engine_generate_fn(adapter, engine):
     """Worker generate_fn backed by the continuous-batching DecodeEngine
     (serve/engine.py): concurrent requests share ONE batched decode step
-    instead of time-slicing batch-1 generates. top_p is not supported by
-    the engine's on-device sampler; such requests fall back to the solo
-    streaming path."""
-    solo = jax_llava_generate_fn(adapter)
+    instead of time-slicing batch-1 generates; temperature and top_p
+    ride per-slot on the engine's device-side sampler."""
 
     def fn(params: dict) -> Iterator[str]:
-        if float(params.get("top_p", 1.0)) < 1.0:
-            yield from solo(params)
-            return
         prompt = params["prompt"]
         images = params.get("images") or []
         ids = adapter.tokenizer_ids_for_prompt(prompt, bool(images))
@@ -158,6 +153,7 @@ def engine_generate_fn(adapter, engine):
                 np.asarray(ids, np.int32), pixel_values=px,
                 max_new_tokens=int(params.get("max_new_tokens", 128)),
                 temperature=float(params.get("temperature", 0.0)),
+                top_p=float(params.get("top_p", 1.0)),
                 eos_ids=sorted(eos)):
             tokens.append(tok)
             text = adapter.tokenizer.decode(tokens,

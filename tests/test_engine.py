@@ -149,3 +149,49 @@ def test_engine_rejects_oversized_prompt(tiny_model):
                                     max_new_tokens=10)))
     finally:
         engine.shutdown()
+
+
+def test_engine_tiny_topp_equals_greedy(tiny_model):
+    """top_p -> 0 keeps only the argmax token in the nucleus, so sampled
+    output must match greedy exactly (exercises the nucleus step program
+    end-to-end)."""
+    model, params = tiny_model
+    ids = np.arange(1, 8, dtype=np.int32)
+    want = _solo(model, params, ids, max_new=6)
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64)
+    try:
+        out = list(engine.submit(ids, max_new_tokens=6, temperature=1.0,
+                                 top_p=1e-6))
+        assert out == want
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def test_engine_mixed_greedy_and_nucleus_slots(tiny_model):
+    """A greedy request must stay token-exact while a top_p<1 request is
+    live in another slot (the nucleus program services both)."""
+    model, params = tiny_model
+    rng = np.random.default_rng(3)
+    greedy_ids = rng.integers(1, 60, 9).astype(np.int32)
+    nuc_ids = rng.integers(1, 60, 5).astype(np.int32)
+    want = _solo(model, params, greedy_ids, max_new=6)
+
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64)
+    try:
+        nuc_out, nuc_done = [], threading.Event()
+
+        def consume_nuc():
+            for tok in engine.submit(nuc_ids, max_new_tokens=6,
+                                     temperature=0.9, top_p=0.7):
+                nuc_out.append(tok)
+            nuc_done.set()
+
+        threading.Thread(target=consume_nuc, daemon=True).start()
+        got = list(engine.submit(greedy_ids, max_new_tokens=6))
+        assert got == want
+        assert nuc_done.wait(timeout=60)
+        assert len(nuc_out) == 6
+        assert engine.error is None
+    finally:
+        engine.shutdown()

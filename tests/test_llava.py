@@ -273,3 +273,42 @@ def test_model_forward_anyres():
     assert out.logits.shape == (B, L - 1 + M * P,
                                 cfg.decoder.vocab_size)
     assert np.all(np.isfinite(np.asarray(out.logits)))
+
+
+def test_scan_decode_tiny_topp_equals_greedy():
+    """top_p -> 0 reduces nucleus sampling to argmax, so the scan-decode
+    path with temperature>0 must reproduce greedy tokens exactly (top_p
+    now rides inside the scan instead of forcing a per-step host loop)."""
+    cfg = tiny_llava_cfg()
+    model = LlavaModel(cfg)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 64, (2, 5)).astype(np.int32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), None)
+    greedy, _ = generate(model, params, ids, None, max_new_tokens=6,
+                         temperature=0.0, scan_decode=True)
+    nucleus, _ = generate(model, params, ids, None, max_new_tokens=6,
+                          temperature=1.0, top_p=1e-6, scan_decode=True,
+                          rng=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(greedy, nucleus)
+
+
+def test_stream_generate_topp_uses_chunks():
+    """stream_generate with top_p<1 must still follow the 1,1,2,4 chunk
+    warmup (device-side nucleus) and match greedy under tiny top_p."""
+    from competesmoe_tpu.models.llava import stream_generate
+    cfg = tiny_llava_cfg()
+    model = LlavaModel(cfg)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 64, (1, 4)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), None)
+
+    greedy, _ = generate(model, params, ids, None, max_new_tokens=8,
+                         temperature=0.0, scan_decode=True)
+    chunks = list(stream_generate(model, params, ids, None,
+                                  max_new_tokens=8, temperature=1.0,
+                                  top_p=1e-6))
+    got = np.concatenate(chunks, axis=1)
+    sizes = [c.shape[1] for c in chunks]
+    assert sizes == [1, 1, 2, 4]
+    np.testing.assert_array_equal(greedy, got)

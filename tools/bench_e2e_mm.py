@@ -76,7 +76,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--new-tokens", type=int, default=32)
-    ap.add_argument("--quant", default="", choices=["", "int8"])
+    ap.add_argument("--quant", default="", choices=["", "int8", "int4"])
     ap.add_argument("--kv-quant", default="", choices=["", "int8"])
     a = ap.parse_args()
 
