@@ -12,10 +12,14 @@ re-designed for XLA's static shapes):
 
 - a fixed pool of `n_slots` sequences shares ONE KV cache
   [L, n_slots, max_len, hk, d] and ONE jitted decode step;
-- an arriving request prefills at batch 1 (prompt padded to a pow-2
-  bucket so prefill programs are reused), its cache row is spliced into
-  a free slot with a jitted dynamic_update_slice, and it joins the
-  batched step on the next iteration — admission never recompiles;
+- arriving requests are admitted in GROUPS: pending prompts that share
+  a pow-2 length bucket (and image shape) prefill as one padded batch
+  (batch size itself pow-2-padded so programs are reused), and every
+  row is spliced into its free slot — plus its first token sampled —
+  by ONE jitted scatter program. A burst of 8 requests costs one
+  batched prefill + one insert instead of 8 serial batch-1 prefills,
+  which is what bounds TTFT under load (the prefills serialize with
+  decode on a single chip);
 - slots retire on eos/max tokens and are immediately reusable; dead
   slots ride along in the step with static shapes — their writes are
   clamped into their own retired rows (models/decoder.py cache_idx
@@ -47,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.decoder import KVCache
-from ..models.llava import make_generate_fns, sample_token
+from ..models.llava import make_generate_fns
 
 
 def _bucket(n: int, lo: int = 32) -> int:
@@ -82,13 +86,18 @@ class DecodeEngine:
 
     def __init__(self, model, params, n_slots: int = 8,
                  max_len: int = 2048, steps_per_call: int = 1,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, run_thread: bool = True,
+                 max_prefill_batch: int = 4):
         self.model = model
         self.params = params
         self.cfg = model.cfg
         self.n_slots = n_slots
         self.max_len = max_len
         self.steps_per_call = steps_per_call
+        # each prefill row transiently allocates a full-max_len cache
+        # row on top of the engine cache, so bound the group size (4 rows
+        # ≈ 1.6 GB transient at the 5.1B int8-KV geometry)
+        self.max_prefill_batch = max_prefill_batch
         self._requests: "queue.Queue[_Request]" = queue.Queue()
         self._live: Dict[int, _Request] = {}
         self._free = list(range(n_slots))
@@ -101,8 +110,12 @@ class DecodeEngine:
         self._build_fns()
         self._stop = threading.Event()
         self._woken = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        # run_thread=False leaves stepping to the caller via _tick() —
+        # used by tests to drive burst admission deterministically.
+        self._thread = None
+        if run_thread:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
 
     # -- jitted device programs -------------------------------------------
 
@@ -154,63 +167,111 @@ class DecodeEngine:
         self._step_nucleus = make_step(nucleus=True)
 
         @partial(jax.jit, donate_argnums=(0,))
-        def insert(cache: KVCache, row: KVCache, slot, cur, tok):
-            """Splice a batch-1 prefill cache into `slot` (axis 1 of the
-            stacked [L, B, S, ...] buffers, axis 0 of pos). `slot` is a
-            traced scalar, so one program serves every slot."""
-            def put(buf, upd, axis):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    buf, upd, slot, axis=axis)
+        def insert_many(cache: KVCache, rows: KVCache, slots, cur,
+                        last, temps, topps, rng):
+            """Splice a batch of prefilled rows into their slots (scatter
+            on the batch axis) and sample each row's first token — one
+            device call per admission group. Padding rows carry
+            slot == n_slots, which mode='drop' discards; jit re-traces
+            once per padded batch size (pow-2), so programs are reused.
+            First-token sampling always runs the nucleus form: one vocab
+            sort per admitted request is negligible (unlike per-step)."""
+            def put(buf, upd):
+                if isinstance(buf, (list, tuple)):  # per_layer layout
+                    return type(buf)(
+                        b.at[slots].set(u, mode="drop")
+                        for b, u in zip(buf, upd))
+                return buf.at[:, slots].set(upd, mode="drop")
 
-            return KVCache(
-                k=put(cache.k, row.k, 1), v=put(cache.v, row.v, 1),
-                pos=put(cache.pos, row.pos, 0),
-                k_scale=(put(cache.k_scale, row.k_scale, 1)
+            new_cache = KVCache(
+                k=put(cache.k, rows.k), v=put(cache.v, rows.v),
+                pos=cache.pos.at[slots].set(rows.pos, mode="drop"),
+                k_scale=(put(cache.k_scale, rows.k_scale)
                          if cache.k_scale is not None else None),
-                v_scale=(put(cache.v_scale, row.v_scale, 1)
+                v_scale=(put(cache.v_scale, rows.v_scale)
                          if cache.v_scale is not None else None),
-            ), put(cur, tok, 0)
+            )
+            greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            scaled = last / jnp.maximum(temps, 1e-6)[:, None]
+            srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+            cum = jnp.cumsum(jax.nn.softmax(srt, -1), axis=-1)
+            ci = jnp.sum(cum < topps[:, None], axis=-1, keepdims=True)
+            cutoff = jnp.take_along_axis(srt, ci, axis=-1)
+            scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+            drawn = jax.random.categorical(rng, scaled,
+                                           axis=-1).astype(jnp.int32)
+            toks = jnp.where(temps > 0, drawn, greedy)
+            return new_cache, cur.at[slots].set(toks, mode="drop"), toks
 
-        self._insert = insert
+        self._insert_many = insert_many
 
-    def _prefill_one(self, req: _Request):
-        """Batch-1 prefill on a pow-2 padded prompt: jit retraces once
-        per (bucket, image-shape); right-pads carry attention_mask 0 and
-        land in the cache dump slot, so padding is token-exact."""
-        L = len(req.ids)
-        b = _bucket(L)
-        ids = np.zeros((1, b), np.int32)
-        ids[0, :L] = req.ids
-        mask = np.zeros((1, b), np.int32)
-        mask[0, :L] = 1
-        px = (None if req.pixel_values is None
-              else jnp.asarray(req.pixel_values))
+    def _admit_group(self, bucket: int, reqs: List[_Request]):
+        """Prefill `reqs` (same prompt bucket + image shape) as ONE
+        padded batch and splice every row in with ONE insert_many call.
+        Prompts right-pad to `bucket` with attention_mask 0 (padding
+        lands in the cache dump slot, so it is token-exact); the batch
+        itself pads to a pow-2 row count by repeating row 0 with
+        slot == n_slots, which the scatter drops."""
+        nb = len(reqs)
+        nbp = _bucket(nb, lo=1)
+        ids = np.zeros((nbp, bucket), np.int32)
+        mask = np.zeros((nbp, bucket), np.int32)
+        for i, req in enumerate(reqs):
+            ids[i, :len(req.ids)] = req.ids
+            mask[i, :len(req.ids)] = 1
+        ids[nb:] = ids[0]
+        mask[nb:] = mask[0]
+        px = None
+        if reqs[0].pixel_values is not None:
+            rows = [np.asarray(r.pixel_values) for r in reqs]
+            px = jnp.asarray(np.concatenate(
+                rows + [rows[0]] * (nbp - nb), axis=0))
+        # prefill leaves pos at the written length; the engine's step
+        # advances pos itself, so rows arrive decode-ready
         last, out = self._prefill(self.params, jnp.asarray(ids), px,
                                   jnp.asarray(mask))
-        # prefill leaves pos at the written length; the engine's step
-        # advances pos itself, so the row arrives decode-ready
-        return last, out.cache
+
+        slots = np.full((nbp,), self.n_slots, np.int32)
+        temps = np.zeros((nbp,), np.float32)
+        topps = np.ones((nbp,), np.float32)
+        for i, req in enumerate(reqs):
+            slots[i] = self._free.pop()
+            temps[i] = req.temperature
+            topps[i] = req.top_p
+        self._rng, sub = jax.random.split(self._rng)
+        self._cache, self._cur, toks = self._insert_many(
+            self._cache, out.cache, jnp.asarray(slots), self._cur,
+            last, jnp.asarray(temps), jnp.asarray(topps), sub)
+        toks = np.asarray(toks)
+        for i, req in enumerate(reqs):
+            req.slot = int(slots[i])
+            self._temps[req.slot] = req.temperature
+            self._topps[req.slot] = req.top_p
+            self._live[req.slot] = req
+            self._emit(req, int(toks[i]))
 
     # -- engine thread -----------------------------------------------------
 
     def _admit(self):
         while self._free and not self._requests.empty():
-            try:
-                req = self._requests.get_nowait()
-            except queue.Empty:
+            pending: List[_Request] = []
+            while len(pending) < len(self._free):
+                try:
+                    pending.append(self._requests.get_nowait())
+                except queue.Empty:
+                    break
+            if not pending:
                 return
-            slot = self._free.pop()
-            last_logits, row_cache = self._prefill_one(req)
-            self._rng, sub = jax.random.split(self._rng)
-            tok = sample_token(last_logits, sub, req.temperature,
-                               req.top_p)
-            self._cache, self._cur = self._insert(
-                self._cache, row_cache, jnp.int32(slot), self._cur, tok)
-            self._temps[slot] = req.temperature
-            self._topps[slot] = req.top_p
-            req.slot = slot
-            self._live[slot] = req
-            self._emit(req, int(np.asarray(tok)[0]))
+            groups: Dict[Any, List[_Request]] = {}
+            for req in pending:
+                pxkey = (None if req.pixel_values is None
+                         else np.asarray(req.pixel_values).shape)
+                groups.setdefault(
+                    (_bucket(len(req.ids)), pxkey), []).append(req)
+            cap = self.max_prefill_batch
+            for (bucket, _), reqs in groups.items():
+                for i in range(0, len(reqs), cap):
+                    self._admit_group(bucket, reqs[i:i + cap])
 
     def _emit(self, req: _Request, token: int):
         if req.done:
@@ -239,23 +300,29 @@ class DecodeEngine:
 
     def _run(self):
         while not self._stop.is_set():
-            self._admit()
-            if not self._live:
-                self._woken.wait(timeout=0.05)
-                self._woken.clear()
-                continue
-            self._rng, sub = jax.random.split(self._rng)
-            step = (self._step_nucleus
-                    if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
-                           for r in self._live.values())
-                    else self._step_plain)
-            toks, self._cur, self._cache = step(
-                self.params, self._cur, self._cache, sub,
-                jnp.asarray(self._temps), jnp.asarray(self._topps))
-            toks = np.asarray(toks)                  # [n_slots, k]
-            for k in range(toks.shape[1]):
-                for slot, req in list(self._live.items()):
-                    self._emit(req, int(toks[slot, k]))
+            self._tick()
+
+    def _tick(self):
+        """One engine iteration: admit pending requests, then one batched
+        step call. Called only from the engine thread (or from tests with
+        run_thread=False) — TPU access stays single-threaded."""
+        self._admit()
+        if not self._live:
+            self._woken.wait(timeout=0.05)
+            self._woken.clear()
+            return
+        self._rng, sub = jax.random.split(self._rng)
+        step = (self._step_nucleus
+                if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
+                       for r in self._live.values())
+                else self._step_plain)
+        toks, self._cur, self._cache = step(
+            self.params, self._cur, self._cache, sub,
+            jnp.asarray(self._temps), jnp.asarray(self._topps))
+        toks = np.asarray(toks)                  # [n_slots, k]
+        for k in range(toks.shape[1]):
+            for slot, req in list(self._live.items()):
+                self._emit(req, int(toks[slot, k]))
 
     # -- public API --------------------------------------------------------
 
@@ -287,4 +354,5 @@ class DecodeEngine:
     def shutdown(self):
         self._stop.set()
         self._woken.set()
-        self._thread.join(timeout=5)
+        if self._thread is not None:
+            self._thread.join(timeout=5)

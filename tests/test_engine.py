@@ -195,3 +195,125 @@ def test_engine_mixed_greedy_and_nucleus_slots(tiny_model):
         assert engine.error is None
     finally:
         engine.shutdown()
+
+
+def test_engine_burst_admission_batched_prefill(tiny_model):
+    """Requests queued before a tick must be admitted as ONE batched
+    prefill group (same bucket) and stay token-exact vs solo. Driven
+    synchronously (run_thread=False) so grouping is deterministic."""
+    model, params = tiny_model
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 60, n).astype(np.int32)
+               for n in (4, 7, 11)]  # all in the 32-bucket
+    want = [_solo(model, params, p) for p in prompts]
+
+    engine = DecodeEngine(model, params, n_slots=4, max_len=64,
+                          run_thread=False)
+    try:
+        calls = []
+        orig = engine._prefill
+
+        def spy(params, ids, px, mask):
+            calls.append(int(ids.shape[0]))
+            return orig(params, ids, px, mask)
+
+        engine._prefill = spy
+        waits = [_collect(engine, p) for p in prompts]
+        import time
+        deadline = time.time() + 120
+        while (engine._requests.qsize() < len(prompts)
+               and time.time() < deadline):
+            time.sleep(0.01)
+        while (any(not d.is_set() for _, d in waits)
+               and time.time() < deadline):
+            engine._tick()
+        for (out, done), w in zip(waits, want):
+            assert done.is_set(), "engine stalled"
+            assert out == w, f"engine {out} != solo {w}"
+        # one padded prefill call of batch 4 (3 requests pow-2-padded),
+        # not three batch-1 calls
+        assert calls == [4], calls
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def test_engine_burst_mixed_buckets_and_cap(tiny_model):
+    """Bursts spanning prompt buckets split into one group per bucket;
+    max_prefill_batch chunks oversized groups."""
+    model, params = tiny_model
+    rng = np.random.default_rng(6)
+    short = [rng.integers(1, 60, n).astype(np.int32) for n in (3, 5, 6)]
+    long = [rng.integers(1, 60, 40).astype(np.int32)]  # 64-bucket
+    prompts = short + long
+    want = [_solo(model, params, p) for p in prompts]
+
+    engine = DecodeEngine(model, params, n_slots=4, max_len=64,
+                          run_thread=False, max_prefill_batch=2)
+    try:
+        calls = []
+        orig = engine._prefill
+
+        def spy(params, ids, px, mask):
+            calls.append((int(ids.shape[0]), int(ids.shape[1])))
+            return orig(params, ids, px, mask)
+
+        engine._prefill = spy
+        waits = [_collect(engine, p) for p in prompts]
+        import time
+        deadline = time.time() + 120
+        while (engine._requests.qsize() < len(prompts)
+               and time.time() < deadline):
+            time.sleep(0.01)
+        while (any(not d.is_set() for _, d in waits)
+               and time.time() < deadline):
+            engine._tick()
+        for (out, done), w in zip(waits, want):
+            assert done.is_set(), "engine stalled"
+            assert out == w
+        # 32-bucket group of 3 chunks into (2, 1) under the cap=2, plus
+        # the lone 64-bucket prompt
+        assert sorted(calls) == [(1, 32), (1, 64), (2, 32)], calls
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def test_engine_burst_image_requests_batch(tiny_model):
+    """Image requests with identical pixel shapes prefill as one batch
+    and stay token-exact."""
+    model, params = tiny_model
+    rng = np.random.default_rng(7)
+    ids1 = np.array([5, IMAGE_TOKEN_INDEX, 7, 8, 9], np.int32)
+    ids2 = np.array([4, IMAGE_TOKEN_INDEX, 11, 3], np.int32)
+    px1 = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    px2 = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    want = [_solo(model, params, ids1, px1),
+            _solo(model, params, ids2, px2)]
+
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          run_thread=False)
+    try:
+        calls = []
+        orig = engine._prefill
+
+        def spy(params, ids, px, mask):
+            calls.append(int(ids.shape[0]))
+            return orig(params, ids, px, mask)
+
+        engine._prefill = spy
+        waits = [_collect(engine, ids1, px1), _collect(engine, ids2, px2)]
+        import time
+        deadline = time.time() + 120
+        while engine._requests.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        while (any(not d.is_set() for _, d in waits)
+               and time.time() < deadline):
+            engine._tick()
+        for (out, done), w in zip(waits, want):
+            assert done.is_set(), "engine stalled"
+            assert out == w
+        assert calls == [2], calls
+        assert engine.error is None
+    finally:
+        engine.shutdown()
