@@ -74,6 +74,9 @@ class _Request:
     slot: int = -1
     produced: int = 0
     done: bool = False
+    # set by the consumer (generator abandoned / client disconnected);
+    # the engine thread retires the slot at the next token boundary
+    cancelled: bool = False
 
 
 class DecodeEngine:
@@ -262,6 +265,14 @@ class DecodeEngine:
                     break
             if not pending:
                 return
+            live = []
+            for req in pending:
+                if req.cancelled:
+                    req.done = True
+                    req.out.put(None)
+                else:
+                    live.append(req)
+            pending = live
             groups: Dict[Any, List[_Request]] = {}
             for req in pending:
                 pxkey = (None if req.pixel_values is None
@@ -275,6 +286,12 @@ class DecodeEngine:
 
     def _emit(self, req: _Request, token: int):
         if req.done:
+            return
+        if req.cancelled:
+            req.done = True
+            req.out.put(None)
+            self._live.pop(req.slot, None)
+            self._free.append(req.slot)
             return
         req.produced += 1
         req.out.put(token)
@@ -345,11 +362,17 @@ class DecodeEngine:
                        eos_ids=frozenset(eos_ids or []))
         self._requests.put(req)
         self._woken.set()
-        while True:
-            tok = req.out.get()
-            if tok is None:
-                return
-            yield tok
+        try:
+            while True:
+                tok = req.out.get()
+                if tok is None:
+                    return
+                yield tok
+        finally:
+            # abandoning the iterator (client disconnect, stop-string
+            # cut) retires the slot at the next token boundary instead
+            # of decoding to max_new_tokens
+            req.cancelled = True
 
     def shutdown(self):
         self._stop.set()

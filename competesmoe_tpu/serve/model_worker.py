@@ -110,6 +110,7 @@ def jax_llava_generate_fn(adapter):
         max_new = int(params.get("max_new_tokens", 128))
         temperature = float(params.get("temperature", 0.0))
         top_p = float(params.get("top_p", 1.0))
+        stop_str = params.get("stop") or None
         ids = adapter.tokenizer_ids_for_prompt(prompt, bool(images))
         px = None
         if images:
@@ -127,7 +128,13 @@ def jax_llava_generate_fn(adapter):
             tokens.extend(int(t) for t in chunk[0])
             text = adapter.tokenizer.decode(tokens,
                                             skip_special_tokens=True)
-            yield text.split("<|end|>")[0]
+            text = text.split("<|end|>")[0]
+            # the reference worker truncates at params["stop"]
+            # (model_worker.py generate_stream stop_str handling)
+            if stop_str and stop_str in text:
+                yield text.split(stop_str)[0]
+                return
+            yield text
     return fn
 
 
@@ -148,6 +155,7 @@ def engine_generate_fn(adapter, engine):
         eos = set(adapter.stop_token_ids or [])
         if getattr(adapter.tokenizer, "eos_token_id", None) is not None:
             eos.add(int(adapter.tokenizer.eos_token_id))
+        stop_str = params.get("stop") or None
         tokens: list = []
         for tok in engine.submit(
                 np.asarray(ids, np.int32), pixel_values=px,
@@ -158,7 +166,11 @@ def engine_generate_fn(adapter, engine):
             tokens.append(tok)
             text = adapter.tokenizer.decode(tokens,
                                             skip_special_tokens=True)
-            yield text.split("<|end|>")[0]
+            text = text.split("<|end|>")[0]
+            if stop_str and stop_str in text:
+                yield text.split(stop_str)[0]
+                return
+            yield text
     return fn
 
 

@@ -30,7 +30,13 @@ PAGE = """<!doctype html>
  #votes button { font-size: 1.1em; }
 </style></head><body>
 <h2>CompeteSMoE chat</h2>
-<p>Model: <select id="model"></select></p>
+<p>Model: <select id="model"></select>
+ temperature <input id="temp" type="number" min="0" max="2" step="0.1"
+  value="0.2" style="width:4em">
+ top_p <input id="topp" type="number" min="0" max="1" step="0.05"
+  value="0.7" style="width:4em">
+ max tokens <input id="maxtok" type="number" min="1" max="1024"
+  value="512" style="width:5em"></p>
 <div id="log"></div>
 <p><input type="file" id="img" accept="image/*"></p>
 <textarea id="msg" rows="3" placeholder="message"></textarea>
@@ -78,7 +84,10 @@ async function complete() {
   const resp = await fetch('/chat', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify({messages: hist, images: images,
-                          model: document.getElementById('model').value})});
+      model: document.getElementById('model').value,
+      temperature: parseFloat(document.getElementById('temp').value),
+      top_p: parseFloat(document.getElementById('topp').value),
+      max_new_tokens: parseInt(document.getElementById('maxtok').value)})});
   const data = await resp.json();
   hist.push(['ASSISTANT', data.text]);
   render();
@@ -184,9 +193,16 @@ def make_handler(controller_addr: str, model_name: str,
             conv.append_message(conv.roles[1], None)
             req = urlrequest.Request(
                 controller_addr + "/worker_generate_stream",
-                data=json.dumps({"model": data.get("model", model_name),
-                                 "prompt": conv.get_prompt(),
-                                 "images": images}).encode(),
+                data=json.dumps({
+                    "model": data.get("model", model_name),
+                    "prompt": conv.get_prompt(),
+                    "images": images,
+                    # the reference gradio UI's sampling sliders
+                    # (gradio_web_server.py http_bot payload)
+                    "temperature": float(data.get("temperature", 0.2)),
+                    "top_p": float(data.get("top_p", 0.7)),
+                    "max_new_tokens": int(data.get("max_new_tokens", 512)),
+                    "stop": conv.sep2 or conv.sep}).encode(),
                 method="POST",
                 headers={"Content-Type": "application/json"})
             text = ""

@@ -317,3 +317,29 @@ def test_engine_burst_image_requests_batch(tiny_model):
         assert engine.error is None
     finally:
         engine.shutdown()
+
+
+def test_engine_abandoned_iterator_retires_slot(tiny_model):
+    """Abandoning the submit() iterator mid-generation must retire the
+    slot at the next token boundary (client-disconnect cancellation),
+    freeing it for the next request."""
+    model, params = tiny_model
+    ids = np.arange(1, 7, dtype=np.int32)
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64)
+    try:
+        it = engine.submit(ids, max_new_tokens=40)
+        first = [next(it) for _ in range(2)]
+        assert len(first) == 2
+        it.close()  # abandon -> cancelled flag -> slot retires
+        import time
+        deadline = time.time() + 30
+        while engine._free != [0] and time.time() < deadline:
+            time.sleep(0.02)
+        assert engine._free == [0], "slot not retired after cancel"
+        # the freed slot must serve a new request token-exactly
+        want = _solo(model, params, ids, max_new=4)
+        out = list(engine.submit(ids, max_new_tokens=4))
+        assert out == want
+        assert engine.error is None
+    finally:
+        engine.shutdown()

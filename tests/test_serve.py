@@ -265,8 +265,8 @@ def test_stream_generate_yields_before_completion(adapter, monkeypatch):
             return decode_step(params, token, cache)
         return prefill, counting_decode
 
-    def wrapped_scan(model, n, temperature=0.0):
-        fn = orig_scan(model, n, temperature)
+    def wrapped_scan(model, n, temperature=0.0, top_p=1.0):
+        fn = orig_scan(model, n, temperature, top_p)
 
         def counting(params, tok, cache, rng):
             calls["scan"] += n
@@ -299,8 +299,8 @@ def test_stream_generate_cancellation(adapter, monkeypatch):
     calls = {"n": 0}
     orig_scan = L.make_scan_decode
 
-    def wrapped_scan(model, n, temperature=0.0):
-        fn = orig_scan(model, n, temperature)
+    def wrapped_scan(model, n, temperature=0.0, top_p=1.0):
+        fn = orig_scan(model, n, temperature, top_p)
 
         def counting(params, tok, cache, rng):
             calls["n"] += 1
@@ -359,3 +359,22 @@ def test_worker_tp_sharded_stream_token_exact(adapter):
     t_ref = list(jax_llava_generate_fn(adapter)(dict(req)))
     t_tp = list(jax_llava_generate_fn(a2)(dict(req)))
     assert t_tp == t_ref
+
+
+def test_worker_generate_fn_stop_string(adapter):
+    """The reference worker truncates generated text at params['stop']
+    (model_worker.py generate_stream); both generate_fns must honor it."""
+    fn = jax_llava_generate_fn(adapter)
+    base = {"prompt": "hello world", "max_new_tokens": 3}
+    full = ""
+    for full in fn(dict(base)):
+        pass
+    words = full.split()
+    if not words:
+        pytest.skip("tiny model produced empty text")
+    stop = words[-1]
+    got = ""
+    for got in fn(dict(base, stop=stop)):
+        pass
+    assert stop not in got
+    assert got == full.split(stop)[0]
