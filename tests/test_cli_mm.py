@@ -151,3 +151,28 @@ def test_train_mm_cli_resume(ckpt_dir, tok_dir, data_dir, tmp_path):
     # the resumed run logged steps >= 2 only (no restart from 0)
     steps = [r["step"] for r in recs if "loss/total" in r]
     assert 3 in steps and (out / "checkpoint" / "model-4").exists()
+
+
+@pytest.mark.fast
+def test_recipe_scripts_flags_match_cli():
+    """Every --flag in scripts/train/**/*.sh must exist in the train_mm
+    argparser (guards script-vs-CLI drift; the reference's 3-stage
+    recipe scripts/train/phi35mini/siglip/{pretrain,pft,sft}.sh)."""
+    import re
+    from pathlib import Path
+
+    from competesmoe_tpu.cli.train_mm import build_argparser
+
+    opts = set()
+    for action in build_argparser()._actions:
+        opts.update(action.option_strings)
+    scripts = list((Path(__file__).parent.parent
+                    / "scripts" / "train").rglob("*.sh"))
+    assert len(scripts) >= 4
+    for sh in scripts:
+        if "run_train_all" in sh.name:
+            continue
+        body = sh.read_text()
+        assert "competesmoe_tpu.cli.train_mm" in body
+        for flag in re.findall(r"(--[a-z][a-z0-9-]*)", body):
+            assert flag in opts, f"{sh.name}: unknown flag {flag}"
