@@ -90,7 +90,7 @@ class DecodeEngine:
     def __init__(self, model, params, n_slots: int = 8,
                  max_len: int = 2048, steps_per_call: int = 1,
                  rng_seed: int = 0, run_thread: bool = True,
-                 max_prefill_batch: int = 4):
+                 max_prefill_batch: int = 4, mesh=None):
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -106,6 +106,26 @@ class DecodeEngine:
         self._free = list(range(n_slots))
         self._rng = jax.random.PRNGKey(rng_seed)
         self._cache = KVCache.create(self.cfg.decoder, n_slots, max_len)
+        if mesh is not None:
+            # tensor-parallel serving (--mesh + --engine-slots): pin the
+            # engine cache to the kv-head sharding up front instead of
+            # letting XLA choose — donation then keeps every step's cache
+            # in place on the mesh (parallel.mesh.kv_cache_sharding)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import kv_cache_sharding
+            rep = NamedSharding(mesh, PartitionSpec())
+            hk = self.cfg.decoder.num_key_value_heads
+            kv_sh = (kv_cache_sharding(mesh)
+                     if hk % mesh.shape.get("model", 1) == 0 else rep)
+            self._cache = KVCache(
+                k=jax.device_put(self._cache.k, kv_sh),
+                v=jax.device_put(self._cache.v, kv_sh),
+                pos=jax.device_put(self._cache.pos, rep),
+                k_scale=(jax.device_put(self._cache.k_scale, rep)
+                         if self._cache.k_scale is not None else None),
+                v_scale=(jax.device_put(self._cache.v_scale, rep)
+                         if self._cache.v_scale is not None else None))
         self._cur = jnp.zeros((n_slots,), jnp.int32)
         self._temps = np.zeros((n_slots,), np.float32)
         self._topps = np.ones((n_slots,), np.float32)

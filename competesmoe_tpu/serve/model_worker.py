@@ -174,6 +174,19 @@ def engine_generate_fn(adapter, engine):
     return fn
 
 
+def tp_mesh_from_str(mesh_str: str):
+    """'DxM' -> a ('data', 'model') Mesh over the first DxM devices."""
+    import jax
+
+    from ..parallel.mesh import make_tp_mesh
+
+    d, m = (int(v) for v in mesh_str.lower().split("x"))
+    if d * m > len(jax.devices()):
+        raise SystemExit(f"mesh {mesh_str} needs {d * m} devices, have "
+                         f"{len(jax.devices())}")
+    return make_tp_mesh(n_model=m, devices=jax.devices()[:d * m])
+
+
 def shard_llava_params(params: dict, mesh_str: str) -> dict:
     """Place a loaded LlavaModel param tree on a DxM tensor-parallel mesh
     ('1x8' -> data=1, model=8). The decoder shards Megatron-style, the
@@ -181,13 +194,9 @@ def shard_llava_params(params: dict, mesh_str: str) -> dict:
     every generate call, so no other serving code changes."""
     import jax
 
-    from ..parallel.mesh import llava_param_shardings, make_tp_mesh
+    from ..parallel.mesh import llava_param_shardings
 
-    d, m = (int(v) for v in mesh_str.lower().split("x"))
-    if d * m > len(jax.devices()):
-        raise SystemExit(f"mesh {mesh_str} needs {d * m} devices, have "
-                         f"{len(jax.devices())}")
-    mesh = make_tp_mesh(n_model=m, devices=jax.devices()[:d * m])
+    mesh = tp_mesh_from_str(mesh_str)
     inner = params.get("params", params)
     sharded = jax.device_put(inner, llava_param_shardings(mesh, inner))
     return {"params": sharded} if "params" in params else sharded
@@ -292,7 +301,9 @@ def main(argv=None):
         from .engine import DecodeEngine
         engine = DecodeEngine(model, adapter.params,
                               n_slots=a.engine_slots,
-                              max_len=a.engine_max_len)
+                              max_len=a.engine_max_len,
+                              mesh=tp_mesh_from_str(a.mesh)
+                              if a.mesh else None)
         gen_fn = engine_generate_fn(adapter, engine)
         concurrency = max(a.limit_model_concurrency, a.engine_slots)
     else:

@@ -343,3 +343,31 @@ def test_engine_abandoned_iterator_retires_slot(tiny_model):
         assert engine.error is None
     finally:
         engine.shutdown()
+
+
+def test_engine_tp_sharded_params_token_exact(tiny_model):
+    """The worker chains --mesh with --engine-slots: the engine built on
+    TP-sharded params (shard_llava_params) must match the unsharded
+    engine token-exactly — jit propagates the param shardings into the
+    prefill/step/insert programs."""
+    from competesmoe_tpu.serve.model_worker import (
+        shard_llava_params,
+        tp_mesh_from_str,
+    )
+
+    model, params = tiny_model
+    ids = np.arange(1, 9, dtype=np.int32)
+    want = _solo(model, params, ids, max_new=6)
+
+    sharded = shard_llava_params(dict(params), "1x2")
+    engine = DecodeEngine(model, sharded, n_slots=2, max_len=64,
+                          mesh=tp_mesh_from_str("1x2"))
+    try:
+        # the engine cache is pinned to the kv-head sharding up front
+        spec = engine._cache.k.sharding.spec
+        assert "model" in str(spec), spec
+        out = list(engine.submit(ids, max_new_tokens=6))
+        assert out == want
+        assert engine.error is None
+    finally:
+        engine.shutdown()
