@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, Iterator, List, Optional
@@ -130,6 +131,8 @@ class DecodeEngine:
         self._temps = np.zeros((n_slots,), np.float32)
         self._topps = np.ones((n_slots,), np.float32)
         self.error: Optional[Exception] = None
+        self._tokens_emitted = 0
+        self._started = time.monotonic()
         self._build_fns()
         self._stop = threading.Event()
         self._woken = threading.Event()
@@ -314,6 +317,7 @@ class DecodeEngine:
             self._free.append(req.slot)
             return
         req.produced += 1
+        self._tokens_emitted += 1
         req.out.put(token)
         if token in req.eos_ids or req.produced >= req.max_new_tokens:
             req.done = True
@@ -393,6 +397,20 @@ class DecodeEngine:
             # cut) retires the slot at the next token boundary instead
             # of decoding to max_new_tokens
             req.cancelled = True
+
+    def stats(self) -> dict:
+        """Slot/throughput telemetry, merged into /worker_get_status
+        (the reference heartbeat's speed/queue_length observability
+        role extended to the batched engine)."""
+        elapsed = max(time.monotonic() - self._started, 1e-9)
+        return {
+            "engine_slots_live": len(self._live),
+            "engine_slots_free": len(self._free),
+            "engine_queued": self._requests.qsize(),
+            "engine_tokens_emitted": self._tokens_emitted,
+            "engine_tokens_per_sec_lifetime": round(
+                self._tokens_emitted / elapsed, 2),
+        }
 
     def shutdown(self):
         self._stop.set()

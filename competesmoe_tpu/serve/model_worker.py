@@ -26,13 +26,16 @@ class ModelWorker:
     def __init__(self, controller_addr: Optional[str], worker_addr: str,
                  model_names: List[str], generate_fn,
                  limit_model_concurrency: int = 5,
-                 register: bool = True):
-        """generate_fn(params: dict) -> iterator of partial text strings."""
+                 register: bool = True, extra_status_fn=None):
+        """generate_fn(params: dict) -> iterator of partial text strings.
+        extra_status_fn() -> dict is merged into /worker_get_status
+        (e.g. the DecodeEngine's slot/throughput telemetry)."""
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
         self.model_names = model_names
         self.generate_fn = generate_fn
+        self.extra_status_fn = extra_status_fn
         self.semaphore = threading.Semaphore(limit_model_concurrency)
         self.queue_length = 0
         self._hb_thread = None
@@ -43,8 +46,14 @@ class ModelWorker:
             self._hb_thread.start()
 
     def get_status(self) -> dict:
-        return {"model_names": self.model_names, "speed": 1,
-                "queue_length": self.queue_length}
+        status = {"model_names": self.model_names, "speed": 1,
+                  "queue_length": self.queue_length}
+        if self.extra_status_fn is not None:
+            try:
+                status.update(self.extra_status_fn())
+            except Exception:
+                pass
+        return status
 
     def register_to_controller(self) -> None:
         data = {"worker_name": self.worker_addr, "check_heart_beat": True,
@@ -306,12 +315,15 @@ def main(argv=None):
                               if a.mesh else None)
         gen_fn = engine_generate_fn(adapter, engine)
         concurrency = max(a.limit_model_concurrency, a.engine_slots)
+        extra_status = engine.stats
     else:
         gen_fn = jax_llava_generate_fn(adapter)
         concurrency = a.limit_model_concurrency
+        extra_status = None
     worker = ModelWorker(
         None if a.no_register else a.controller_address, worker_addr,
-        [name], gen_fn, limit_model_concurrency=concurrency)
+        [name], gen_fn, limit_model_concurrency=concurrency,
+        extra_status_fn=extra_status)
     print(f"worker {worker.worker_id} serving {name} on "
           f"{a.host}:{a.port}", flush=True)
     serve_worker(worker, a.host, a.port)

@@ -371,3 +371,22 @@ def test_engine_tp_sharded_params_token_exact(tiny_model):
         assert engine.error is None
     finally:
         engine.shutdown()
+
+
+def test_engine_stats_telemetry(tiny_model):
+    """stats() reports slots/queue/token telemetry for the worker's
+    /worker_get_status endpoint."""
+    model, params = tiny_model
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64)
+    try:
+        s0 = engine.stats()
+        assert s0["engine_slots_free"] == 2
+        assert s0["engine_tokens_emitted"] == 0
+        out = list(engine.submit(np.arange(1, 6, dtype=np.int32),
+                                 max_new_tokens=4))
+        s1 = engine.stats()
+        assert s1["engine_tokens_emitted"] == len(out) == 4
+        assert s1["engine_slots_free"] == 2
+        assert s1["engine_tokens_per_sec_lifetime"] > 0
+    finally:
+        engine.shutdown()
