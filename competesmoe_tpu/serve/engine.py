@@ -31,7 +31,14 @@ re-designed for XLA's static shapes):
 - the step is ONE donated jitted call that scans `steps_per_call`
   decode steps and samples on device — on a tunneled TPU (~30 ms RPC
   per call) this amortizes dispatch latency; on a local chip
-  steps_per_call=1 minimizes admission latency.
+  steps_per_call=1 minimizes admission latency;
+- optional PREFIX CACHE (`prefix_cache_slots`): retiring conversations
+  park their cache row in a side buffer keyed by (token prefix, pixel
+  hash); a follow-up prompt extending a parked conversation splices the
+  row back in and prefills only the new suffix, so multi-turn TTFT
+  stops scaling with history length (vLLM's automatic prefix caching,
+  restricted to whole-conversation prefixes so positions stay exact
+  under image-token expansion).
 
 Everything device-side is jitted and shape-stable: the step program
 compiles once per engine, prefill once per (bucket, image-shape) pair,
@@ -78,6 +85,11 @@ class _Request:
     # set by the consumer (generator abandoned / client disconnected);
     # the engine thread retires the slot at the next token boundary
     cancelled: bool = False
+    # prefix-cache bookkeeping: cache length right after prefill, and
+    # every emitted token (the last one is never fed back, so the row
+    # holds KV for emitted[:-1])
+    base_len: int = -1
+    emitted: List[int] = field(default_factory=list)
 
 
 class DecodeEngine:
@@ -91,7 +103,8 @@ class DecodeEngine:
     def __init__(self, model, params, n_slots: int = 8,
                  max_len: int = 2048, steps_per_call: int = 1,
                  rng_seed: int = 0, run_thread: bool = True,
-                 max_prefill_batch: int = 4, mesh=None):
+                 max_prefill_batch: int = 4, mesh=None,
+                 prefix_cache_slots: int = 0):
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -130,6 +143,18 @@ class DecodeEngine:
         self._cur = jnp.zeros((n_slots,), jnp.int32)
         self._temps = np.zeros((n_slots,), np.float32)
         self._topps = np.ones((n_slots,), np.float32)
+        # Prefix cache: retired conversation rows PARK in a side buffer
+        # keyed by (token prefix, pixel hash); a follow-up prompt that
+        # extends a parked conversation splices the row back in and
+        # prefills only the suffix — multi-turn TTFT stops scaling with
+        # history length. Costs prefix_cache_slots extra cache rows.
+        self._park_n = prefix_cache_slots
+        self._park = (KVCache.create(self.cfg.decoder, prefix_cache_slots,
+                                     max_len)
+                      if prefix_cache_slots > 0 else None)
+        self._park_meta: List[Optional[dict]] = [None] * prefix_cache_slots
+        self._park_clock = 0
+        self._prefix_hits = 0
         self.error: Optional[Exception] = None
         self._tokens_emitted = 0
         self._started = time.monotonic()
@@ -231,6 +256,69 @@ class DecodeEngine:
 
         self._insert_many = insert_many
 
+        def _take_row(buf, idx, batch_axis):
+            if isinstance(buf, (list, tuple)):  # per_layer layout
+                return type(buf)(jax.lax.dynamic_slice_in_dim(
+                    b, idx, 1, axis=0) for b in buf)
+            return jax.lax.dynamic_slice_in_dim(buf, idx, 1,
+                                                axis=batch_axis)
+
+        def _put_row(buf, row, idx, batch_axis):
+            if isinstance(buf, (list, tuple)):
+                return type(buf)(jax.lax.dynamic_update_slice_in_dim(
+                    b, r, idx, axis=0) for b, r in zip(buf, row))
+            return jax.lax.dynamic_update_slice_in_dim(buf, row, idx,
+                                                       axis=batch_axis)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def park_put(park: KVCache, cache: KVCache, park_slot, live_slot):
+            """Snapshot one live cache row into the park buffer."""
+            def cp(pbuf, cbuf):
+                return _put_row(pbuf, _take_row(cbuf, live_slot, 1),
+                                park_slot, 1)
+
+            return KVCache(
+                k=cp(park.k, cache.k), v=cp(park.v, cache.v),
+                pos=jax.lax.dynamic_update_slice_in_dim(
+                    park.pos, jax.lax.dynamic_slice_in_dim(
+                        cache.pos, live_slot, 1, axis=0),
+                    park_slot, axis=0),
+                k_scale=(cp(park.k_scale, cache.k_scale)
+                         if park.k_scale is not None else None),
+                v_scale=(cp(park.v_scale, cache.v_scale)
+                         if park.v_scale is not None else None))
+
+        self._park_put = park_put
+
+        @jax.jit
+        def unpark_prefill(params, park: KVCache, park_slot, pos0,
+                           ids, mask):
+            """Continue-prefill a prompt suffix on top of a parked row:
+            extract the row, reset pos to the parked length (junk writes
+            from the slot's dead ride-along steps sit beyond it and are
+            never attended), run the model over the suffix. Retraces
+            once per suffix bucket."""
+            row = KVCache(
+                k=_take_row(park.k, park_slot, 1),
+                v=_take_row(park.v, park_slot, 1),
+                pos=jnp.full((1,), pos0, jnp.int32),
+                k_scale=(_take_row(park.k_scale, park_slot, 1)
+                         if park.k_scale is not None else None),
+                v_scale=(_take_row(park.v_scale, park_slot, 1)
+                         if park.v_scale is not None else None))
+            out = model.apply(params, ids, None, attention_mask=mask,
+                              cache=row)
+            # logits index by position WITHIN the suffix input (unlike
+            # cold prefill where cache.pos == input length): the last
+            # real token sits at sum(mask)-1
+            n_real = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            last = jnp.take_along_axis(
+                out.logits, (n_real - 1)[:, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            return last, out.cache
+
+        self._unpark_prefill = unpark_prefill
+
     def _admit_group(self, bucket: int, reqs: List[_Request]):
         """Prefill `reqs` (same prompt bucket + image shape) as ONE
         padded batch and splice every row in with ONE insert_many call.
@@ -269,12 +357,85 @@ class DecodeEngine:
             self._cache, out.cache, jnp.asarray(slots), self._cur,
             last, jnp.asarray(temps), jnp.asarray(topps), sub)
         toks = np.asarray(toks)
+        lens = (np.asarray(out.cache.pos) if self._park_n else None)
         for i, req in enumerate(reqs):
             req.slot = int(slots[i])
+            if lens is not None:
+                req.base_len = int(lens[i])
             self._temps[req.slot] = req.temperature
             self._topps[req.slot] = req.top_p
             self._live[req.slot] = req
             self._emit(req, int(toks[i]))
+
+    # -- prefix cache -------------------------------------------------------
+
+    def _px_hash(self, px) -> Optional[int]:
+        return None if px is None else hash(np.asarray(px).tobytes())
+
+    def _find_park(self, req: _Request) -> Optional[int]:
+        """Longest parked conversation that is a strict prefix of the
+        request's prompt (same pixel hash; image-free suffix)."""
+        from ..constants import IMAGE_TOKEN_INDEX
+
+        ids = tuple(int(t) for t in req.ids)
+        pxh = self._px_hash(req.pixel_values)
+        best, best_n = None, 0
+        for idx, meta in enumerate(self._park_meta):
+            if meta is None or meta["pxhash"] != pxh:
+                continue
+            n = len(meta["ids"])
+            if (n <= best_n or n >= len(ids) or meta["ids"] != ids[:n]):
+                continue
+            suffix = ids[n:]
+            if IMAGE_TOKEN_INDEX in suffix:
+                continue
+            if meta["len"] + len(suffix) + req.max_new_tokens > self.max_len:
+                continue
+            best, best_n = idx, n
+        return best
+
+    def _admit_reused(self, req: _Request, pidx: int):
+        """Admit by continue-prefilling only the prompt suffix on top of
+        the parked row (one unpark_prefill + one insert_many call)."""
+        meta = self._park_meta[pidx]
+        suffix = np.asarray(req.ids[len(meta["ids"]):], np.int32)
+        b = _bucket(len(suffix))
+        ids = np.zeros((1, b), np.int32)
+        ids[0, :len(suffix)] = suffix
+        mask = np.zeros((1, b), np.int32)
+        mask[0, :len(suffix)] = 1
+        last, row = self._unpark_prefill(
+            self.params, self._park, jnp.int32(pidx),
+            jnp.int32(meta["len"]), jnp.asarray(ids), jnp.asarray(mask))
+        slot = self._free.pop()
+        self._rng, sub = jax.random.split(self._rng)
+        self._cache, self._cur, toks = self._insert_many(
+            self._cache, row, jnp.asarray([slot], np.int32), self._cur,
+            last, jnp.asarray([req.temperature], np.float32),
+            jnp.asarray([req.top_p], np.float32), sub)
+        req.slot = slot
+        req.base_len = meta["len"] + len(suffix)
+        self._temps[slot] = req.temperature
+        self._topps[slot] = req.top_p
+        self._live[slot] = req
+        self._prefix_hits += 1
+        self._emit(req, int(np.asarray(toks)[0]))
+
+    def _park_row(self, req: _Request):
+        """Snapshot a retiring slot's row for later prefix reuse. The
+        last emitted token was never fed, so the row holds KV for
+        prompt + emitted[:-1]."""
+        fed = req.emitted[:-1]
+        parked_len = req.base_len + len(fed)
+        if parked_len + 1 >= self.max_len:
+            return
+        key = tuple(int(t) for t in req.ids) + tuple(fed)
+        pidx = self._park_clock % self._park_n
+        self._park_clock += 1
+        self._park = self._park_put(self._park, self._cache,
+                                    jnp.int32(pidx), jnp.int32(req.slot))
+        self._park_meta[pidx] = {"ids": key, "len": parked_len,
+                                 "pxhash": self._px_hash(req.pixel_values)}
 
     # -- engine thread -----------------------------------------------------
 
@@ -296,6 +457,15 @@ class DecodeEngine:
                 else:
                     live.append(req)
             pending = live
+            if self._park_n:
+                cold = []
+                for req in pending:
+                    pidx = self._find_park(req)
+                    if pidx is not None:
+                        self._admit_reused(req, pidx)
+                    else:
+                        cold.append(req)
+                pending = cold
             groups: Dict[Any, List[_Request]] = {}
             for req in pending:
                 pxkey = (None if req.pixel_values is None
@@ -318,8 +488,12 @@ class DecodeEngine:
             return
         req.produced += 1
         self._tokens_emitted += 1
+        req.emitted.append(token)
         req.out.put(token)
         if token in req.eos_ids or req.produced >= req.max_new_tokens:
+            if self._park_n and req.base_len >= 0:
+                # snapshot the row before the slot can be reused
+                self._park_row(req)
             req.done = True
             req.out.put(None)
             self._live.pop(req.slot, None)
@@ -410,6 +584,7 @@ class DecodeEngine:
             "engine_tokens_emitted": self._tokens_emitted,
             "engine_tokens_per_sec_lifetime": round(
                 self._tokens_emitted / elapsed, 2),
+            "engine_prefix_cache_hits": self._prefix_hits,
         }
 
     def shutdown(self):

@@ -286,6 +286,10 @@ def main(argv=None):
                          "with this many sequence slots (serve/engine.py)"
                          "; 0 = per-request solo streaming")
     ap.add_argument("--engine-max-len", type=int, default=2048)
+    ap.add_argument("--engine-prefix-cache", type=int, default=0,
+                    help="park this many retired conversation rows for "
+                         "prefix reuse (multi-turn TTFT; costs N extra "
+                         "cache rows of HBM)")
     ap.add_argument("--no-register", action="store_true")
     a = ap.parse_args(argv)
 
@@ -312,7 +316,8 @@ def main(argv=None):
                               n_slots=a.engine_slots,
                               max_len=a.engine_max_len,
                               mesh=tp_mesh_from_str(a.mesh)
-                              if a.mesh else None)
+                              if a.mesh else None,
+                              prefix_cache_slots=a.engine_prefix_cache)
         gen_fn = engine_generate_fn(adapter, engine)
         concurrency = max(a.limit_model_concurrency, a.engine_slots)
         extra_status = engine.stats

@@ -390,3 +390,97 @@ def test_engine_stats_telemetry(tiny_model):
         assert s1["engine_tokens_per_sec_lifetime"] > 0
     finally:
         engine.shutdown()
+
+
+def test_engine_prefix_cache_multiturn_token_exact(tiny_model):
+    """Turn 2 (prompt = turn-1 prompt + reply + new text) served via the
+    prefix cache must match a cold engine token-exactly, and must
+    prefill only the suffix."""
+    model, params = tiny_model
+    p1 = np.arange(1, 9, dtype=np.int32)
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          run_thread=False, prefix_cache_slots=2)
+    try:
+        import time
+
+        def run(ids, max_new):
+            out, done = _collect(engine, ids, max_new=max_new)
+            deadline = time.time() + 120
+            while engine._requests.qsize() < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            while not done.is_set() and time.time() < deadline:
+                engine._tick()
+            assert done.is_set(), "engine stalled"
+            return out
+
+        reply1 = run(p1, 6)
+        assert engine.stats()["engine_prefix_cache_hits"] == 0
+        # turn 2: full conversation so far + new user text. The parked
+        # row holds KV for p1 + reply1[:-1]; suffix = reply1[-1:] + new.
+        p2 = np.concatenate([p1, np.asarray(reply1, np.int32),
+                             np.asarray([30, 31, 32], np.int32)])
+
+        calls = []
+        orig_unpark = engine._unpark_prefill
+        orig_prefill = engine._prefill
+
+        def spy_unpark(params, park, pidx, pos0, ids, mask):
+            calls.append(("unpark", int(ids.shape[1])))
+            return orig_unpark(params, park, pidx, pos0, ids, mask)
+
+        def spy_prefill(params, ids, px, mask):
+            calls.append(("cold", int(ids.shape[1])))
+            return orig_prefill(params, ids, px, mask)
+
+        engine._unpark_prefill = spy_unpark
+        engine._prefill = spy_prefill
+        reply2 = run(p2, 6)
+        assert engine.stats()["engine_prefix_cache_hits"] == 1
+        # suffix = 1 carried token + 3 new -> 32-bucket unpark, no cold
+        assert calls == [("unpark", 32)], calls
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+    cold = DecodeEngine(model, params, n_slots=2, max_len=64)
+    try:
+        want = list(cold.submit(p2, max_new_tokens=6))
+    finally:
+        cold.shutdown()
+    assert reply2 == want, f"reused {reply2} != cold {want}"
+
+
+def test_engine_prefix_cache_image_conversation(tiny_model):
+    """A multi-turn conversation that started with an image reuses the
+    parked row only when the pixel hash matches."""
+    model, params = tiny_model
+    rng = np.random.default_rng(9)
+    px = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    px_other = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    p1 = np.array([5, IMAGE_TOKEN_INDEX, 7, 8, 9], np.int32)
+
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          prefix_cache_slots=2)
+    try:
+        reply1 = list(engine.submit(p1, pixel_values=px,
+                                    max_new_tokens=4))
+        p2 = np.concatenate([p1, np.asarray(reply1, np.int32),
+                             np.asarray([20, 21], np.int32)])
+        # same image -> hit
+        reply2 = list(engine.submit(p2, pixel_values=px,
+                                    max_new_tokens=4))
+        assert engine.stats()["engine_prefix_cache_hits"] == 1
+        # different image -> cold (no hit increment)
+        _ = list(engine.submit(p2, pixel_values=px_other,
+                               max_new_tokens=4))
+        assert engine.stats()["engine_prefix_cache_hits"] == 1
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+    cold = DecodeEngine(model, params, n_slots=2, max_len=64)
+    try:
+        want = list(cold.submit(p2, pixel_values=px, max_new_tokens=4))
+    finally:
+        cold.shutdown()
+    assert reply2 == want
