@@ -324,6 +324,50 @@ def make_scan_decode(model: LlavaModel, n_tokens: int,
     return fn
 
 
+_VERIFY_FN_CACHE: Dict = {}
+
+
+def make_verify_step(model: LlavaModel, k_spec: int):
+    """Jitted greedy speculative-verification step (prompt lookup).
+
+    fn(params, tokens [B, 1+k], cache) -> (greedy [B, 1+k], n_acc [B],
+    cache').  `tokens` is the already-accepted current token followed by
+    k host-drafted tokens (serve/speculative.py:ngram_draft).  One
+    forward over all 1+k positions (the cache scatter writes their K/V
+    in place, positions pos..pos+k) produces the model's greedy choice
+    at every position; `n_acc` counts the longest draft prefix that
+    matches, and the returned cache advances pos by 1+n_acc only — the
+    rejected tail's K/V slots sit beyond pos, are never attended (the
+    decode mask is kpos <= qpos), and are overwritten by the next step's
+    scatter.  greedy[:, :1+n_acc] are exactly the tokens sequential
+    greedy decode would emit, so speculation is bit-exact.
+
+    On a weight-bandwidth-bound decode step the 1+k-token forward costs
+    nearly the same as a 1-token step, so each accepted draft is a free
+    extra token.  The reference serves strictly one token per model call
+    (moe_model/serve/model_worker.py:125-180).
+    """
+    key = (model, k_spec)
+    hit = _VERIFY_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def verify(params, tokens, cache):
+        pos0 = cache.pos
+        out = model.apply(params, tokens, None, cache=cache)
+        greedy = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+        match = (tokens[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)
+        # the model advanced pos by 1+k (all tokens written); keep only
+        # the verified prefix live
+        cache2 = out.cache.replace(pos=pos0 + 1 + n_acc)
+        return greedy, n_acc, cache2
+
+    fn = jax.jit(verify)
+    _VERIFY_FN_CACHE[key] = fn
+    return fn
+
+
 def sample_token(logits: jax.Array, rng: Optional[jax.Array],
                  temperature: float = 0.0, top_p: float = 1.0) -> jax.Array:
     if temperature <= 0.0:
@@ -346,7 +390,8 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
                     top_p: float = 1.0, eos_token_id: Optional[int] = None,
                     stop_token_ids: Optional[List[int]] = None,
                     rng: Optional[jax.Array] = None,
-                    chunk_max: int = 8):
+                    chunk_max: int = 8,
+                    speculative: int = 0):
     """Incremental generation: yields np.ndarray token chunks [B, n] as
     they are sampled — the concurrent-streaming role of the reference
     worker's threaded `TextIteratorStreamer`
@@ -361,12 +406,19 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
     top_p < 1 rides inside the scan (device-side nucleus sampling).
     Stops after every row has produced a stop/eos token; the final chunk
     is truncated at the stop position.
+
+    speculative=K > 0 enables prompt-lookup speculative decoding (greedy
+    B==1 only; silently ignored otherwise): each device step verifies K
+    host-drafted tokens (serve/speculative.py) and emits 1..K+1 tokens,
+    bit-exact vs sequential greedy — see make_verify_step.
     """
     cfg = model.cfg
     B, L = input_ids.shape
+    spec = int(speculative) if (speculative and temperature <= 0.0
+                                and B == 1) else 0
     P = cfg.num_image_tokens if pixel_values is not None else 0
     prompt_len = L - 1 + P if pixel_values is not None else L
-    max_len = prompt_len + max_new_tokens
+    max_len = prompt_len + max_new_tokens + spec
     prefill, decode_step = make_generate_fns(model, cfg, max_len)
     if attention_mask is None:
         attention_mask = np.ones_like(input_ids)
@@ -416,10 +468,42 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
     cur = sample_token(last_logits, sub, temperature, top_p)
     finished = np.zeros(B, bool)
     produced = 1
-    chunk_np = np.asarray(cur)[:, None]
+    # .copy(): np.asarray of a jax buffer is read-only and cut() writes
+    chunk_np = np.asarray(cur)[:, None].copy()
     chunk_np, finished, done = cut(chunk_np, finished)
     yield chunk_np
     if done:
+        return
+
+    if spec:
+        from ..serve.speculative import ngram_draft
+        verify = make_verify_step(model, spec)
+        hist = [int(t) for t in input_ids[0].tolist() if int(t) >= 0]
+        cur_i = int(np.asarray(cur)[0])
+        hist.append(cur_i)
+        while produced < max_new_tokens:
+            draft = ngram_draft(hist, spec)
+            rng, sub = jax.random.split(rng)
+            if draft is None:
+                # no recurring n-gram: a plain step costs the same
+                logits, cache = decode_step(
+                    params, jnp.asarray([cur_i], jnp.int32), cache)
+                emit = np.asarray(
+                    sample_token(logits, sub, temperature, top_p))
+            else:
+                toks = np.concatenate([[cur_i], draft]).astype(np.int32)
+                greedy, n_acc, cache = verify(
+                    params, jnp.asarray(toks[None]), cache)
+                emit = np.asarray(greedy)[0, : int(n_acc[0]) + 1]
+            emit = emit[: max_new_tokens - produced]
+            produced += len(emit)
+            cur_i = int(emit[-1])
+            hist.extend(int(t) for t in emit)
+            chunk_np, finished, done = cut(
+                emit[None].astype(np.int32).copy(), finished)
+            yield chunk_np
+            if done:
+                return
         return
 
     size = 1
@@ -429,12 +513,12 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
         if n > 1:
             decode_n = make_scan_decode(model, n, temperature, top_p)
             toks, cache = decode_n(params, cur, cache, sub)
-            chunk_np = np.asarray(toks)
+            chunk_np = np.asarray(toks).copy()
             cur = toks[:, -1]
         else:
             logits, cache = decode_step(params, cur, cache)
             cur = sample_token(logits, sub, temperature, top_p)
-            chunk_np = np.asarray(cur)[:, None]
+            chunk_np = np.asarray(cur)[:, None].copy()
         produced += n
         chunk_np, finished, done = cut(chunk_np, finished)
         yield chunk_np

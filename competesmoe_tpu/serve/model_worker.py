@@ -101,7 +101,7 @@ class ModelWorker:
             self.queue_length -= 1
 
 
-def jax_llava_generate_fn(adapter):
+def jax_llava_generate_fn(adapter, default_speculative: int = 0):
     """Build a worker generate_fn from an eval.JaxLlava adapter: prompt +
     optional base64 images in, incremental text out.
 
@@ -119,6 +119,9 @@ def jax_llava_generate_fn(adapter):
         max_new = int(params.get("max_new_tokens", 128))
         temperature = float(params.get("temperature", 0.0))
         top_p = float(params.get("top_p", 1.0))
+        # prompt-lookup speculative decoding (greedy only; bit-exact —
+        # serve/speculative.py): K drafts verified per device step
+        spec = int(params.get("speculative", default_speculative))
         stop_str = params.get("stop") or None
         ids = adapter.tokenizer_ids_for_prompt(prompt, bool(images))
         px = None
@@ -133,7 +136,8 @@ def jax_llava_generate_fn(adapter):
                 top_p=top_p,
                 eos_token_id=getattr(adapter.tokenizer, "eos_token_id",
                                      None),
-                stop_token_ids=adapter.stop_token_ids):
+                stop_token_ids=adapter.stop_token_ids,
+                speculative=spec):
             tokens.extend(int(t) for t in chunk[0])
             text = adapter.tokenizer.decode(tokens,
                                             skip_special_tokens=True)
@@ -290,6 +294,10 @@ def main(argv=None):
                     help="park this many retired conversation rows for "
                          "prefix reuse (multi-turn TTFT; costs N extra "
                          "cache rows of HBM)")
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="prompt-lookup speculative decoding: verify K "
+                         "drafted tokens per device step (greedy "
+                         "requests only; bit-exact). Solo path only")
     ap.add_argument("--no-register", action="store_true")
     a = ap.parse_args(argv)
 
@@ -322,7 +330,8 @@ def main(argv=None):
         concurrency = max(a.limit_model_concurrency, a.engine_slots)
         extra_status = engine.stats
     else:
-        gen_fn = jax_llava_generate_fn(adapter)
+        gen_fn = jax_llava_generate_fn(adapter,
+                                       default_speculative=a.speculative)
         concurrency = a.limit_model_concurrency
         extra_status = None
     worker = ModelWorker(

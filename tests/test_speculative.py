@@ -1,0 +1,186 @@
+"""Prompt-lookup speculative decoding: drafting, the verify step, and
+bit-exactness of the speculative stream vs sequential greedy decode.
+
+The accept rule only keeps tokens the model's own greedy argmax would
+have produced (models/llava.py:make_verify_step), so speculation must
+never change output — the tests assert that end to end, plus the
+acceptance accounting (a draft equal to the true greedy continuation is
+fully accepted; a garbage draft is fully rejected)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from competesmoe_tpu.models.decoder import KVCache
+from competesmoe_tpu.models.llava import (
+    LlavaModel,
+    generate,
+    make_generate_fns,
+    make_verify_step,
+    stream_generate,
+)
+from competesmoe_tpu.serve.speculative import ngram_draft
+from tests.test_llava import tiny_llava_cfg
+
+pytestmark = pytest.mark.fast
+
+
+def test_ngram_draft_finds_continuation():
+    ids = [5, 6, 7, 8, 9, 5, 6, 7]
+    d = ngram_draft(ids, k=2, max_ngram=3)
+    assert d is not None and d.tolist() == [8, 9]
+
+
+def test_ngram_draft_prefers_most_recent_match():
+    ids = [1, 2, 3, 1, 2, 4, 1, 2]
+    d = ngram_draft(ids, k=1, max_ngram=3)
+    assert d.tolist() == [4]
+
+
+def test_ngram_draft_pads_short_continuation():
+    ids = [7, 8, 7, 8]
+    d = ngram_draft(ids, k=4, max_ngram=2)
+    # match of (7,8) at 0 continues with 7, 8 then runs out -> padded
+    assert d is not None and len(d) == 4 and d[0] == 7 and d[1] == 8
+
+
+def test_ngram_draft_no_match_and_sentinels():
+    assert ngram_draft([1, 2, 3, 4], k=2) is None
+    assert ngram_draft([], k=2) is None
+    # image sentinel (-200) never matches or gets proposed
+    assert ngram_draft([-200, 5, -200, 5], k=1, max_ngram=1) is None
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    cfg = tiny_llava_cfg(moe=False)
+    model = LlavaModel(cfg)
+    ids = np.full((1, 6), 2, np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, None)
+    return model, params, cfg
+
+
+def _greedy_reference(model, params, cfg, prompt, n):
+    toks, _ = generate(model, params, prompt, None, max_new_tokens=n,
+                       temperature=0.0, scan_decode=False)
+    return toks[0]
+
+
+def test_verify_step_accepts_true_continuation(tiny_lm):
+    """Feeding the model's own greedy continuation as the draft must
+    accept every draft token and return the same tokens."""
+    model, params, cfg = tiny_lm
+    prompt = np.array([[3, 5, 7, 9, 11, 13]], np.int32)
+    ref = _greedy_reference(model, params, cfg, prompt, 6)
+
+    k = 4
+    max_len = prompt.shape[1] + 8 + k
+    prefill, _ = make_generate_fns(model, cfg, max_len)
+    cache = KVCache.create(cfg.decoder, 1, max_len)
+    out = model.apply(params, jnp.asarray(prompt), None, cache=cache)
+    cache = out.cache
+
+    verify = make_verify_step(model, k)
+    # tokens = [first greedy token, next k true greedy tokens as draft]
+    toks = jnp.asarray(ref[: k + 1][None].astype(np.int32))
+    greedy, n_acc, cache2 = verify(params, toks, cache)
+    assert int(n_acc[0]) == k
+    # emitted = greedy[:, :k+1] must equal ref[1 : k+2]
+    np.testing.assert_array_equal(np.asarray(greedy)[0, : k + 1],
+                                  ref[1: k + 2])
+    assert int(cache2.pos[0]) == prompt.shape[1] + k + 1
+
+
+def test_verify_step_rejects_garbage_draft(tiny_lm):
+    model, params, cfg = tiny_lm
+    prompt = np.array([[3, 5, 7, 9, 11, 13]], np.int32)
+    ref = _greedy_reference(model, params, cfg, prompt, 3)
+
+    k = 3
+    max_len = prompt.shape[1] + 8 + k
+    cache = KVCache.create(cfg.decoder, 1, max_len)
+    out = model.apply(params, jnp.asarray(prompt), None, cache=cache)
+    cache = out.cache
+
+    verify = make_verify_step(model, k)
+    bad = (np.asarray(ref[1: k + 1]) + 1) % cfg.decoder.vocab_size
+    toks = np.concatenate([[ref[0]], bad]).astype(np.int32)
+    greedy, n_acc, cache2 = verify(params, jnp.asarray(toks[None]), cache)
+    assert int(n_acc[0]) == 0
+    # the bonus token is still the true next greedy token
+    assert int(np.asarray(greedy)[0, 0]) == int(ref[1])
+    assert int(cache2.pos[0]) == prompt.shape[1] + 1
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_speculative_stream_bit_exact(tiny_lm, k):
+    """stream_generate(speculative=k) emits exactly the sequential greedy
+    tokens, regardless of draft quality, and in order."""
+    model, params, cfg = tiny_lm
+    # a prompt with recurring n-grams so drafting actually fires
+    prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8]], np.int32)
+    n = 12
+    ref = _greedy_reference(model, params, cfg, prompt, n)
+
+    got = []
+    for chunk in stream_generate(model, params, prompt, None,
+                                 max_new_tokens=n, temperature=0.0,
+                                 speculative=k):
+        got.extend(chunk[0].tolist())
+    np.testing.assert_array_equal(np.asarray(got), ref[: len(got)])
+    assert len(got) == n
+
+
+def test_speculative_stream_respects_stop(tiny_lm):
+    model, params, cfg = tiny_lm
+    prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8]], np.int32)
+    n = 12
+    ref = _greedy_reference(model, params, cfg, prompt, n)
+    stop = int(ref[3])  # force a stop at the 4th generated token
+
+    got = []
+    for chunk in stream_generate(model, params, prompt, None,
+                                 max_new_tokens=n, temperature=0.0,
+                                 speculative=3, stop_token_ids=[stop]):
+        got.extend(chunk[0].tolist())
+    # everything up to and including the first stop matches the
+    # reference; nothing after the stop differs from the stop id
+    first = got.index(stop)
+    np.testing.assert_array_equal(np.asarray(got[: first + 1]),
+                                  ref[: first + 1])
+    assert all(t == stop for t in got[first:])
+
+
+def test_worker_generate_fn_speculative_matches_plain(tiny_lm):
+    """The worker's solo generate_fn with speculative=K yields the same
+    final text as the plain path (greedy bit-exactness end to end)."""
+    from competesmoe_tpu.eval import JaxLlava
+    from competesmoe_tpu.multimodal.mm_utils import ImageProcessorConfig
+    from competesmoe_tpu.serve.model_worker import jax_llava_generate_fn
+    from tests.test_eval_harness import EvalTok
+
+    model, params, cfg = tiny_lm
+    tok = EvalTok()
+    tok("hello world red cat what is this the and a")
+    adapter = JaxLlava(model, params, tok, ImageProcessorConfig(size=28),
+                       max_new_tokens=8)
+    req = {"prompt": "hello world hello world hello",
+           "max_new_tokens": 8, "temperature": 0.0}
+    plain = list(jax_llava_generate_fn(adapter)(dict(req)))
+    spec = list(jax_llava_generate_fn(adapter)(
+        dict(req, speculative=3)))
+    assert plain[-1] == spec[-1]
+
+
+def test_speculative_ignored_for_sampling_and_batch(tiny_lm):
+    """speculative falls back silently for temperature>0 or B>1."""
+    model, params, cfg = tiny_lm
+    prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8],
+                       [5, 9, 16, 5, 9, 16, 5, 9]], np.int32)
+    chunks = list(stream_generate(model, params, prompt, None,
+                                  max_new_tokens=4, temperature=0.0,
+                                  speculative=3))
+    assert sum(c.shape[1] for c in chunks) == 4
+    assert all(c.shape[0] == 2 for c in chunks)
