@@ -104,13 +104,28 @@ class DecodeEngine:
                  max_len: int = 2048, steps_per_call: int = 1,
                  rng_seed: int = 0, run_thread: bool = True,
                  max_prefill_batch: int = 4, mesh=None,
-                 prefix_cache_slots: int = 0):
+                 prefix_cache_slots: int = 0, spec_k: int = 0,
+                 draft_fn=None):
         self.model = model
         self.params = params
         self.cfg = model.cfg
         self.n_slots = n_slots
         self.max_len = max_len
         self.steps_per_call = steps_per_call
+        # prompt-lookup speculative decoding (serve/speculative.py):
+        # each step verifies spec_k host-drafted tokens per slot and
+        # emits 1..spec_k+1 — greedy slots only (sampled slots ride the
+        # same program but take exactly one drawn token). One verify per
+        # device call (drafts refresh between steps), so spec_k>0
+        # overrides steps_per_call.
+        self._spec_k = int(spec_k)
+        # draft_fn(history_tokens: list[int], k) -> Optional[np.ndarray]
+        # overrides the prompt-lookup default — e.g. a bigram table, a
+        # distilled drafter, or a bench oracle (tools/bench_engine.py
+        # --spec-oracle measures the perfect-draft upper bound)
+        self._draft_fn = draft_fn
+        self._spec_calls = 0
+        self._spec_accepted = 0
         # each prefill row transiently allocates a full-max_len cache
         # row on top of the engine cache, so bound the group size (4 rows
         # ≈ 1.6 GB transient at the 5.1B int8-KV geometry)
@@ -216,6 +231,55 @@ class DecodeEngine:
 
         self._step_plain = make_step(nucleus=False)
         self._step_nucleus = make_step(nucleus=True)
+
+        def make_spec_step(nucleus: bool):
+            k = self._spec_k
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def spec_step(params, cur, cache, rng, temps, topps, drafts):
+                """One speculative verify step over every slot: feed
+                [cur, k drafts], accept the longest draft prefix matching
+                the model's own greedy argmax (bit-exact — see
+                models/llava.py:make_verify_step), emit 1+n_acc tokens.
+                Sampled slots (temp>0) draw ONE token from position-0
+                logits like the plain step and accept nothing. On a
+                weight-bandwidth-bound step the k extra positions are
+                nearly free, so each accepted draft is a free token."""
+                pos0 = cache.pos
+                toks_in = jnp.concatenate([cur[:, None], drafts], axis=1)
+                out = model.apply(params, toks_in, None, cache=cache)
+                logits = out.logits                       # [S, 1+k, V]
+                greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+                match = (drafts == greedy[:, :-1]).astype(jnp.int32)
+                n_acc = jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)
+                l0 = logits[:, 0]
+                scaled = l0 / jnp.maximum(temps, 1e-6)[:, None]
+                if nucleus:
+                    srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+                    cum = jnp.cumsum(jax.nn.softmax(srt, -1), axis=-1)
+                    ci = jnp.sum(cum < topps[:, None], axis=-1,
+                                 keepdims=True)
+                    cutoff = jnp.take_along_axis(srt, ci, axis=-1)
+                    scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+                drawn = jax.random.categorical(rng, scaled,
+                                               axis=-1).astype(jnp.int32)
+                sampled = temps > 0
+                n_acc = jnp.where(sampled, 0, n_acc)
+                first = jnp.where(sampled, drawn, greedy[:, 0])
+                toks = jnp.concatenate([first[:, None], greedy[:, 1:]],
+                                       axis=1)
+                # keep only the verified prefix live; rejected tails sit
+                # beyond pos (never attended) and are overwritten by the
+                # next step's scatter
+                cache2 = out.cache.replace(pos=pos0 + 1 + n_acc)
+                cur2 = jnp.take_along_axis(toks, n_acc[:, None],
+                                           axis=1)[:, 0]
+                return toks, n_acc, cur2, cache2
+            return spec_step
+
+        if self._spec_k > 0:
+            self._spec_plain = make_spec_step(nucleus=False)
+            self._spec_nucleus = make_spec_step(nucleus=True)
 
         @partial(jax.jit, donate_argnums=(0,))
         def insert_many(cache: KVCache, rows: KVCache, slots, cur,
@@ -526,6 +590,9 @@ class DecodeEngine:
             self._woken.wait(timeout=0.05)
             self._woken.clear()
             return
+        if self._spec_k:
+            self._tick_spec()
+            return
         self._rng, sub = jax.random.split(self._rng)
         step = (self._step_nucleus
                 if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
@@ -539,6 +606,37 @@ class DecodeEngine:
             for slot, req in list(self._live.items()):
                 self._emit(req, int(toks[slot, k]))
 
+    def _tick_spec(self):
+        """Speculative engine step: draft per live greedy slot on the
+        host (prompt lookup over prompt + emitted tokens), verify all
+        drafts in ONE device call, emit the accepted run per slot."""
+        from .speculative import ngram_draft
+
+        k = self._spec_k
+        draft = self._draft_fn or ngram_draft
+        drafts = np.zeros((self.n_slots, k), np.int32)
+        for slot, req in self._live.items():
+            if self._temps[slot] <= 0:
+                d = draft(list(int(t) for t in req.ids) + req.emitted, k)
+                if d is not None:
+                    drafts[slot] = d
+        self._rng, sub = jax.random.split(self._rng)
+        step = (self._spec_nucleus
+                if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
+                       for r in self._live.values())
+                else self._spec_plain)
+        toks, n_acc, self._cur, self._cache = step(
+            self.params, self._cur, self._cache, sub,
+            jnp.asarray(self._temps), jnp.asarray(self._topps),
+            jnp.asarray(drafts))
+        toks = np.asarray(toks)                  # [n_slots, 1+k]
+        n_acc = np.asarray(n_acc)
+        self._spec_calls += 1
+        for slot, req in list(self._live.items()):
+            self._spec_accepted += int(n_acc[slot])
+            for i in range(int(n_acc[slot]) + 1):
+                self._emit(req, int(toks[slot, i]))
+
     # -- public API --------------------------------------------------------
 
     def submit(self, ids: np.ndarray,
@@ -548,10 +646,11 @@ class DecodeEngine:
                eos_ids: Optional[List[int]] = None
                ) -> Iterator[int]:
         """Enqueue a prompt; yields sampled token ids as they decode."""
-        if len(ids) + max_new_tokens > self.max_len:
+        if len(ids) + max_new_tokens + self._spec_k > self.max_len:
             raise ValueError(
-                f"prompt {len(ids)} + max_new {max_new_tokens} exceeds "
-                f"engine max_len {self.max_len}")
+                f"prompt {len(ids)} + max_new {max_new_tokens} "
+                f"(+ spec_k {self._spec_k}) exceeds engine max_len "
+                f"{self.max_len}")
         req = _Request(ids=np.asarray(ids, np.int32),
                        pixel_values=pixel_values,
                        max_new_tokens=max_new_tokens,
@@ -585,6 +684,11 @@ class DecodeEngine:
             "engine_tokens_per_sec_lifetime": round(
                 self._tokens_emitted / elapsed, 2),
             "engine_prefix_cache_hits": self._prefix_hits,
+            **({"engine_spec_verify_calls": self._spec_calls,
+                "engine_spec_accepted_drafts": self._spec_accepted,
+                "engine_spec_tokens_per_step": round(
+                    self._tokens_emitted / max(self._spec_calls, 1), 2)}
+               if self._spec_k else {}),
         }
 
     def shutdown(self):

@@ -297,7 +297,9 @@ def main(argv=None):
     ap.add_argument("--speculative", type=int, default=0,
                     help="prompt-lookup speculative decoding: verify K "
                          "drafted tokens per device step (greedy "
-                         "requests only; bit-exact). Solo path only")
+                         "requests only; bit-exact). Applies to the "
+                         "solo path and, with --engine-slots, to the "
+                         "batched engine (spec_k)")
     ap.add_argument("--no-register", action="store_true")
     a = ap.parse_args(argv)
 
@@ -325,7 +327,8 @@ def main(argv=None):
                               max_len=a.engine_max_len,
                               mesh=tp_mesh_from_str(a.mesh)
                               if a.mesh else None,
-                              prefix_cache_slots=a.engine_prefix_cache)
+                              prefix_cache_slots=a.engine_prefix_cache,
+                              spec_k=a.speculative)
         gen_fn = engine_generate_fn(adapter, engine)
         concurrency = max(a.limit_model_concurrency, a.engine_slots)
         extra_status = engine.stats

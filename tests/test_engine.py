@@ -484,3 +484,85 @@ def test_engine_prefix_cache_image_conversation(tiny_model):
     finally:
         cold.shutdown()
     assert reply2 == want
+
+
+def test_engine_speculative_matches_solo(tiny_model):
+    """spec_k>0 must not change greedy output — drafts are only ever
+    accepted when they equal the model's own argmax (bit-exact)."""
+    model, params = tiny_model
+    rng = np.random.default_rng(7)
+    # prompts with recurring n-grams so the drafts actually fire
+    base = rng.integers(1, 60, 4).astype(np.int32)
+    prompts = [np.concatenate([base, base, base[:2]]).astype(np.int32),
+               rng.integers(1, 60, 9).astype(np.int32),
+               np.tile(rng.integers(1, 60, 3), 4).astype(np.int32)]
+    want = [_solo(model, params, p, max_new=10) for p in prompts]
+
+    engine = DecodeEngine(model, params, n_slots=3, max_len=64, spec_k=3)
+    try:
+        waits = [_collect(engine, p, max_new=10) for p in prompts]
+        for (out, done), w in zip(waits, want):
+            assert done.wait(timeout=60), "engine stalled"
+        for (out, _), w in zip(waits, want):
+            assert out == w, f"spec engine {out} != solo {w}"
+        assert engine.error is None
+        st = engine.stats()
+        assert st["engine_spec_verify_calls"] > 0
+    finally:
+        engine.shutdown()
+
+
+def test_engine_speculative_accepts_on_repetitive_model(tiny_model):
+    """On a prompt whose greedy continuation repeats, prompt lookup must
+    accept drafts (tokens-per-step > 1) — exercised deterministically
+    with run_thread=False."""
+    model, params = tiny_model
+    # find a prompt whose greedy output contains a repeated bigram so
+    # lookup drafting can hit; the tiny random model repeats heavily
+    rng = np.random.default_rng(3)
+    prompt = None
+    for _ in range(20):
+        p = rng.integers(1, 60, 6).astype(np.int32)
+        toks = _solo(model, params, p, max_new=8)
+        if len(set(zip(toks, toks[1:]))) < len(toks) - 1:
+            prompt = p
+            break
+    if prompt is None:
+        pytest.skip("tiny model produced no repetition to speculate on")
+
+    want = _solo(model, params, prompt, max_new=10)
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          spec_k=3, run_thread=False)
+    try:
+        out, done = _collect(engine, prompt, max_new=10)
+        for _ in range(40):
+            engine._tick()
+            if done.is_set():
+                break
+        assert done.is_set()
+        assert out == want
+        assert engine._spec_accepted > 0, \
+            "no drafts accepted on a repetitive continuation"
+    finally:
+        engine.shutdown()
+
+
+def test_engine_speculative_mixed_with_sampled_slot(tiny_model):
+    """A temp>0 slot rides the spec step taking exactly one drawn token
+    per verify; greedy slots stay bit-exact beside it."""
+    model, params = tiny_model
+    rng = np.random.default_rng(11)
+    gp = np.tile(rng.integers(1, 60, 3), 3).astype(np.int32)
+    want = _solo(model, params, gp, max_new=8)
+
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64, spec_k=2)
+    try:
+        g = _collect(engine, gp, max_new=8)
+        s = _collect(engine, rng.integers(1, 60, 5).astype(np.int32),
+                     max_new=8, temperature=0.9)
+        assert g[1].wait(timeout=60) and s[1].wait(timeout=60)
+        assert g[0] == want
+        assert len(s[0]) == 8
+        assert engine.error is None
+    finally:
+        engine.shutdown()

@@ -76,19 +76,65 @@ def main():
     ap.add_argument("--quant", default="", choices=["", "int8", "int4"])
     ap.add_argument("--kv-quant", default="", choices=["", "int8"])
     ap.add_argument("--stagger-ms", type=float, default=50.0)
+    ap.add_argument("--spec", type=int, default=0,
+                    help="prompt-lookup speculative decoding: verify K "
+                         "drafts per engine step (greedy, bit-exact)")
+    ap.add_argument("--prompt-mode", default="random",
+                    choices=["random", "loop"],
+                    help="'loop' tiles a short block so n-gram drafting "
+                         "can hit (the copy-heavy-serving regime "
+                         "speculation targets); 'random' is its "
+                         "worst case")
+    ap.add_argument("--spec-oracle", action="store_true",
+                    help="with --spec: draft from a precomputed greedy "
+                         "continuation (100%% acceptance) — measures "
+                         "the perfect-draft throughput ceiling of the "
+                         "verify machinery, independent of workload "
+                         "repetitiveness")
     a = ap.parse_args()
 
     model, params = build_model(a)
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(10, 30000, a.prompt_len).astype(np.int32)
-               for _ in range(a.requests)]
+    if a.prompt_mode == "loop":
+        prompts = [np.tile(rng.integers(10, 30000, 8),
+                           a.prompt_len // 8 + 1)[: a.prompt_len]
+                   .astype(np.int32) for _ in range(a.requests)]
+    else:
+        prompts = [rng.integers(10, 30000, a.prompt_len).astype(np.int32)
+                   for _ in range(a.requests)]
 
     engine = DecodeEngine(model, params, n_slots=a.slots,
                           max_len=a.max_len,
-                          steps_per_call=a.steps_per_call)
+                          steps_per_call=a.steps_per_call,
+                          spec_k=a.spec)
     # warmup: compile prefill + step
     for _ in engine.submit(prompts[0], max_new_tokens=2):
         pass
+
+    if a.spec and a.spec_oracle:
+        # discovery pass: the engine's own (exact-greedy) output is the
+        # continuation the oracle will draft from in the timed pass
+        cont = {}
+        for p in prompts:
+            cont[tuple(p.tolist())] = list(
+                engine.submit(p, max_new_tokens=a.max_new))
+
+        def oracle(history, k):
+            c = cont.get(tuple(history[: a.prompt_len]))
+            if c is None:
+                return None
+            n = len(history) - a.prompt_len
+            nxt = np.asarray(c[n: n + k], np.int32)
+            if nxt.size == 0:
+                return None
+            if nxt.size < k:
+                nxt = np.concatenate(
+                    [nxt, np.full(k - nxt.size, nxt[-1], np.int32)])
+            return nxt
+
+        engine._draft_fn = oracle
+        engine._spec_calls = 0
+        engine._spec_accepted = 0
 
     results = []
     lock = threading.Lock()
@@ -130,6 +176,11 @@ def main():
             "kv_quant": a.kv_quant or "bf16",
             "max_new": a.max_new, "prompt_len": a.prompt_len,
             "steps_per_call": a.steps_per_call,
+            "spec_k": a.spec, "prompt_mode": a.prompt_mode,
+            "spec_oracle": bool(a.spec and a.spec_oracle),
+            **({"spec_verify_calls": engine._spec_calls,
+                "spec_accepted_drafts": engine._spec_accepted}
+               if a.spec else {}),
             "ttft_s_median": round(float(np.median(
                 [r["ttft_s"] for r in results])), 3),
             "ttft_s_p90": round(float(np.percentile(
