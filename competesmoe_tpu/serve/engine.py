@@ -105,7 +105,7 @@ class DecodeEngine:
                  rng_seed: int = 0, run_thread: bool = True,
                  max_prefill_batch: int = 4, mesh=None,
                  prefix_cache_slots: int = 0, spec_k: int = 0,
-                 draft_fn=None):
+                 draft_fn=None, prefill_chunk: int = 0):
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -126,6 +126,21 @@ class DecodeEngine:
         self._draft_fn = draft_fn
         self._spec_calls = 0
         self._spec_accepted = 0
+        # chunked prefill: long TEXT prompts prefill prefill_chunk
+        # tokens per engine tick into a 1-row staging cache, with a
+        # decode step for live slots between chunks — a 2048-token
+        # admission no longer stalls every live stream for the whole
+        # prefill (vLLM's chunked-prefill role under XLA static shapes:
+        # ONE compiled chunk program, last chunk mask-padded). Image
+        # prompts keep the grouped one-shot path (the splice needs the
+        # whole sequence); multi-turn follow-ups are text-only so the
+        # long-history case is covered (and prefix-cache hits skip the
+        # history entirely).
+        self._pf_chunk_n = int(prefill_chunk)
+        self._pf_state: Optional[dict] = None
+        self._pf_queue: List[_Request] = []
+        self._stage = (KVCache.create(self.cfg.decoder, 1, max_len)
+                       if prefill_chunk > 0 else None)
         # each prefill row transiently allocates a full-max_len cache
         # row on top of the engine cache, so bound the group size (4 rows
         # ≈ 1.6 GB transient at the 5.1B int8-KV geometry)
@@ -383,6 +398,25 @@ class DecodeEngine:
 
         self._unpark_prefill = unpark_prefill
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def chunk_prefill(params, stage: KVCache, ids, mask):
+            """Continue-prefill one chunk into the staging row. Same
+            continue-prefill semantics as unpark_prefill (pos carries
+            across chunks; pad writes land in the dump slot); returns
+            the last REAL position's logits so the final chunk can seed
+            first-token sampling."""
+            out = model.apply(params, ids, None, attention_mask=mask,
+                              cache=stage)
+            n_real = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            # logits index by position WITHIN the chunk input (same
+            # convention as unpark_prefill)
+            last = jnp.take_along_axis(
+                out.logits, (n_real - 1)[:, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            return out.cache, last
+
+        self._chunk_prefill = chunk_prefill
+
     def _admit_group(self, bucket: int, reqs: List[_Request]):
         """Prefill `reqs` (same prompt bucket + image shape) as ONE
         padded batch and splice every row in with ONE insert_many call.
@@ -530,6 +564,17 @@ class DecodeEngine:
                     else:
                         cold.append(req)
                 pending = cold
+            if self._pf_chunk_n:
+                # long text prompts prefill chunk-at-a-time between
+                # decode ticks instead of stalling live streams
+                rest = []
+                for req in pending:
+                    if (req.pixel_values is None
+                            and len(req.ids) > self._pf_chunk_n):
+                        self._pf_queue.append(req)
+                    else:
+                        rest.append(req)
+                pending = rest
             groups: Dict[Any, List[_Request]] = {}
             for req in pending:
                 pxkey = (None if req.pixel_values is None
@@ -540,6 +585,59 @@ class DecodeEngine:
             for (bucket, _), reqs in groups.items():
                 for i in range(0, len(reqs), cap):
                     self._admit_group(bucket, reqs[i:i + cap])
+
+    def _pf_start(self):
+        """Begin the next queued chunked prefill if the staging row is
+        idle and a slot is free (the slot is reserved up front so the
+        finished row always has a home)."""
+        while (self._pf_state is None and self._pf_queue and self._free):
+            req = self._pf_queue.pop(0)
+            if req.cancelled:
+                req.done = True
+                req.out.put(None)
+                continue
+            slot = self._free.pop()
+            self._stage = self._stage.replace(
+                pos=jnp.zeros((1,), jnp.int32))
+            self._pf_state = {"req": req, "slot": slot, "cursor": 0}
+
+    def _pf_step(self):
+        """Prefill ONE chunk of the in-flight long prompt; on the final
+        chunk, splice the staged row into its reserved slot and sample
+        the first token (the same insert_many program as grouped
+        admission)."""
+        st = self._pf_state
+        req: _Request = st["req"]
+        if req.cancelled:
+            self._free.append(st["slot"])
+            req.done = True
+            req.out.put(None)
+            self._pf_state = None
+            return
+        C = self._pf_chunk_n
+        chunk = req.ids[st["cursor"]: st["cursor"] + C]
+        ids = np.zeros((1, C), np.int32)
+        mask = np.zeros((1, C), np.int32)
+        ids[0, : len(chunk)] = chunk
+        mask[0, : len(chunk)] = 1
+        self._stage, last = self._chunk_prefill(
+            self.params, self._stage, jnp.asarray(ids), jnp.asarray(mask))
+        st["cursor"] += len(chunk)
+        if st["cursor"] < len(req.ids):
+            return
+        slot = st["slot"]
+        self._rng, sub = jax.random.split(self._rng)
+        self._cache, self._cur, toks = self._insert_many(
+            self._cache, self._stage, jnp.asarray([slot], np.int32),
+            self._cur, last, jnp.asarray([req.temperature], np.float32),
+            jnp.asarray([req.top_p], np.float32), sub)
+        req.slot = slot
+        req.base_len = len(req.ids)
+        self._temps[slot] = req.temperature
+        self._topps[slot] = req.top_p
+        self._live[slot] = req
+        self._pf_state = None
+        self._emit(req, int(np.asarray(toks)[0]))
 
     def _emit(self, req: _Request, token: int):
         if req.done:
@@ -586,9 +684,14 @@ class DecodeEngine:
         step call. Called only from the engine thread (or from tests with
         run_thread=False) — TPU access stays single-threaded."""
         self._admit()
+        if self._pf_chunk_n:
+            self._pf_start()
+            if self._pf_state is not None:
+                self._pf_step()      # one chunk per tick
         if not self._live:
-            self._woken.wait(timeout=0.05)
-            self._woken.clear()
+            if self._pf_state is None and not self._pf_queue:
+                self._woken.wait(timeout=0.05)
+                self._woken.clear()
             return
         if self._spec_k:
             self._tick_spec()
@@ -684,6 +787,9 @@ class DecodeEngine:
             "engine_tokens_per_sec_lifetime": round(
                 self._tokens_emitted / elapsed, 2),
             "engine_prefix_cache_hits": self._prefix_hits,
+            **({"engine_chunked_prefill_queued": len(self._pf_queue)
+                + (1 if self._pf_state is not None else 0)}
+               if self._pf_chunk_n else {}),
             **({"engine_spec_verify_calls": self._spec_calls,
                 "engine_spec_accepted_drafts": self._spec_accepted,
                 "engine_spec_tokens_per_step": round(

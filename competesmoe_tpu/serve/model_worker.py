@@ -290,6 +290,11 @@ def main(argv=None):
                          "with this many sequence slots (serve/engine.py)"
                          "; 0 = per-request solo streaming")
     ap.add_argument("--engine-max-len", type=int, default=2048)
+    ap.add_argument("--engine-prefill-chunk", type=int, default=0,
+                    help="chunked prefill: long text prompts prefill "
+                         "N tokens per engine tick (decode steps for "
+                         "live slots run between chunks) instead of "
+                         "stalling every stream for the full prefill")
     ap.add_argument("--engine-prefix-cache", type=int, default=0,
                     help="park this many retired conversation rows for "
                          "prefix reuse (multi-turn TTFT; costs N extra "
@@ -328,7 +333,8 @@ def main(argv=None):
                               mesh=tp_mesh_from_str(a.mesh)
                               if a.mesh else None,
                               prefix_cache_slots=a.engine_prefix_cache,
-                              spec_k=a.speculative)
+                              spec_k=a.speculative,
+                              prefill_chunk=a.engine_prefill_chunk)
         gen_fn = engine_generate_fn(adapter, engine)
         concurrency = max(a.limit_model_concurrency, a.engine_slots)
         extra_status = engine.stats

@@ -566,3 +566,101 @@ def test_engine_speculative_mixed_with_sampled_slot(tiny_model):
         assert engine.error is None
     finally:
         engine.shutdown()
+
+
+def test_engine_chunked_prefill_token_exact(tiny_model):
+    """A long text prompt admitted via chunked prefill produces exactly
+    the solo greedy tokens (continue-prefill across chunks is the same
+    math as one-shot prefill), and interleaves with a live stream."""
+    model, params = tiny_model
+    rng = np.random.default_rng(21)
+    long_p = rng.integers(1, 60, 23).astype(np.int32)
+    short_p = rng.integers(1, 60, 4).astype(np.int32)
+    want_long = _solo(model, params, long_p, max_new=6)
+    want_short = _solo(model, params, short_p, max_new=8)
+
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          prefill_chunk=8, run_thread=False)
+    try:
+        s = _collect(engine, short_p, max_new=8)
+        g = _collect(engine, long_p, max_new=6)
+        for _ in range(40):
+            engine._tick()
+            if s[1].is_set() and g[1].is_set():
+                break
+        assert s[1].is_set() and g[1].is_set(), "engine stalled"
+        assert s[0] == want_short
+        assert g[0] == want_long
+        assert engine.error is None
+        # the long prompt went through the staging path: 23 tokens at
+        # chunk 8 = 3 chunk calls before the splice
+        assert engine.stats()["engine_chunked_prefill_queued"] == 0
+    finally:
+        engine.shutdown()
+
+
+def test_engine_chunked_prefill_short_prompts_stay_grouped(tiny_model):
+    """Prompts at or under the chunk size keep the one-shot grouped
+    admission (no staging detour)."""
+    model, params = tiny_model
+    rng = np.random.default_rng(23)
+    p = rng.integers(1, 60, 6).astype(np.int32)
+    want = _solo(model, params, p, max_new=5)
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          prefill_chunk=8, run_thread=False)
+    try:
+        out, done = _collect(engine, p, max_new=5)
+        for _ in range(20):
+            engine._tick()
+            if done.is_set():
+                break
+        assert done.is_set() and out == want
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def test_engine_chunked_prefill_with_speculation(tiny_model):
+    """Chunked prefill composes with spec_k (the finalize path feeds the
+    same insert_many; decode ticks run the spec step)."""
+    model, params = tiny_model
+    rng = np.random.default_rng(29)
+    long_p = np.tile(rng.integers(1, 60, 4), 5).astype(np.int32)
+    want = _solo(model, params, long_p, max_new=8)
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          prefill_chunk=8, spec_k=2, run_thread=False)
+    try:
+        out, done = _collect(engine, long_p, max_new=8)
+        for _ in range(40):
+            engine._tick()
+            if done.is_set():
+                break
+        assert done.is_set() and out == want
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def test_engine_chunked_prefill_cancelled_while_queued(tiny_model):
+    """Abandoning a request before/while its chunked prefill runs frees
+    the reserved slot."""
+    model, params = tiny_model
+    rng = np.random.default_rng(31)
+    long_p = rng.integers(1, 60, 20).astype(np.int32)
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          prefill_chunk=8, run_thread=False)
+    try:
+        out, done = _collect(engine, long_p, max_new=6)
+        engine._tick()          # starts the chunked prefill
+        assert engine._pf_state is not None
+        engine._pf_state["req"].cancelled = True   # client disconnected
+        for _ in range(10):
+            engine._tick()
+            if done.is_set():
+                break
+        assert done.is_set()
+        assert out == []        # nothing was emitted
+        assert len(engine._free) == 1 and engine._pf_state is None
+        assert engine.error is None
+    finally:
+        engine.shutdown()
