@@ -693,7 +693,11 @@ class DecodeEngine:
                 self._woken.wait(timeout=0.05)
                 self._woken.clear()
             return
-        if self._spec_k:
+        if self._spec_k and any(self._temps[s] <= 0 for s in self._live):
+            # at least one greedy slot can accept drafts; sampled slots
+            # ride along taking one token. All-sampled batches fall
+            # through to the plain step (a verify would cost the extra
+            # positions for nothing).
             self._tick_spec()
             return
         self._rng, sub = jax.random.split(self._rng)
