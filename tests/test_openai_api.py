@@ -1,0 +1,173 @@
+"""OpenAI-compatible API tests: /v1/models and /v1/chat/completions
+(stream + non-stream + vision parts) over a real controller + worker
+stack on localhost."""
+
+import base64
+import io
+import json
+import socket
+from urllib import request as urlrequest
+
+import numpy as np
+import pytest
+
+import jax
+
+from competesmoe_tpu.eval import JaxLlava
+from competesmoe_tpu.models.llava import LlavaModel
+from competesmoe_tpu.multimodal.mm_utils import ImageProcessorConfig
+from competesmoe_tpu.serve.controller import serve_controller
+from competesmoe_tpu.serve.model_worker import (
+    ModelWorker,
+    jax_llava_generate_fn,
+    serve_worker,
+)
+from competesmoe_tpu.serve.openai_api import (
+    _render_prompt,
+    serve_openai_api,
+)
+from tests.test_eval_harness import EvalTok
+from tests.test_llava import tiny_llava_cfg
+
+pytestmark = pytest.mark.slow
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def post_json(url, data, timeout=60):
+    req = urlrequest.Request(url, data=json.dumps(data).encode(),
+                             method="POST",
+                             headers={"Content-Type": "application/json"})
+    with urlrequest.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = tiny_llava_cfg(moe=False)
+    model = LlavaModel(cfg)
+    tok = EvalTok()
+    tok("hello world red cat what is this the and a")
+    ids = np.full((1, 6), 2, np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, None)
+    adapter = JaxLlava(model, params, tok, ImageProcessorConfig(size=28),
+                       max_new_tokens=6)
+
+    cport, wport, oport = free_port(), free_port(), free_port()
+    caddr = f"http://127.0.0.1:{cport}"
+    _, chttpd = serve_controller("127.0.0.1", cport, background=True)
+    worker = ModelWorker(caddr, f"http://127.0.0.1:{wport}",
+                         ["tiny-llava"], jax_llava_generate_fn(adapter),
+                         register=True)
+    whttpd = serve_worker(worker, "127.0.0.1", wport, background=True)
+    ohttpd = serve_openai_api(caddr, "127.0.0.1", oport,
+                              conv_template="phi35", background=True)
+    yield f"http://127.0.0.1:{oport}"
+    for h in (ohttpd, whttpd, chttpd):
+        h.shutdown()
+
+
+def test_render_prompt_roles_and_system():
+    prompt, images, stop = _render_prompt("phi35", [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "again"},
+    ])
+    assert "be brief" in prompt and "hi" in prompt and "again" in prompt
+    assert prompt.rstrip().endswith("<|assistant|>")
+    assert images == [] and stop
+
+
+def test_render_prompt_vision_parts():
+    b64 = base64.b64encode(b"xx").decode()
+    prompt, images, _ = _render_prompt("phi35", [
+        {"role": "user", "content": [
+            {"type": "text", "text": "what is this"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ]},
+    ])
+    assert images == [b64]
+    assert "<image>" in prompt
+
+
+def test_models_endpoint(stack):
+    with urlrequest.urlopen(stack + "/v1/models", timeout=30) as r:
+        d = json.loads(r.read())
+    assert d["object"] == "list"
+    assert [m["id"] for m in d["data"]] == ["tiny-llava"]
+
+
+def test_chat_completion_nonstream(stack):
+    d = post_json(stack + "/v1/chat/completions", {
+        "model": "tiny-llava",
+        "messages": [{"role": "user", "content": "hello world"}],
+        "max_tokens": 6, "temperature": 0.0})
+    assert d["object"] == "chat.completion"
+    assert d["choices"][0]["finish_reason"] == "stop"
+    assert isinstance(d["choices"][0]["message"]["content"], str)
+    assert d["usage"]["completion_tokens"] >= 1
+
+
+def test_chat_completion_stream_matches_nonstream(stack):
+    body = {"model": "tiny-llava",
+            "messages": [{"role": "user", "content": "hello world"}],
+            "max_tokens": 6, "temperature": 0.0}
+    want = post_json(stack + "/v1/chat/completions", body)
+    want_text = want["choices"][0]["message"]["content"]
+
+    req = urlrequest.Request(
+        stack + "/v1/chat/completions",
+        data=json.dumps(dict(body, stream=True)).encode(),
+        headers={"Content-Type": "application/json"})
+    got, done, roles = "", False, 0
+    with urlrequest.urlopen(req, timeout=60) as r:
+        for line in r.read().decode().splitlines():
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                done = True
+                break
+            ch = json.loads(payload)
+            assert ch["object"] == "chat.completion.chunk"
+            delta = ch["choices"][0]["delta"]
+            if delta.get("role"):
+                roles += 1
+            got += delta.get("content", "")
+    assert done and roles == 1
+    assert got == want_text
+
+
+def test_chat_completion_vision_request(stack):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (120, 30, 200)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    d = post_json(stack + "/v1/chat/completions", {
+        "model": "tiny-llava",
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "what is this"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ]}],
+        "max_tokens": 4, "temperature": 0.0})
+    assert d["choices"][0]["message"]["content"] is not None
+
+
+def test_bad_route_and_bad_request(stack):
+    try:
+        urlrequest.urlopen(stack + "/v1/embeddings", data=b"{}",
+                           timeout=10)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
