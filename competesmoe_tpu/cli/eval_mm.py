@@ -59,6 +59,11 @@ def main(argv=None):
                          "decoder over M chips for eval of models larger "
                          "than one chip (serve.model_worker shares the "
                          "same path)")
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="prompt-lookup speculative decoding for greedy "
+                         "batch-1 generation tasks: verify K drafted "
+                         "tokens per device step (bit-exact; scores "
+                         "are unchanged)")
     a = ap.parse_args(argv)
     if a.rank is None or a.world_size is None:
         from ..parallel.distributed import detect_env
@@ -116,7 +121,8 @@ def main(argv=None):
                               image_processor,
                               conv_template=run.conv_template,
                               batch_size=run.batch_size,
-                              max_new_tokens=run.max_new_tokens)
+                              max_new_tokens=run.max_new_tokens,
+                              speculative=getattr(run, "speculative", 0))
         results = harness.simple_evaluate(
             lm, run.tasks.split(","), limit=run.limit, rank=run.rank,
             world_size=run.world_size,

@@ -62,7 +62,8 @@ class JaxLlava:
                  image_processor: Optional[ImageProcessorConfig] = None,
                  conv_template: str = "phi35", batch_size: int = 1,
                  max_new_tokens: int = 128,
-                 stop_token_ids: Optional[List[int]] = None):
+                 stop_token_ids: Optional[List[int]] = None,
+                 speculative: int = 0):
         self.model = model
         # accept either raw params or the full variables dict
         self.params = params if "params" in params else {"params": params}
@@ -73,6 +74,10 @@ class JaxLlava:
         self.batch_size = batch_size
         self.max_new_tokens = max_new_tokens
         self.stop_token_ids = stop_token_ids or []
+        # prompt-lookup speculative decoding for greedy batch-1 eval
+        # (models/llava.py:generate speculative=K) — VQA answers quote
+        # the prompt, the regime where drafts accept
+        self.speculative = speculative
         self.time_inference: List[float] = []
         self._ll_fns: Dict[Tuple[int, bool], Any] = {}
 
@@ -135,7 +140,8 @@ class JaxLlava:
                 temperature=gen_kwargs.get("temperature", 0.0),
                 top_p=gen_kwargs.get("top_p", 1.0),
                 eos_token_id=getattr(self.tokenizer, "eos_token_id", None),
-                stop_token_ids=self.stop_token_ids)
+                stop_token_ids=self.stop_token_ids,
+                speculative=self.speculative)
             self.time_inference.append(time.perf_counter() - t0)
             eos = getattr(self.tokenizer, "eos_token_id", None)
             for b, row in enumerate(toks):

@@ -368,6 +368,40 @@ def make_verify_step(model: LlavaModel, k_spec: int):
     return fn
 
 
+def _spec_chunks(model, params, decode_step, input_ids, cur, cache,
+                 max_new: int, spec: int):
+    """Greedy speculative decode loop (B==1): yields np [1, n] chunks of
+    new tokens after the first, bit-exact vs sequential greedy. Shared
+    by stream_generate (yields through) and generate (collects).
+    Prompt-lookup drafts come from serve/speculative.py; iterations with
+    no recurring n-gram fall back to a plain decode step (same cost on a
+    weight-bandwidth-bound chip)."""
+    from ..serve.speculative import ngram_draft
+
+    verify = make_verify_step(model, spec)
+    hist = [int(t) for t in input_ids[0].tolist() if int(t) >= 0]
+    cur_i = int(np.asarray(cur)[0])
+    hist.append(cur_i)
+    produced = 1
+    while produced < max_new:
+        draft = ngram_draft(hist, spec)
+        if draft is None:
+            logits, cache = decode_step(
+                params, jnp.asarray([cur_i], jnp.int32), cache)
+            emit = np.asarray(
+                jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        else:
+            toks = np.concatenate([[cur_i], draft]).astype(np.int32)
+            greedy, n_acc, cache = verify(
+                params, jnp.asarray(toks[None]), cache)
+            emit = np.asarray(greedy)[0, : int(n_acc[0]) + 1]
+        emit = emit[: max_new - produced]
+        produced += len(emit)
+        cur_i = int(emit[-1])
+        hist.extend(int(t) for t in emit)
+        yield emit[None].astype(np.int32).copy()
+
+
 def sample_token(logits: jax.Array, rng: Optional[jax.Array],
                  temperature: float = 0.0, top_p: float = 1.0) -> jax.Array:
     if temperature <= 0.0:
@@ -476,31 +510,9 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
         return
 
     if spec:
-        from ..serve.speculative import ngram_draft
-        verify = make_verify_step(model, spec)
-        hist = [int(t) for t in input_ids[0].tolist() if int(t) >= 0]
-        cur_i = int(np.asarray(cur)[0])
-        hist.append(cur_i)
-        while produced < max_new_tokens:
-            draft = ngram_draft(hist, spec)
-            rng, sub = jax.random.split(rng)
-            if draft is None:
-                # no recurring n-gram: a plain step costs the same
-                logits, cache = decode_step(
-                    params, jnp.asarray([cur_i], jnp.int32), cache)
-                emit = np.asarray(
-                    sample_token(logits, sub, temperature, top_p))
-            else:
-                toks = np.concatenate([[cur_i], draft]).astype(np.int32)
-                greedy, n_acc, cache = verify(
-                    params, jnp.asarray(toks[None]), cache)
-                emit = np.asarray(greedy)[0, : int(n_acc[0]) + 1]
-            emit = emit[: max_new_tokens - produced]
-            produced += len(emit)
-            cur_i = int(emit[-1])
-            hist.extend(int(t) for t in emit)
-            chunk_np, finished, done = cut(
-                emit[None].astype(np.int32).copy(), finished)
+        for emit in _spec_chunks(model, params, decode_step, input_ids,
+                                 cur, cache, max_new_tokens, spec):
+            chunk_np, finished, done = cut(emit, finished)
             yield chunk_np
             if done:
                 return
@@ -534,7 +546,8 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
              top_p: float = 1.0, eos_token_id: Optional[int] = None,
              rng: Optional[jax.Array] = None,
              stop_token_ids: Optional[List[int]] = None,
-             scan_decode: bool = True
+             scan_decode: bool = True,
+             speculative: int = 0
              ) -> Tuple[np.ndarray, LlavaOutput]:
     """Generation: jitted prefill + decode.
 
@@ -544,12 +557,20 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
     (better when stops hit early).
     Returns (generated ids [B, <=max_new_tokens], prefill output with
     routing telemetry) — the role of `LlavaPhiForCausalLM.generate`
-    (llava_phi.py:147-220)."""
+    (llava_phi.py:147-220).
+
+    speculative=K enables prompt-lookup speculative decoding (greedy
+    B==1 only, bit-exact, silently ignored otherwise) — the default
+    eval configuration (eval CLI batch_size=1, temperature 0) rides it
+    directly; VQA answers quote the prompt heavily, which is exactly
+    the regime where the drafts accept."""
     cfg = model.cfg
     B, L = input_ids.shape
+    spec = int(speculative) if (speculative and temperature <= 0.0
+                                and B == 1 and max_new_tokens > 1) else 0
     P = cfg.num_image_tokens if pixel_values is not None else 0
     prompt_len = L - 1 + P if pixel_values is not None else L
-    max_len = prompt_len + max_new_tokens
+    max_len = prompt_len + max_new_tokens + spec
     prefill, decode_step = make_generate_fns(model, cfg, max_len)
     if attention_mask is None:
         attention_mask = np.ones_like(input_ids)
@@ -576,6 +597,24 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
     if eos_token_id is not None:
         stops.add(int(eos_token_id))
     cur = sample_token(last_logits, rng, temperature, top_p)
+
+    if spec:
+        parts = [np.asarray(cur)[:, None].copy()]
+        if not (stops and int(parts[0][0, 0]) in stops):
+            for emit in _spec_chunks(model, params, decode_step,
+                                     input_ids, cur, cache,
+                                     max_new_tokens, spec):
+                parts.append(emit)
+                if stops and np.isin(emit, list(stops)).any():
+                    break
+        all_toks = np.concatenate(parts, axis=1)
+        if stops:
+            stop_mask = np.isin(all_toks, list(stops))
+            first_stop = np.where(stop_mask.any(1), stop_mask.argmax(1),
+                                  all_toks.shape[1])
+            keep = int(first_stop.max()) + 1
+            all_toks = all_toks[:, :min(keep, all_toks.shape[1])]
+        return all_toks, out
 
     if scan_decode and max_new_tokens > 1:
         decode_n = make_scan_decode(model, max_new_tokens - 1, temperature,

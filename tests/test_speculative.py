@@ -153,6 +153,50 @@ def test_speculative_stream_respects_stop(tiny_lm):
     assert all(t == stop for t in got[first:])
 
 
+@pytest.mark.parametrize("k", [3])
+def test_generate_speculative_bit_exact(tiny_lm, k):
+    """generate(speculative=k) returns exactly the sequential-greedy
+    tokens with the same stop truncation as the scan path."""
+    model, params, cfg = tiny_lm
+    prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8]], np.int32)
+    ref, _ = generate(model, params, prompt, None, max_new_tokens=10,
+                      temperature=0.0, scan_decode=False)
+    got, _ = generate(model, params, prompt, None, max_new_tokens=10,
+                      temperature=0.0, speculative=k)
+    np.testing.assert_array_equal(got[0], ref[0])
+
+    stop = int(ref[0][4])
+    ref_s, _ = generate(model, params, prompt, None, max_new_tokens=10,
+                        temperature=0.0, stop_token_ids=[stop])
+    got_s, _ = generate(model, params, prompt, None, max_new_tokens=10,
+                        temperature=0.0, speculative=k,
+                        stop_token_ids=[stop])
+    np.testing.assert_array_equal(got_s[0], ref_s[0])
+
+
+def test_eval_adapter_speculative_same_answers(tiny_lm):
+    """JaxLlava(speculative=K) produces identical generate_until
+    responses (eval scores cannot move)."""
+    from competesmoe_tpu.eval import JaxLlava
+    from competesmoe_tpu.eval.instance import Instance
+    from competesmoe_tpu.multimodal.mm_utils import ImageProcessorConfig
+    from tests.test_eval_harness import EvalTok
+
+    model, params, cfg = tiny_lm
+    tok = EvalTok()
+    tok("hello world red cat what is this the and a")
+    mk = lambda **kw: JaxLlava(model, params, tok,
+                               ImageProcessorConfig(size=28),
+                               max_new_tokens=6, **kw)
+    def reqs():
+        return [Instance(request_type="generate_until",
+                         arguments=("hello world hello world", {}, None),
+                         idx=i, metadata=("t", i, 1)) for i in range(2)]
+    plain = mk().generate_until(reqs())
+    spec = mk(speculative=3).generate_until(reqs())
+    assert plain == spec
+
+
 def test_worker_generate_fn_speculative_matches_plain(tiny_lm):
     """The worker's solo generate_fn with speculative=K yields the same
     final text as the plain path (greedy bit-exactness end to end)."""
