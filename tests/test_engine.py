@@ -664,3 +664,27 @@ def test_engine_chunked_prefill_cancelled_while_queued(tiny_model):
         assert engine.error is None
     finally:
         engine.shutdown()
+
+
+def test_engine_tp_with_speculation_token_exact(tiny_model):
+    """spec_k composes with the TP mesh: the verify program runs on
+    sharded params + the mesh-pinned cache and stays bit-exact."""
+    from competesmoe_tpu.serve.model_worker import (
+        shard_llava_params,
+        tp_mesh_from_str,
+    )
+
+    model, params = tiny_model
+    ids = np.tile(np.arange(1, 5, dtype=np.int32), 3)
+    want = _solo(model, params, ids, max_new=8)
+
+    sharded = shard_llava_params(dict(params), "1x2")
+    engine = DecodeEngine(model, sharded, n_slots=2, max_len=64,
+                          mesh=tp_mesh_from_str("1x2"), spec_k=3)
+    try:
+        out = list(engine.submit(ids, max_new_tokens=8))
+        assert out == want
+        assert engine.error is None
+        assert engine.stats()["engine_spec_verify_calls"] > 0
+    finally:
+        engine.shutdown()
