@@ -85,6 +85,11 @@ def main():
                          "can hit (the copy-heavy-serving regime "
                          "speculation targets); 'random' is its "
                          "worst case")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked prefill: long prompts prefill N "
+                         "tokens per tick between decode steps — "
+                         "watch itg_ms_max drop (a live stream's "
+                         "longest stall) while long admissions land")
     ap.add_argument("--spec-oracle", action="store_true",
                     help="with --spec: draft from a precomputed greedy "
                          "continuation (100%% acceptance) — measures "
@@ -106,7 +111,8 @@ def main():
     engine = DecodeEngine(model, params, n_slots=a.slots,
                           max_len=a.max_len,
                           steps_per_call=a.steps_per_call,
-                          spec_k=a.spec)
+                          spec_k=a.spec,
+                          prefill_chunk=a.prefill_chunk)
     # warmup: compile prefill + step
     for _ in engine.submit(prompts[0], max_new_tokens=2):
         pass
@@ -142,12 +148,19 @@ def main():
     def consume(i, t_submit):
         first = None
         n = 0
+        last = t_submit
+        max_gap = 0.0
         for tok in engine.submit(prompts[i], max_new_tokens=a.max_new):
+            now = time.perf_counter()
             if first is None:
-                first = time.perf_counter()
+                first = now
+            else:
+                max_gap = max(max_gap, now - last)
+            last = now
             n += 1
         with lock:
             results.append({"ttft_s": first - t_submit, "tokens": n,
+                            "itg_max_s": max_gap,
                             "t_done": time.perf_counter()})
 
     t0 = time.perf_counter()
@@ -185,6 +198,14 @@ def main():
                 [r["ttft_s"] for r in results])), 3),
             "ttft_s_p90": round(float(np.percentile(
                 [r["ttft_s"] for r in results], 90)), 3),
+            # a live stream's longest stall: the metric chunked prefill
+            # exists to bound (a concurrent long admission otherwise
+            # freezes every stream for the whole prefill)
+            "itg_ms_max": round(1e3 * max(
+                r["itg_max_s"] for r in results), 1),
+            "itg_ms_p90": round(1e3 * float(np.percentile(
+                [r["itg_max_s"] for r in results], 90)), 1),
+            "prefill_chunk": a.prefill_chunk,
             "wall_s": round(t1 - t0, 2),
             "device": str(jax.devices()[0]),
         }}))
