@@ -235,6 +235,40 @@ def run_jax(a):
         detail["norm_folded"] = a.fold_norms
         detail["cache_layout"] = a.cache_layout
         detail["deferred_decode"] = a.deferred
+        if a.spec_step > 0:
+            # speculative verify-step cost A/B: a step that feeds 1+K
+            # tokens (the verify program's shape, incl. the K+1-slot KV
+            # scatter and the accept bookkeeping) vs the plain 1-token
+            # step. On a weight-bandwidth-bound chip these should be
+            # nearly equal — that equality is the entire speculation
+            # win, so measure it rather than assert it.
+            k = a.spec_step
+
+            def make_spec(n, collect=False):
+                @partial(jax.jit, donate_argnums=(2,))
+                def dec(params, tok, cache):
+                    def step(carry, _):
+                        tok, cache = carry
+                        toks_in = jnp.broadcast_to(
+                            tok[:, None], (tok.shape[0], 1 + k))
+                        logits, cache, _ = model.apply(params, toks_in,
+                                                       cache=cache)
+                        greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+                        match = (toks_in[:, 1:]
+                                 == greedy[:, :-1]).astype(jnp.int32)
+                        n_acc = jnp.cumprod(match, -1).sum(-1)
+                        # worst-case accounting: advance pos by 1/step
+                        # (0 accepted) so 33 scan steps fit the cache
+                        cache = cache.replace(pos=cache.pos - k)
+                        return (greedy[:, 0], cache), n_acc
+                    (_, cache), accs = jax.lax.scan(
+                        step, (tok, cache), None, length=n)
+                    return accs.sum()
+                return dec
+
+            detail["spec_step_k"] = k
+            spec_tok = time_decode(prefill, make_spec, params, ids, cache)
+            detail["spec_verify_ms_per_step"] = round(spec_tok * 1e3, 2)
         per_tok = time_decode(prefill, make_decode, params, ids, cache)
 
     print(f"built {detail['params_b']}B params in {time.time()-t0:.0f}s",
@@ -306,6 +340,11 @@ def main():
     ap.add_argument("--hf-baseline", action="store_true")
     ap.add_argument("--quant", default="", choices=["", "int8", "w8a8", "int4"],
                     help="int8 weight-only / w8a8 dynamic decode")
+    ap.add_argument("--spec-step", type=int, default=0,
+                    help="also time a 1+K-token speculative verify "
+                         "step (same weights, K extra positions) next "
+                         "to the plain step — the cost ratio bounds "
+                         "the speculation win")
     ap.add_argument("--window", action="store_true",
                     help="windowed KV read (pays off when max_len >> "
                          "live prefix; slower at this bench's kv 512)")
