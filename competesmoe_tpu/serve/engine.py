@@ -695,11 +695,13 @@ class DecodeEngine:
             return
         if self._spec_k and any(self._temps[s] <= 0 for s in self._live):
             # at least one greedy slot can accept drafts; sampled slots
-            # ride along taking one token. All-sampled batches fall
-            # through to the plain step (a verify would cost the extra
-            # positions for nothing).
-            self._tick_spec()
-            return
+            # ride along taking one token. Ticks where NO slot found a
+            # draft (and all-sampled batches) fall through to the plain
+            # step — a verify would pay its extra positions for nothing.
+            drafts = self._collect_drafts()
+            if drafts is not None:
+                self._tick_spec(drafts)
+                return
         self._rng, sub = jax.random.split(self._rng)
         step = (self._step_nucleus
                 if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
@@ -713,20 +715,26 @@ class DecodeEngine:
             for slot, req in list(self._live.items()):
                 self._emit(req, int(toks[slot, k]))
 
-    def _tick_spec(self):
-        """Speculative engine step: draft per live greedy slot on the
-        host (prompt lookup over prompt + emitted tokens), verify all
-        drafts in ONE device call, emit the accepted run per slot."""
+    def _collect_drafts(self) -> Optional[np.ndarray]:
+        """Prompt-lookup draft per live greedy slot (host side).
+        Returns [n_slots, k] or None when no slot produced a draft."""
         from .speculative import ngram_draft
 
         k = self._spec_k
         draft = self._draft_fn or ngram_draft
         drafts = np.zeros((self.n_slots, k), np.int32)
+        found = False
         for slot, req in self._live.items():
             if self._temps[slot] <= 0:
                 d = draft(list(int(t) for t in req.ids) + req.emitted, k)
                 if d is not None:
                     drafts[slot] = d
+                    found = True
+        return drafts if found else None
+
+    def _tick_spec(self, drafts: np.ndarray):
+        """Speculative engine step: verify every slot's drafts in ONE
+        device call, emit the accepted run per slot."""
         self._rng, sub = jax.random.split(self._rng)
         step = (self._spec_nucleus
                 if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
