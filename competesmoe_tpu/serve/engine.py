@@ -126,6 +126,7 @@ class DecodeEngine:
         self._draft_fn = draft_fn
         self._spec_calls = 0
         self._spec_accepted = 0
+        self._spec_tokens = 0   # emitted by verify ticks only
         # chunked prefill: long TEXT prompts prefill prefill_chunk
         # tokens per engine tick into a 1-row staging cache, with a
         # decode step for live slots between chunks — a 2048-token
@@ -747,10 +748,12 @@ class DecodeEngine:
         toks = np.asarray(toks)                  # [n_slots, 1+k]
         n_acc = np.asarray(n_acc)
         self._spec_calls += 1
+        before = self._tokens_emitted
         for slot, req in list(self._live.items()):
             self._spec_accepted += int(n_acc[slot])
             for i in range(int(n_acc[slot]) + 1):
                 self._emit(req, int(toks[slot, i]))
+        self._spec_tokens += self._tokens_emitted - before
 
     # -- public API --------------------------------------------------------
 
@@ -804,8 +807,10 @@ class DecodeEngine:
                if self._pf_chunk_n else {}),
             **({"engine_spec_verify_calls": self._spec_calls,
                 "engine_spec_accepted_drafts": self._spec_accepted,
+                # over verify-tick emissions only (plain-step fallback
+                # ticks and admission first-tokens excluded)
                 "engine_spec_tokens_per_step": round(
-                    self._tokens_emitted / max(self._spec_calls, 1), 2)}
+                    self._spec_tokens / max(self._spec_calls, 1), 2)}
                if self._spec_k else {}),
         }
 

@@ -101,6 +101,27 @@ class ModelWorker:
             self.queue_length -= 1
 
 
+def _stop_list(stop) -> list:
+    """Normalize params['stop'] to a list of strings (the reference
+    worker takes one; OpenAI clients send up to four)."""
+    if not stop:
+        return []
+    if isinstance(stop, str):
+        return [stop]
+    return [s for s in stop if s]
+
+
+def _cut_at_stops(text: str, stops: list):
+    """Truncate at the EARLIEST stop occurrence; (text, hit)."""
+    hit = False
+    for s in stops:
+        i = text.find(s)
+        if i >= 0:
+            text = text[:i]
+            hit = True
+    return text, hit
+
+
 def jax_llava_generate_fn(adapter, default_speculative: int = 0):
     """Build a worker generate_fn from an eval.JaxLlava adapter: prompt +
     optional base64 images in, incremental text out.
@@ -122,7 +143,7 @@ def jax_llava_generate_fn(adapter, default_speculative: int = 0):
         # prompt-lookup speculative decoding (greedy only; bit-exact —
         # serve/speculative.py): K drafts verified per device step
         spec = int(params.get("speculative", default_speculative))
-        stop_str = params.get("stop") or None
+        stops = _stop_list(params.get("stop"))
         ids = adapter.tokenizer_ids_for_prompt(prompt, bool(images))
         px = None
         if images:
@@ -143,11 +164,12 @@ def jax_llava_generate_fn(adapter, default_speculative: int = 0):
                                             skip_special_tokens=True)
             text = text.split("<|end|>")[0]
             # the reference worker truncates at params["stop"]
-            # (model_worker.py generate_stream stop_str handling)
-            if stop_str and stop_str in text:
-                yield text.split(stop_str)[0]
-                return
+            # (model_worker.py generate_stream stop_str handling);
+            # str-or-list accepted (OpenAI clients send up to 4)
+            text, hit = _cut_at_stops(text, stops)
             yield text
+            if hit:
+                return
     return fn
 
 
@@ -168,7 +190,7 @@ def engine_generate_fn(adapter, engine):
         eos = set(adapter.stop_token_ids or [])
         if getattr(adapter.tokenizer, "eos_token_id", None) is not None:
             eos.add(int(adapter.tokenizer.eos_token_id))
-        stop_str = params.get("stop") or None
+        stops = _stop_list(params.get("stop"))
         tokens: list = []
         for tok in engine.submit(
                 np.asarray(ids, np.int32), pixel_values=px,
@@ -180,10 +202,10 @@ def engine_generate_fn(adapter, engine):
             text = adapter.tokenizer.decode(tokens,
                                             skip_special_tokens=True)
             text = text.split("<|end|>")[0]
-            if stop_str and stop_str in text:
-                yield text.split(stop_str)[0]
-                return
+            text, hit = _cut_at_stops(text, stops)
             yield text
+            if hit:
+                return
     return fn
 
 

@@ -39,10 +39,10 @@ def _render_prompt(conv_template: str, messages: list
 
     conv = conv_templates[conv_template].copy()
     images: List[str] = []
-    first_user_seen = False
     for m in messages:
         role = m.get("role", "user")
         content = m.get("content", "")
+        n_imgs_here = 0
         if isinstance(content, list):
             texts = []
             for part in content:
@@ -54,14 +54,17 @@ def _render_prompt(conv_template: str, messages: list
                         images.append(url.split(",", 1)[1])
                     elif url:
                         images.append(url)  # raw base64
+                    n_imgs_here += 1
             content = "\n".join(texts)
         if role == "system":
             conv.system = content
             continue
-        if role == "user" and not first_user_seen:
-            first_user_seen = True
-            if images and "<image>" not in content:
-                content = "<image>\n" + content
+        # one <image> token per image part IN THIS message (the splice
+        # consumes them in order; images sent in any turn must land in
+        # that turn's text, not only the first)
+        missing = n_imgs_here - content.count("<image>")
+        if missing > 0:
+            content = "<image>\n" * missing + content
         conv.append_message(
             conv.roles[0] if role == "user" else conv.roles[1], content)
     conv.append_message(conv.roles[1], None)
@@ -152,8 +155,9 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                     {"error": {"message": "no model available",
                                "type": "invalid_request_error"}}, 400)
             stop = data.get("stop")
-            if isinstance(stop, list):
-                stop = stop[0] if stop else None
+            stops = ([stop] if isinstance(stop, str) else list(stop or []))
+            if conv_stop:
+                stops.append(conv_stop)
             payload = {
                 "model": model,
                 "prompt": prompt,
@@ -163,19 +167,34 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                 "max_new_tokens": int(data.get("max_tokens")
                                       or data.get("max_completion_tokens")
                                       or 512),
-                "stop": stop or conv_stop,
+                # str-or-list; the worker cuts at the earliest hit
+                "stop": stops,
             }
-            if "speculative" in data:  # extension: per-request spec k
+            if "speculative" in data:
+                # extension: per-request spec K (solo worker path; an
+                # engine-mode worker uses its engine-wide spec_k)
                 payload["speculative"] = int(data["speculative"])
             rid = "chatcmpl-" + uuid.uuid4().hex[:24]
             created = int(time.time())
+            if data.get("stream"):
+                try:
+                    return self._stream(rid, created, model, payload,
+                                        stops)
+                except Exception:  # noqa: BLE001 — client went away;
+                    return          # headers already sent, nothing to do
             try:
-                if data.get("stream"):
-                    return self._stream(rid, created, model, payload)
                 text = ""
                 n_chunks = 0
                 for msg in _worker_stream(controller_addr, payload,
                                           request_timeout):
+                    if msg.get("error_code", 0):
+                        # worker/controller-level failure ("No available
+                        # worker", overload, model exception): surface
+                        # as an API error, never as assistant content
+                        return self._json(
+                            {"error": {"message": msg.get("text", ""),
+                                       "type": "server_error",
+                                       "code": msg["error_code"]}}, 502)
                     text = msg.get("text", text)
                     n_chunks += 1
                 return self._json({
@@ -195,7 +214,7 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                     {"error": {"message": f"upstream: {e}",
                                "type": "server_error"}}, 502)
 
-        def _stream(self, rid, created, model, payload):
+        def _stream(self, rid, created, model, payload, stops):
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -210,18 +229,38 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                                  "finish_reason": finish}]})
                     + "\n\n").encode()
 
+            def sse_error(message):
+                # errors after the SSE headers cannot become an HTTP
+                # status line; OpenAI streams them as an error event
+                self.wfile.write(("data: " + json.dumps(
+                    {"error": {"message": message,
+                               "type": "server_error"}})
+                    + "\n\n").encode())
+                self.wfile.write(b"data: [DONE]\n\n")
+
             self.wfile.write(chunk({"role": "assistant", "content": ""}))
-            sent = ""
-            for msg in _worker_stream(controller_addr, payload, 600):
-                text = msg.get("text", sent)
-                if len(text) > len(sent) and text.startswith(sent):
-                    self.wfile.write(chunk({"content": text[len(sent):]}))
-                    self.wfile.flush()
-                    sent = text
-                elif text != sent:
-                    # worker rewrote the tail (stop-string cut): emit
-                    # nothing extra; final text stands at `sent`
-                    sent = text
+            # hold back max(len(stop))-1 chars so a stop string
+            # straddling a chunk boundary is never partially streamed —
+            # the worker only cuts it on its final chunk
+            hold = max((len(s) for s in stops), default=0)
+            hold = max(hold - 1, 0)
+            sent, final = "", ""
+            try:
+                for msg in _worker_stream(controller_addr, payload,
+                                          request_timeout):
+                    if msg.get("error_code", 0):
+                        return sse_error(msg.get("text", ""))
+                    final = msg.get("text", final)
+                    safe = final[: max(0, len(final) - hold)]
+                    if len(safe) > len(sent) and safe.startswith(sent):
+                        self.wfile.write(
+                            chunk({"content": safe[len(sent):]}))
+                        self.wfile.flush()
+                        sent = safe
+            except Exception as e:  # noqa: BLE001 — upstream failure
+                return sse_error(f"upstream: {e}")
+            if len(final) > len(sent) and final.startswith(sent):
+                self.wfile.write(chunk({"content": final[len(sent):]}))
             self.wfile.write(chunk({}, finish="stop"))
             self.wfile.write(b"data: [DONE]\n\n")
 
@@ -231,10 +270,12 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
 def serve_openai_api(controller_addr: str, host: str = "0.0.0.0",
                      port: int = 8000, conv_template: str = "phi35",
                      default_model: Optional[str] = None,
-                     background: bool = False):
+                     background: bool = False,
+                     request_timeout: int = 600):
     httpd = ThreadingHTTPServer(
         (host, port),
-        make_handler(controller_addr, conv_template, default_model))
+        make_handler(controller_addr, conv_template, default_model,
+                     request_timeout))
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
@@ -254,11 +295,14 @@ def main(argv=None):
     ap.add_argument("--conv-template", default="phi35")
     ap.add_argument("--model", default=None,
                     help="default model when requests omit one")
+    ap.add_argument("--request-timeout", type=int, default=600,
+                    help="seconds to wait on the upstream worker stream")
     a = ap.parse_args(argv)
     print(f"openai api on {a.host}:{a.port} -> {a.controller_address}",
           flush=True)
     serve_openai_api(a.controller_address, a.host, a.port,
-                     a.conv_template, a.model)
+                     a.conv_template, a.model,
+                     request_timeout=a.request_timeout)
 
 
 if __name__ == "__main__":

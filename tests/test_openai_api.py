@@ -50,12 +50,18 @@ def post_json(url, data, timeout=60):
 
 @pytest.fixture(scope="module")
 def stack():
+    from competesmoe_tpu.models.llava import IMAGE_TOKEN_INDEX
+
     cfg = tiny_llava_cfg(moe=False)
     model = LlavaModel(cfg)
     tok = EvalTok()
     tok("hello world red cat what is this the and a")
-    ids = np.full((1, 6), 2, np.int32)
-    params = model.init(jax.random.PRNGKey(0), ids, None)
+    # init WITH an image so the vision tower + projector params exist
+    # (text-only init leaves them out and image requests then fail —
+    # which the API now correctly surfaces as a 502 instead of text)
+    ids = np.array([[2, IMAGE_TOKEN_INDEX, 2, 2, 2, 2]], np.int32)
+    px = np.zeros((1, 28, 28, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, px)
     adapter = JaxLlava(model, params, tok, ImageProcessorConfig(size=28),
                        max_new_tokens=6)
 
@@ -161,6 +167,64 @@ def test_chat_completion_vision_request(stack):
         ]}],
         "max_tokens": 4, "temperature": 0.0})
     assert d["choices"][0]["message"]["content"] is not None
+
+
+def test_render_prompt_image_in_later_turn():
+    """An image attached to a later user message gets its <image> token
+    in THAT message (not silently dropped)."""
+    b64 = base64.b64encode(b"yy").decode()
+    prompt, images, _ = _render_prompt("phi35", [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": [
+            {"type": "text", "text": "and this?"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ]},
+    ])
+    assert images == [b64]
+    # the <image> token lands after the assistant turn
+    assert prompt.index("<image>") > prompt.index("hello")
+
+
+def test_worker_error_surfaces_as_api_error(stack):
+    """An unknown model produces the controller's 'No available worker'
+    error — the API must return an error object, not a 200 completion
+    with the error text as assistant content."""
+    req = urlrequest.Request(
+        stack + "/v1/chat/completions",
+        data=json.dumps({
+            "model": "no-such-model",
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"})
+    import urllib.error
+    try:
+        urlrequest.urlopen(req, timeout=30)
+        assert False, "expected an HTTP error"
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert "error" in body
+        assert e.code == 502
+
+
+def test_stop_list_reaches_worker(stack):
+    """OpenAI stop arrays pass through whole (the worker cuts at the
+    earliest hit) — a stop matching the first generated word truncates
+    the reply."""
+    base = {"model": "tiny-llava",
+            "messages": [{"role": "user", "content": "hello world"}],
+            "max_tokens": 6, "temperature": 0.0}
+    full = post_json(stack + "/v1/chat/completions", base)
+    text = full["choices"][0]["message"]["content"]
+    words = text.split()
+    if len(words) < 2:
+        pytest.skip("tiny model reply too short to truncate")
+    cut = post_json(stack + "/v1/chat/completions",
+                    dict(base, stop=["zzz-never", words[1]]))
+    cut_text = cut["choices"][0]["message"]["content"]
+    assert words[1] not in cut_text
+    assert len(cut_text) < len(text)
 
 
 def test_bad_route_and_bad_request(stack):
