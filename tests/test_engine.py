@@ -23,7 +23,9 @@ from competesmoe_tpu.serve.engine import DecodeEngine, _bucket
 
 from test_llava import tiny_llava_cfg
 
-pytestmark = pytest.mark.fast
+# engine correctness core rides the fast tier; the wider matrix
+# (buckets, bursts, prefix cache, TP, mixed sampling) is mid-tier
+# (unmarked: included in -m 'not slow', excluded from -m fast)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +63,7 @@ def _collect(engine, ids, px=None, max_new=6, temperature=0.0):
     return out, done
 
 
+@pytest.mark.fast
 def test_bucket():
     assert _bucket(1) == 32
     assert _bucket(32) == 32
@@ -68,6 +71,7 @@ def test_bucket():
     assert _bucket(100) == 128
 
 
+@pytest.mark.fast
 def test_engine_matches_solo_concurrent(tiny_model):
     model, params = tiny_model
     rng = np.random.default_rng(0)
@@ -486,6 +490,7 @@ def test_engine_prefix_cache_image_conversation(tiny_model):
     assert reply2 == want
 
 
+@pytest.mark.fast
 def test_engine_speculative_matches_solo(tiny_model):
     """spec_k>0 must not change greedy output — drafts are only ever
     accepted when they equal the model's own argmax (bit-exact)."""
@@ -568,6 +573,7 @@ def test_engine_speculative_mixed_with_sampled_slot(tiny_model):
         engine.shutdown()
 
 
+@pytest.mark.fast
 def test_engine_chunked_prefill_token_exact(tiny_model):
     """A long text prompt admitted via chunked prefill produces exactly
     the solo greedy tokens (continue-prefill across chunks is the same
