@@ -304,15 +304,23 @@ class DecodeEngine:
             on the batch axis) and sample each row's first token — one
             device call per admission group. Padding rows carry
             slot == n_slots, which mode='drop' discards; jit re-traces
-            once per padded batch size (pow-2), so programs are reused.
+            once per (padded batch size, row length) pair, so programs
+            are reused. Rows may be SHORTER than the engine cache (text
+            groups prefill into bucket-length caches — admission then
+            moves O(bucket) bytes per row instead of O(max_len)); the
+            slice beyond the row length keeps the previous occupant's
+            stale K/V, which is never attended before the decode/verify
+            step that overwrites it (mask kpos <= qpos and the step
+            writes position qpos before reading it).
             First-token sampling always runs the nucleus form: one vocab
             sort per admitted request is negligible (unlike per-step)."""
             def put(buf, upd):
                 if isinstance(buf, (list, tuple)):  # per_layer layout
                     return type(buf)(
-                        b.at[slots].set(u, mode="drop")
+                        b.at[slots, : u.shape[1]].set(u, mode="drop")
                         for b, u in zip(buf, upd))
-                return buf.at[:, slots].set(upd, mode="drop")
+                return buf.at[:, slots, : upd.shape[2]].set(upd,
+                                                            mode="drop")
 
             new_cache = KVCache(
                 k=put(cache.k, rows.k), v=put(cache.v, rows.v),
@@ -418,6 +426,20 @@ class DecodeEngine:
 
         self._chunk_prefill = chunk_prefill
 
+    def _run_prefill(self, bucket: int, ids, px, mask):
+        """Admission prefill. Text groups use a bucket+1-length cache
+        (slot `bucket` is the pad dump) — the transient rows and the
+        insert traffic scale with the prompt bucket, not max_len; the
+        short rows splice via insert_many's prefix write. Image groups
+        keep the max_len cache: the spliced sequence (prompt - 1 +
+        num_image_tokens per image) exceeds the token bucket."""
+        if px is None:
+            prefill, _ = make_generate_fns(self.model, self.cfg,
+                                           min(bucket + 1, self.max_len))
+        else:
+            prefill = self._prefill
+        return prefill(self.params, ids, px, mask)
+
     def _admit_group(self, bucket: int, reqs: List[_Request]):
         """Prefill `reqs` (same prompt bucket + image shape) as ONE
         padded batch and splice every row in with ONE insert_many call.
@@ -441,8 +463,8 @@ class DecodeEngine:
                 rows + [rows[0]] * (nbp - nb), axis=0))
         # prefill leaves pos at the written length; the engine's step
         # advances pos itself, so rows arrive decode-ready
-        last, out = self._prefill(self.params, jnp.asarray(ids), px,
-                                  jnp.asarray(mask))
+        last, out = self._run_prefill(bucket, jnp.asarray(ids), px,
+                                      jnp.asarray(mask))
 
         slots = np.full((nbp,), self.n_slots, np.int32)
         temps = np.zeros((nbp,), np.float32)

@@ -215,13 +215,13 @@ def test_engine_burst_admission_batched_prefill(tiny_model):
                           run_thread=False)
     try:
         calls = []
-        orig = engine._prefill
+        orig = engine._run_prefill
 
-        def spy(params, ids, px, mask):
+        def spy(bucket, ids, px, mask):
             calls.append(int(ids.shape[0]))
-            return orig(params, ids, px, mask)
+            return orig(bucket, ids, px, mask)
 
-        engine._prefill = spy
+        engine._run_prefill = spy
         waits = [_collect(engine, p) for p in prompts]
         import time
         deadline = time.time() + 120
@@ -256,13 +256,13 @@ def test_engine_burst_mixed_buckets_and_cap(tiny_model):
                           run_thread=False, max_prefill_batch=2)
     try:
         calls = []
-        orig = engine._prefill
+        orig = engine._run_prefill
 
-        def spy(params, ids, px, mask):
+        def spy(bucket, ids, px, mask):
             calls.append((int(ids.shape[0]), int(ids.shape[1])))
-            return orig(params, ids, px, mask)
+            return orig(bucket, ids, px, mask)
 
-        engine._prefill = spy
+        engine._run_prefill = spy
         waits = [_collect(engine, p) for p in prompts]
         import time
         deadline = time.time() + 120
@@ -299,13 +299,13 @@ def test_engine_burst_image_requests_batch(tiny_model):
                           run_thread=False)
     try:
         calls = []
-        orig = engine._prefill
+        orig = engine._run_prefill
 
-        def spy(params, ids, px, mask):
+        def spy(bucket, ids, px, mask):
             calls.append(int(ids.shape[0]))
-            return orig(params, ids, px, mask)
+            return orig(bucket, ids, px, mask)
 
-        engine._prefill = spy
+        engine._run_prefill = spy
         waits = [_collect(engine, ids1, px1), _collect(engine, ids2, px2)]
         import time
         deadline = time.time() + 120
@@ -426,18 +426,18 @@ def test_engine_prefix_cache_multiturn_token_exact(tiny_model):
 
         calls = []
         orig_unpark = engine._unpark_prefill
-        orig_prefill = engine._prefill
+        orig_prefill = engine._run_prefill
 
         def spy_unpark(params, park, pidx, pos0, ids, mask):
             calls.append(("unpark", int(ids.shape[1])))
             return orig_unpark(params, park, pidx, pos0, ids, mask)
 
-        def spy_prefill(params, ids, px, mask):
+        def spy_prefill(bucket, ids, px, mask):
             calls.append(("cold", int(ids.shape[1])))
-            return orig_prefill(params, ids, px, mask)
+            return orig_prefill(bucket, ids, px, mask)
 
         engine._unpark_prefill = spy_unpark
-        engine._prefill = spy_prefill
+        engine._run_prefill = spy_prefill
         reply2 = run(p2, 6)
         assert engine.stats()["engine_prefix_cache_hits"] == 1
         # suffix = 1 carried token + 3 new -> 32-bucket unpark, no cold
