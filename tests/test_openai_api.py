@@ -227,6 +227,66 @@ def test_stop_list_reaches_worker(stack):
     assert len(cut_text) < len(text)
 
 
+def test_engine_backed_worker_streams_through_api():
+    """The whole composed stack: OpenAI API -> controller -> worker
+    backed by the continuous-batching engine (spec + chunked prefill +
+    prefix cache on) streams a greedy completion end to end."""
+    from competesmoe_tpu.models.llava import IMAGE_TOKEN_INDEX
+    from competesmoe_tpu.serve.engine import DecodeEngine
+    from competesmoe_tpu.serve.model_worker import engine_generate_fn
+
+    cfg = tiny_llava_cfg(moe=False)
+    model = LlavaModel(cfg)
+    tok = EvalTok()
+    tok("hello world red cat what is this the and a")
+    ids = np.array([[2, IMAGE_TOKEN_INDEX, 2, 2, 2, 2]], np.int32)
+    px = np.zeros((1, 28, 28, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, px)
+    adapter = JaxLlava(model, params, tok, ImageProcessorConfig(size=28),
+                       max_new_tokens=6)
+    engine = DecodeEngine(model, params, n_slots=2, max_len=128,
+                          spec_k=2, prefill_chunk=16,
+                          prefix_cache_slots=1)
+
+    cport, wport, oport = free_port(), free_port(), free_port()
+    caddr = f"http://127.0.0.1:{cport}"
+    _, chttpd = serve_controller("127.0.0.1", cport, background=True)
+    worker = ModelWorker(caddr, f"http://127.0.0.1:{wport}",
+                         ["tiny-engine"], engine_generate_fn(adapter,
+                                                             engine),
+                         register=True)
+    whttpd = serve_worker(worker, "127.0.0.1", wport, background=True)
+    ohttpd = serve_openai_api(caddr, "127.0.0.1", oport,
+                              conv_template="phi35", background=True)
+    try:
+        body = {"model": "tiny-engine", "stream": True,
+                "messages": [{"role": "user",
+                              "content": "hello world hello world"}],
+                "max_tokens": 6, "temperature": 0.0}
+        req = urlrequest.Request(
+            f"http://127.0.0.1:{oport}/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        got, done = "", False
+        with urlrequest.urlopen(req, timeout=120) as r:
+            for line in r.read().decode().splitlines():
+                if not line.startswith("data: "):
+                    continue
+                payload = line[len("data: "):]
+                if payload == "[DONE]":
+                    done = True
+                    break
+                ch = json.loads(payload)
+                got += ch["choices"][0]["delta"].get("content", "")
+        assert done
+        assert engine.error is None
+        assert engine._tokens_emitted >= 1
+    finally:
+        engine.shutdown()
+        for h in (ohttpd, whttpd, chttpd):
+            h.shutdown()
+
+
 def test_bad_route_and_bad_request(stack):
     try:
         urlrequest.urlopen(stack + "/v1/embeddings", data=b"{}",
