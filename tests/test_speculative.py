@@ -197,6 +197,29 @@ def test_eval_adapter_speculative_same_answers(tiny_lm):
     assert plain == spec
 
 
+def test_speculative_with_int8_kv_cache_bit_exact():
+    """Speculation composes with the quantized KV cache: the verify
+    step quantizes K+1 slots at once, per (token, head) — identical
+    values to one-at-a-time decode, so spec output matches plain greedy
+    on the SAME int8 cache."""
+    import dataclasses
+
+    model_cfg = tiny_llava_cfg(moe=False)
+    model_cfg = dataclasses.replace(
+        model_cfg, decoder=dataclasses.replace(model_cfg.decoder,
+                                               kv_quant="int8"))
+    model = LlavaModel(model_cfg)
+    ids = np.full((1, 6), 2, np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, None)
+
+    prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8]], np.int32)
+    ref, _ = generate(model, params, prompt, None, max_new_tokens=8,
+                      temperature=0.0, scan_decode=False)
+    got, _ = generate(model, params, prompt, None, max_new_tokens=8,
+                      temperature=0.0, speculative=3)
+    np.testing.assert_array_equal(got[0], ref[0])
+
+
 def test_worker_generate_fn_speculative_matches_plain(tiny_lm):
     """The worker's solo generate_fn with speculative=K yields the same
     final text as the plain path (greedy bit-exactness end to end)."""
