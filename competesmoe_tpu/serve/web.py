@@ -81,16 +81,30 @@ async function imagesB64() {
 }
 async function complete() {
   const images = await imagesB64();
-  const resp = await fetch('/chat', {method: 'POST',
+  const resp = await fetch('/chat_stream', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify({messages: hist, images: images,
       model: document.getElementById('model').value,
       temperature: parseFloat(document.getElementById('temp').value),
       top_p: parseFloat(document.getElementById('topp').value),
       max_new_tokens: parseInt(document.getElementById('maxtok').value)})});
-  const data = await resp.json();
-  hist.push(['ASSISTANT', data.text]);
-  render();
+  // newline-delimited JSON lines {text: cumulative}; render as they land
+  hist.push(['ASSISTANT', '']);
+  const reader = resp.body.getReader();
+  const dec = new TextDecoder();
+  let buf = '';
+  while (true) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    buf += dec.decode(value, {stream: true});
+    const lines = buf.split('\\n');
+    buf = lines.pop();
+    for (const line of lines) {
+      if (!line.trim()) continue;
+      hist[hist.length - 1][1] = JSON.parse(line).text;
+      render();
+    }
+  }
 }
 async function send() {
   const msg = document.getElementById('msg').value.trim();
@@ -177,7 +191,7 @@ def make_handler(controller_addr: str, model_name: str,
                 with open(self._conv_log_file(), "a") as f:
                     f.write(json.dumps(rec) + "\n")
                 return self._json({"ok": True})
-            if self.path != "/chat":
+            if self.path not in ("/chat", "/chat_stream"):
                 self.send_response(404)
                 self.end_headers()
                 return
@@ -206,10 +220,34 @@ def make_handler(controller_addr: str, model_name: str,
                 method="POST",
                 headers={"Content-Type": "application/json"})
             text = ""
-            with urlrequest.urlopen(req, timeout=300) as r:
-                for part in r.read().split(b"\0"):
-                    if part:
-                        text = json.loads(part).get("text", text)
+            if self.path == "/chat_stream":
+                # live tokens to the browser (the reference gradio UI
+                # streams via yield; here: ndjson lines of cumulative
+                # text, connection close delimits the stream)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.end_headers()
+                with urlrequest.urlopen(req, timeout=300) as r:
+                    buf = b""
+                    while True:
+                        block = r.read(4096)
+                        if not block:
+                            break
+                        buf += block
+                        while b"\0" in buf:
+                            part, buf = buf.split(b"\0", 1)
+                            if not part:
+                                continue
+                            text = json.loads(part).get("text", text)
+                            self.wfile.write(
+                                (json.dumps({"text": text}) + "\n")
+                                .encode())
+                            self.wfile.flush()
+            else:
+                with urlrequest.urlopen(req, timeout=300) as r:
+                    for part in r.read().split(b"\0"):
+                        if part:
+                            text = json.loads(part).get("text", text)
             # conversation state log (the reference appends every round)
             with open(self._conv_log_file(), "a") as f:
                 f.write(json.dumps({
@@ -217,7 +255,8 @@ def make_handler(controller_addr: str, model_name: str,
                     "model": data.get("model", model_name),
                     "state": {"messages": msgs + [["ASSISTANT", text]]},
                     "ip": self.client_address[0]}) + "\n")
-            self._json({"text": text})
+            if self.path == "/chat":
+                self._json({"text": text})
 
     return Handler
 

@@ -154,6 +154,19 @@ def test_web_chat_page(adapter):
         with _ur.urlopen(req, timeout=60) as r:
             resp = _json.loads(r.read())
         assert "text" in resp
+        # streaming variant: ndjson lines of cumulative text, final
+        # line must equal the non-stream reply for the same prompt
+        req_s = _ur.Request(
+            f"http://127.0.0.1:{webport}/chat_stream",
+            data=_json.dumps({"messages": [["USER", "hello"]],
+                              "images": []}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"})
+        with _ur.urlopen(req_s, timeout=60) as r:
+            lines = [_json.loads(x) for x in
+                     r.read().decode().splitlines() if x.strip()]
+        assert lines and all("text" in x for x in lines)
+        assert lines[-1]["text"] == resp["text"]
     finally:
         chttpd.shutdown()
         whttpd.shutdown()
