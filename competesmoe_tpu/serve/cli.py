@@ -18,10 +18,13 @@ from ..multimodal.mm_utils import process_images, tokenizer_image_token
 
 def chat_loop(adapter, image_path: Optional[str] = None,
               conv_template: str = "phi35", max_new_tokens: int = 256,
-              temperature: float = 0.0,
+              temperature: float = 0.0, speculative: int = 0,
               in_stream=sys.stdin, out_stream=sys.stdout):
-    """adapter: eval.JaxLlava. Reads prompts, prints streamed replies."""
-    from ..models.llava import generate
+    """adapter: eval.JaxLlava. Reads prompts, prints replies token by
+    token as they decode (the reference CLI's TextStreamer role,
+    moe_model/serve/cli.py:95-118); speculative=K enables prompt-lookup
+    speculation for greedy chats."""
+    from ..models.llava import stream_generate
 
     conv = conv_templates[conv_template].copy()
     px = None
@@ -49,16 +52,28 @@ def chat_loop(adapter, image_path: Optional[str] = None,
         conv.append_message(conv.roles[1], None)
         prompt = conv.get_prompt()
         ids = adapter.tokenizer_ids_for_prompt(prompt, px is not None)
-        toks, _ = generate(
-            adapter.model, adapter.params,
-            np.asarray([ids], np.int32), px,
-            max_new_tokens=max_new_tokens, temperature=temperature,
-            eos_token_id=getattr(adapter.tokenizer, "eos_token_id", None),
-            stop_token_ids=adapter.stop_token_ids)
-        text = adapter.tokenizer.decode(list(toks[0]),
-                                        skip_special_tokens=True)
-        text = text.split("<|end|>")[0].strip()
+        out_stream.write(f"{conv.roles[1]}: ")
+        out_stream.flush()
+        tokens: list = []
+        printed = ""
+        for chunk in stream_generate(
+                adapter.model, adapter.params,
+                np.asarray([ids], np.int32), px,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                eos_token_id=getattr(adapter.tokenizer, "eos_token_id",
+                                     None),
+                stop_token_ids=adapter.stop_token_ids,
+                speculative=speculative):
+            tokens.extend(int(t) for t in chunk[0])
+            text = adapter.tokenizer.decode(tokens,
+                                            skip_special_tokens=True)
+            text = text.split("<|end|>")[0]
+            if text.startswith(printed) and len(text) > len(printed):
+                out_stream.write(text[len(printed):])
+                out_stream.flush()
+                printed = text
+        text = printed.strip()
         conv.messages[-1][1] = text
-        out_stream.write(f"{conv.roles[1]}: {text}\n")
+        out_stream.write("\n")
         out_stream.flush()
     return conv
