@@ -90,6 +90,14 @@ def main():
                          "tokens per tick between decode steps — "
                          "watch itg_ms_max drop (a live stream's "
                          "longest stall) while long admissions land")
+    ap.add_argument("--prefix-cache", type=int, default=0,
+                    help="park N retired conversation rows; with "
+                         "--multi-turn the turn-2 TTFT shows the "
+                         "suffix-only-prefill win")
+    ap.add_argument("--multi-turn", action="store_true",
+                    help="each request runs TWO turns (turn 2 extends "
+                         "turn 1's prompt + reply); reports turn-2 "
+                         "TTFT separately — the prefix-cache metric")
     ap.add_argument("--spec-oracle", action="store_true",
                     help="with --spec: draft from a precomputed greedy "
                          "continuation (100%% acceptance) — measures "
@@ -112,7 +120,8 @@ def main():
                           max_len=a.max_len,
                           steps_per_call=a.steps_per_call,
                           spec_k=a.spec,
-                          prefill_chunk=a.prefill_chunk)
+                          prefill_chunk=a.prefill_chunk,
+                          prefix_cache_slots=a.prefix_cache)
     # warmup: compile prefill + step
     for _ in engine.submit(prompts[0], max_new_tokens=2):
         pass
@@ -142,6 +151,9 @@ def main():
         engine._spec_calls = 0
         engine._spec_accepted = 0
 
+    # pre-drawn turn-2 questions (np Generator is not thread-safe)
+    turn2_qs = [rng.integers(10, 30000, 12).astype(np.int32)
+                for _ in range(a.requests)]
     results = []
     lock = threading.Lock()
 
@@ -150,6 +162,7 @@ def main():
         n = 0
         last = t_submit
         max_gap = 0.0
+        toks1 = []
         for tok in engine.submit(prompts[i], max_new_tokens=a.max_new):
             now = time.perf_counter()
             if first is None:
@@ -157,11 +170,28 @@ def main():
             else:
                 max_gap = max(max_gap, now - last)
             last = now
+            toks1.append(tok)
             n += 1
+        rec = {"ttft_s": first - t_submit, "tokens": n,
+               "itg_max_s": max_gap}
+        if a.multi_turn:
+            # turn 2 extends turn 1's conversation (prompt + reply +
+            # new question): with --prefix-cache the parked row makes
+            # this a suffix-only prefill
+            p2 = np.concatenate([
+                prompts[i], np.asarray(toks1[:-1], np.int32),
+                turn2_qs[i]])
+            t2 = time.perf_counter()
+            first2 = None
+            for tok in engine.submit(p2, max_new_tokens=a.max_new):
+                if first2 is None:
+                    first2 = time.perf_counter()
+                n += 1
+            rec["ttft2_s"] = first2 - t2
+            rec["tokens"] = n
+        rec["t_done"] = time.perf_counter()
         with lock:
-            results.append({"ttft_s": first - t_submit, "tokens": n,
-                            "itg_max_s": max_gap,
-                            "t_done": time.perf_counter()})
+            results.append(rec)
 
     t0 = time.perf_counter()
     threads = []
@@ -206,6 +236,12 @@ def main():
             "itg_ms_p90": round(1e3 * float(np.percentile(
                 [r["itg_max_s"] for r in results], 90)), 1),
             "prefill_chunk": a.prefill_chunk,
+            "prefix_cache": a.prefix_cache,
+            **({"ttft2_s_median": round(float(np.median(
+                    [r["ttft2_s"] for r in results])), 3),
+                "prefix_cache_hits": engine.stats()[
+                    "engine_prefix_cache_hits"]}
+               if a.multi_turn else {}),
             "wall_s": round(t1 - t0, 2),
             "device": str(jax.devices()[0]),
         }}))
