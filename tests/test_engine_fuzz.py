@@ -37,6 +37,16 @@ def _solo(model, params, ids, max_new):
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_engine_fuzz_interleavings_match_solo(tiny_model, seed):
+    _run_fuzz(tiny_model, seed)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [3, 4, 5, 6])
+def test_engine_fuzz_wide_band(tiny_model, seed):
+    _run_fuzz(tiny_model, seed)
+
+
+def _run_fuzz(tiny_model, seed):
     model, params = tiny_model
     rng = np.random.default_rng(seed)
 
