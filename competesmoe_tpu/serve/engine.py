@@ -254,36 +254,70 @@ class DecodeEngine:
             @partial(jax.jit, donate_argnums=(2,))
             def spec_step(params, cur, cache, rng, temps, topps, drafts):
                 """One speculative verify step over every slot: feed
-                [cur, k drafts], accept the longest draft prefix matching
-                the model's own greedy argmax (bit-exact — see
-                models/llava.py:make_verify_step), emit 1+n_acc tokens.
-                Sampled slots (temp>0) draw ONE token from position-0
-                logits like the plain step and accept nothing. On a
-                weight-bandwidth-bound step the k extra positions are
-                nearly free, so each accepted draft is a free token."""
+                [cur, k drafts] through the model once.
+
+                Greedy slots (temp==0) accept the longest draft prefix
+                matching the model's own argmax — bit-exact (see
+                models/llava.py:make_verify_step).
+
+                Sampled slots (temp>0) run SPECULATIVE SAMPLING with the
+                point-mass drafter (Leviathan/Chen rejection scheme,
+                q = delta at the draft token): accept draft d_j with
+                probability p_j(d_j); on the first rejection, resample
+                from the residual norm(p_j - min(p_j, q_j)) — which for
+                a point mass is p_j with d_j removed, renormalized; if
+                all k accept, a bonus token samples from p_k. The
+                emitted-token distribution is exactly the step-by-step
+                sampling distribution (unbiased), nucleus filter
+                included per position. On a weight-bandwidth-bound step
+                the k extra positions are nearly free, so each accepted
+                draft is a free token for BOTH modes."""
+                S, k = drafts.shape
                 pos0 = cache.pos
                 toks_in = jnp.concatenate([cur[:, None], drafts], axis=1)
                 out = model.apply(params, toks_in, None, cache=cache)
                 logits = out.logits                       # [S, 1+k, V]
                 greedy = jnp.argmax(logits, -1).astype(jnp.int32)
                 match = (drafts == greedy[:, :-1]).astype(jnp.int32)
-                n_acc = jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)
-                l0 = logits[:, 0]
-                scaled = l0 / jnp.maximum(temps, 1e-6)[:, None]
+                n_acc_g = jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)
+
+                scaled = logits / jnp.maximum(temps, 1e-6)[:, None, None]
                 if nucleus:
-                    srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+                    srt = jnp.sort(scaled, axis=-1)[..., ::-1]
                     cum = jnp.cumsum(jax.nn.softmax(srt, -1), axis=-1)
-                    ci = jnp.sum(cum < topps[:, None], axis=-1,
+                    ci = jnp.sum(cum < topps[:, None, None], axis=-1,
                                  keepdims=True)
                     cutoff = jnp.take_along_axis(srt, ci, axis=-1)
                     scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-                drawn = jax.random.categorical(rng, scaled,
-                                               axis=-1).astype(jnp.int32)
-                sampled = temps > 0
-                n_acc = jnp.where(sampled, 0, n_acc)
-                first = jnp.where(sampled, drawn, greedy[:, 0])
-                toks = jnp.concatenate([first[:, None], greedy[:, 1:]],
-                                       axis=1)
+                r_acc, r_resid, r_bonus = jax.random.split(rng, 3)
+                p = jax.nn.softmax(scaled, axis=-1)
+                # accept d_j with prob p_j(d_j) (point-mass q)
+                p_d = jnp.take_along_axis(
+                    p[:, :-1], drafts[..., None].astype(jnp.int32),
+                    axis=-1)[..., 0]                       # [S, k]
+                u = jax.random.uniform(r_acc, (S, k))
+                acc = (u < p_d).astype(jnp.int32)
+                n_acc_s = jnp.sum(jnp.cumprod(acc, axis=-1), axis=-1)
+                # residual draw per draft position (draft token removed,
+                # categorical renormalizes)
+                V = logits.shape[-1]
+                dmask = jax.nn.one_hot(drafts, V, dtype=bool)
+                masked = jnp.where(dmask, -jnp.inf, scaled[:, :-1])
+                resid = jax.random.categorical(
+                    r_resid, masked.reshape(S * k, V)
+                ).reshape(S, k).astype(jnp.int32)
+                bonus = jax.random.categorical(
+                    r_bonus, scaled[:, -1]).astype(jnp.int32)
+                idx = jnp.arange(k + 1)[None]
+                drafts_pad = jnp.concatenate(
+                    [drafts, jnp.zeros((S, 1), jnp.int32)], axis=1)
+                repl = jnp.concatenate([resid, bonus[:, None]], axis=1)
+                out_s = jnp.where(idx < n_acc_s[:, None], drafts_pad,
+                                  repl)
+
+                is_sampled = temps > 0
+                n_acc = jnp.where(is_sampled, n_acc_s, n_acc_g)
+                toks = jnp.where(is_sampled[:, None], out_s, greedy)
                 # keep only the verified prefix live; rejected tails sit
                 # beyond pos (never attended) and are overwritten by the
                 # next step's scatter
@@ -716,11 +750,11 @@ class DecodeEngine:
                 self._woken.wait(timeout=0.05)
                 self._woken.clear()
             return
-        if self._spec_k and any(self._temps[s] <= 0 for s in self._live):
-            # at least one greedy slot can accept drafts; sampled slots
-            # ride along taking one token. Ticks where NO slot found a
-            # draft (and all-sampled batches) fall through to the plain
-            # step — a verify would pay its extra positions for nothing.
+        if self._spec_k:
+            # both greedy (argmax-verify) and sampled (rejection-scheme)
+            # slots can accept drafts. Ticks where NO slot found a draft
+            # fall through to the plain step — a verify would pay its
+            # extra positions for nothing.
             drafts = self._collect_drafts()
             if drafts is not None:
                 self._tick_spec(drafts)
@@ -739,8 +773,10 @@ class DecodeEngine:
                 self._emit(req, int(toks[slot, k]))
 
     def _collect_drafts(self) -> Optional[np.ndarray]:
-        """Prompt-lookup draft per live greedy slot (host side).
-        Returns [n_slots, k] or None when no slot produced a draft."""
+        """Prompt-lookup draft per live slot (host side) — greedy slots
+        verify against argmax, sampled slots accept via the rejection
+        scheme. Returns [n_slots, k] or None when no slot produced a
+        draft."""
         from .speculative import ngram_draft
 
         k = self._spec_k
@@ -748,11 +784,10 @@ class DecodeEngine:
         drafts = np.zeros((self.n_slots, k), np.int32)
         found = False
         for slot, req in self._live.items():
-            if self._temps[slot] <= 0:
-                d = draft(list(int(t) for t in req.ids) + req.emitted, k)
-                if d is not None:
-                    drafts[slot] = d
-                    found = True
+            d = draft(list(int(t) for t in req.ids) + req.emitted, k)
+            if d is not None:
+                drafts[slot] = d
+                found = True
         return drafts if found else None
 
     def _tick_spec(self, drafts: np.ndarray):

@@ -694,3 +694,56 @@ def test_engine_tp_with_speculation_token_exact(tiny_model):
         assert engine.stats()["engine_spec_verify_calls"] > 0
     finally:
         engine.shutdown()
+
+
+def test_spec_sampling_first_token_marginal_unbiased(tiny_model):
+    """Speculative SAMPLING (point-mass rejection scheme): the marginal
+    of the first emitted token must equal the model's (temperature-
+    scaled) next-token distribution regardless of the draft — accept
+    d w.p. p(d), else resample from the renormalized residual. Checked
+    empirically over many identical slots against the exact softmax."""
+    import jax.numpy as jnp
+
+    model, params = tiny_model
+    B, k = 1024, 2
+    prompt = np.arange(1, 7, dtype=np.int32)
+
+    engine = DecodeEngine(model, params, n_slots=B, max_len=32,
+                          spec_k=k, run_thread=False)
+    try:
+        from competesmoe_tpu.models.decoder import KVCache
+
+        # identical state in every slot: prefill the prompt batch-wide
+        ids = jnp.asarray(np.tile(prompt[None], (B, 1)))
+        cache = KVCache.create(model.cfg.decoder, B, 32)
+        out = model.apply(params, ids, None, cache=cache)
+        cache = out.cache
+        logits0 = np.asarray(out.logits[:, len(prompt) - 1])[0]
+
+        cur = jnp.full((B,), 9, jnp.int32)          # next fed token
+        temps = jnp.full((B,), 1.0, jnp.float32)
+        topps = jnp.ones((B,), jnp.float32)
+        # exact distribution after feeding `cur` — compute via one
+        # plain step on a copy of the state
+        probe = model.apply(params, np.full((B, 1), 9, np.int32), None,
+                            cache=cache)
+        p_true = np.asarray(
+            jax.nn.softmax(probe.logits[0, 0].astype(np.float32)))
+        # draft = the most likely token (high acceptance) in arm 1 and
+        # an unlikely token in arm 2: the marginal must match BOTH times
+        for d0 in (int(p_true.argmax()), int(p_true.argmin())):
+            drafts = jnp.full((B, k), d0, jnp.int32)
+            toks, n_acc, cur2, _ = engine._spec_plain(
+                params, cur,
+                jax.tree_util.tree_map(jnp.copy, cache),
+                jax.random.PRNGKey(d0), temps, topps, drafts)
+            first = np.asarray(toks)[:, 0]
+            freq = np.bincount(first, minlength=p_true.size) / B
+            # 5-sigma binomial tolerance on the top tokens
+            for t in np.argsort(p_true)[-5:]:
+                tol = 5 * np.sqrt(p_true[t] * (1 - p_true[t]) / B) + 1e-3
+                assert abs(freq[t] - p_true[t]) <= tol, (
+                    f"draft={d0} token={t}: freq {freq[t]:.4f} vs "
+                    f"p {p_true[t]:.4f} (tol {tol:.4f})")
+    finally:
+        engine.shutdown()
