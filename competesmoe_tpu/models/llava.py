@@ -324,6 +324,59 @@ def make_scan_decode(model: LlavaModel, n_tokens: int,
     return fn
 
 
+def speculative_accept(logits, drafts, temps, topps, rng, *,
+                       nucleus: bool):
+    """Shared speculative accept/resample math over a batch of rows.
+
+    logits [S, 1+k, V] from one forward over [cur, k drafts]; returns
+    (toks [S, 1+k], n_acc [S]) where toks[s, :n_acc[s]+1] are the
+    emitted tokens. Rows with temps<=0 run greedy verification (accept
+    the longest draft prefix equal to argmax — bit-exact); rows with
+    temps>0 run speculative SAMPLING with the point-mass drafter
+    (Leviathan/Chen rejection scheme, q = delta at the draft): accept
+    d_j w.p. p_j(d_j), on the first rejection resample from the
+    renormalized residual (p_j with d_j removed), bonus draw from p_k
+    when all k accept — the emitted-token marginal equals step-by-step
+    sampling exactly, nucleus filter applied per position when
+    `nucleus`. Used by the engine spec step and the solo verify."""
+    S, k = drafts.shape
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    match = (drafts == greedy[:, :-1]).astype(jnp.int32)
+    n_acc_g = jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)
+
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None, None]
+    if nucleus:
+        srt = jnp.sort(scaled, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(jax.nn.softmax(srt, -1), axis=-1)
+        ci = jnp.sum(cum < topps[:, None, None], axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(srt, ci, axis=-1)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    r_acc, r_resid, r_bonus = jax.random.split(rng, 3)
+    p = jax.nn.softmax(scaled, axis=-1)
+    p_d = jnp.take_along_axis(
+        p[:, :-1], drafts[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    u = jax.random.uniform(r_acc, (S, k))
+    acc = (u < p_d).astype(jnp.int32)
+    n_acc_s = jnp.sum(jnp.cumprod(acc, axis=-1), axis=-1)
+    V = logits.shape[-1]
+    dmask = jax.nn.one_hot(drafts, V, dtype=bool)
+    masked = jnp.where(dmask, -jnp.inf, scaled[:, :-1])
+    resid = jax.random.categorical(
+        r_resid, masked.reshape(S * k, V)).reshape(S, k).astype(jnp.int32)
+    bonus = jax.random.categorical(r_bonus,
+                                   scaled[:, -1]).astype(jnp.int32)
+    idx = jnp.arange(k + 1)[None]
+    drafts_pad = jnp.concatenate(
+        [drafts, jnp.zeros((S, 1), jnp.int32)], axis=1)
+    repl = jnp.concatenate([resid, bonus[:, None]], axis=1)
+    out_s = jnp.where(idx < n_acc_s[:, None], drafts_pad, repl)
+
+    is_sampled = temps > 0
+    n_acc = jnp.where(is_sampled, n_acc_s, n_acc_g)
+    toks = jnp.where(is_sampled[:, None], out_s, greedy)
+    return toks, n_acc
+
+
 _VERIFY_FN_CACHE: Dict = {}
 
 
@@ -368,17 +421,55 @@ def make_verify_step(model: LlavaModel, k_spec: int):
     return fn
 
 
+def make_sampled_verify_step(model: LlavaModel, k_spec: int,
+                             temperature: float, top_p: float):
+    """Jitted speculative-SAMPLING verification step (B==1 solo path):
+    fn(params, tokens [1, 1+k], cache, rng) -> (toks, n_acc, cache').
+    Same rejection scheme as the engine's spec step — see
+    speculative_accept for the math and unbiasedness argument."""
+    key = (model, k_spec, float(temperature), float(top_p), "sampled")
+    hit = _VERIFY_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nucleus = top_p < 1.0
+
+    def verify(params, tokens, cache, rng):
+        pos0 = cache.pos
+        out = model.apply(params, tokens, None, cache=cache)
+        B = tokens.shape[0]
+        temps = jnp.full((B,), temperature, jnp.float32)
+        topps = jnp.full((B,), top_p, jnp.float32)
+        toks, n_acc = speculative_accept(out.logits, tokens[:, 1:],
+                                         temps, topps, rng,
+                                         nucleus=nucleus)
+        cache2 = out.cache.replace(pos=pos0 + 1 + n_acc)
+        return toks, n_acc, cache2
+
+    fn = jax.jit(verify)
+    _VERIFY_FN_CACHE[key] = fn
+    return fn
+
+
 def _spec_chunks(model, params, decode_step, input_ids, cur, cache,
-                 max_new: int, spec: int):
-    """Greedy speculative decode loop (B==1): yields np [1, n] chunks of
-    new tokens after the first, bit-exact vs sequential greedy. Shared
-    by stream_generate (yields through) and generate (collects).
-    Prompt-lookup drafts come from serve/speculative.py; iterations with
-    no recurring n-gram fall back to a plain decode step (same cost on a
-    weight-bandwidth-bound chip)."""
+                 max_new: int, spec: int, temperature: float = 0.0,
+                 top_p: float = 1.0, rng=None):
+    """Speculative decode loop (B==1): yields np [1, n] chunks of new
+    tokens after the first. Shared by stream_generate (yields through)
+    and generate (collects). Greedy (temperature<=0) is bit-exact vs
+    sequential greedy; temperature>0 runs the unbiased point-mass
+    rejection scheme (speculative_accept). Prompt-lookup drafts come
+    from serve/speculative.py; iterations with no recurring n-gram fall
+    back to a plain decode step (same cost on a weight-bandwidth-bound
+    chip)."""
     from ..serve.speculative import ngram_draft
 
-    verify = make_verify_step(model, spec)
+    sampled = temperature > 0.0
+    if sampled:
+        verify = make_sampled_verify_step(model, spec, temperature, top_p)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+    else:
+        verify = make_verify_step(model, spec)
     hist = [int(t) for t in input_ids[0].tolist() if int(t) >= 0]
     cur_i = int(np.asarray(cur)[0])
     hist.append(cur_i)
@@ -388,13 +479,23 @@ def _spec_chunks(model, params, decode_step, input_ids, cur, cache,
         if draft is None:
             logits, cache = decode_step(
                 params, jnp.asarray([cur_i], jnp.int32), cache)
-            emit = np.asarray(
-                jnp.argmax(logits, axis=-1).astype(jnp.int32))
+            if sampled:
+                rng, sub = jax.random.split(rng)
+                emit = np.asarray(
+                    sample_token(logits, sub, temperature, top_p))
+            else:
+                emit = np.asarray(
+                    jnp.argmax(logits, axis=-1).astype(jnp.int32))
         else:
             toks = np.concatenate([[cur_i], draft]).astype(np.int32)
-            greedy, n_acc, cache = verify(
-                params, jnp.asarray(toks[None]), cache)
-            emit = np.asarray(greedy)[0, : int(n_acc[0]) + 1]
+            if sampled:
+                rng, sub = jax.random.split(rng)
+                got, n_acc, cache = verify(
+                    params, jnp.asarray(toks[None]), cache, sub)
+            else:
+                got, n_acc, cache = verify(
+                    params, jnp.asarray(toks[None]), cache)
+            emit = np.asarray(got)[0, : int(n_acc[0]) + 1]
         emit = emit[: max_new - produced]
         produced += len(emit)
         cur_i = int(emit[-1])
@@ -441,15 +542,16 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
     Stops after every row has produced a stop/eos token; the final chunk
     is truncated at the stop position.
 
-    speculative=K > 0 enables prompt-lookup speculative decoding (greedy
-    B==1 only; silently ignored otherwise): each device step verifies K
-    host-drafted tokens (serve/speculative.py) and emits 1..K+1 tokens,
-    bit-exact vs sequential greedy — see make_verify_step.
+    speculative=K > 0 enables prompt-lookup speculative decoding (B==1
+    only; silently ignored otherwise): each device step verifies K
+    host-drafted tokens (serve/speculative.py) and emits 1..K+1 tokens.
+    Greedy requests are bit-exact vs sequential greedy
+    (make_verify_step); temperature>0 requests run the unbiased
+    point-mass rejection scheme (speculative_accept).
     """
     cfg = model.cfg
     B, L = input_ids.shape
-    spec = int(speculative) if (speculative and temperature <= 0.0
-                                and B == 1) else 0
+    spec = int(speculative) if (speculative and B == 1) else 0
     P = cfg.num_image_tokens if pixel_values is not None else 0
     prompt_len = L - 1 + P if pixel_values is not None else L
     max_len = prompt_len + max_new_tokens + spec
@@ -510,8 +612,11 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
         return
 
     if spec:
+        rng, sub = jax.random.split(rng)
         for emit in _spec_chunks(model, params, decode_step, input_ids,
-                                 cur, cache, max_new_tokens, spec):
+                                 cur, cache, max_new_tokens, spec,
+                                 temperature=temperature, top_p=top_p,
+                                 rng=sub):
             chunk_np, finished, done = cut(emit, finished)
             yield chunk_np
             if done:
@@ -559,15 +664,16 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
     routing telemetry) — the role of `LlavaPhiForCausalLM.generate`
     (llava_phi.py:147-220).
 
-    speculative=K enables prompt-lookup speculative decoding (greedy
-    B==1 only, bit-exact, silently ignored otherwise) — the default
-    eval configuration (eval CLI batch_size=1, temperature 0) rides it
+    speculative=K enables prompt-lookup speculative decoding (B==1
+    only, silently ignored otherwise): greedy is bit-exact; temp>0
+    runs the unbiased point-mass rejection scheme. The default eval
+    configuration (eval CLI batch_size=1, temperature 0) rides it
     directly; VQA answers quote the prompt heavily, which is exactly
     the regime where the drafts accept."""
     cfg = model.cfg
     B, L = input_ids.shape
-    spec = int(speculative) if (speculative and temperature <= 0.0
-                                and B == 1 and max_new_tokens > 1) else 0
+    spec = int(speculative) if (speculative and B == 1
+                                and max_new_tokens > 1) else 0
     P = cfg.num_image_tokens if pixel_values is not None else 0
     prompt_len = L - 1 + P if pixel_values is not None else L
     max_len = prompt_len + max_new_tokens + spec
@@ -600,10 +706,13 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
 
     if spec:
         parts = [np.asarray(cur)[:, None].copy()]
+        rng, sub = jax.random.split(rng)
         if not (stops and int(parts[0][0, 0]) in stops):
             for emit in _spec_chunks(model, params, decode_step,
                                      input_ids, cur, cache,
-                                     max_new_tokens, spec):
+                                     max_new_tokens, spec,
+                                     temperature=temperature,
+                                     top_p=top_p, rng=sub):
                 parts.append(emit)
                 if stops and np.isin(emit, list(stops)).any():
                     break

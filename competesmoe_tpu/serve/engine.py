@@ -272,52 +272,14 @@ class DecodeEngine:
                 included per position. On a weight-bandwidth-bound step
                 the k extra positions are nearly free, so each accepted
                 draft is a free token for BOTH modes."""
-                S, k = drafts.shape
+                from ..models.llava import speculative_accept
+
                 pos0 = cache.pos
                 toks_in = jnp.concatenate([cur[:, None], drafts], axis=1)
                 out = model.apply(params, toks_in, None, cache=cache)
-                logits = out.logits                       # [S, 1+k, V]
-                greedy = jnp.argmax(logits, -1).astype(jnp.int32)
-                match = (drafts == greedy[:, :-1]).astype(jnp.int32)
-                n_acc_g = jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)
-
-                scaled = logits / jnp.maximum(temps, 1e-6)[:, None, None]
-                if nucleus:
-                    srt = jnp.sort(scaled, axis=-1)[..., ::-1]
-                    cum = jnp.cumsum(jax.nn.softmax(srt, -1), axis=-1)
-                    ci = jnp.sum(cum < topps[:, None, None], axis=-1,
-                                 keepdims=True)
-                    cutoff = jnp.take_along_axis(srt, ci, axis=-1)
-                    scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-                r_acc, r_resid, r_bonus = jax.random.split(rng, 3)
-                p = jax.nn.softmax(scaled, axis=-1)
-                # accept d_j with prob p_j(d_j) (point-mass q)
-                p_d = jnp.take_along_axis(
-                    p[:, :-1], drafts[..., None].astype(jnp.int32),
-                    axis=-1)[..., 0]                       # [S, k]
-                u = jax.random.uniform(r_acc, (S, k))
-                acc = (u < p_d).astype(jnp.int32)
-                n_acc_s = jnp.sum(jnp.cumprod(acc, axis=-1), axis=-1)
-                # residual draw per draft position (draft token removed,
-                # categorical renormalizes)
-                V = logits.shape[-1]
-                dmask = jax.nn.one_hot(drafts, V, dtype=bool)
-                masked = jnp.where(dmask, -jnp.inf, scaled[:, :-1])
-                resid = jax.random.categorical(
-                    r_resid, masked.reshape(S * k, V)
-                ).reshape(S, k).astype(jnp.int32)
-                bonus = jax.random.categorical(
-                    r_bonus, scaled[:, -1]).astype(jnp.int32)
-                idx = jnp.arange(k + 1)[None]
-                drafts_pad = jnp.concatenate(
-                    [drafts, jnp.zeros((S, 1), jnp.int32)], axis=1)
-                repl = jnp.concatenate([resid, bonus[:, None]], axis=1)
-                out_s = jnp.where(idx < n_acc_s[:, None], drafts_pad,
-                                  repl)
-
-                is_sampled = temps > 0
-                n_acc = jnp.where(is_sampled, n_acc_s, n_acc_g)
-                toks = jnp.where(is_sampled[:, None], out_s, greedy)
+                toks, n_acc = speculative_accept(out.logits, drafts,
+                                                 temps, topps, rng,
+                                                 nucleus=nucleus)
                 # keep only the verified prefix live; rejected tails sit
                 # beyond pos (never attended) and are overwritten by the
                 # next step's scatter

@@ -241,6 +241,28 @@ def test_worker_generate_fn_speculative_matches_plain(tiny_lm):
     assert plain[-1] == spec[-1]
 
 
+def test_speculative_sampling_solo_terminates_and_counts(tiny_lm):
+    """temperature>0 B==1 speculation (point-mass rejection scheme)
+    produces exactly max_new in-range tokens through stream_generate
+    and generate; unbiasedness of the scheme itself is asserted
+    statistically in tests/test_engine.py."""
+    model, params, cfg = tiny_lm
+    prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8]], np.int32)
+    got = []
+    for chunk in stream_generate(model, params, prompt, None,
+                                 max_new_tokens=9, temperature=0.8,
+                                 top_p=0.9, speculative=3,
+                                 rng=jax.random.PRNGKey(3)):
+        got.extend(chunk[0].tolist())
+    assert len(got) == 9
+    assert all(0 <= t < cfg.decoder.vocab_size for t in got)
+
+    toks, _ = generate(model, params, prompt, None, max_new_tokens=9,
+                       temperature=0.8, top_p=0.9, speculative=3,
+                       rng=jax.random.PRNGKey(5))
+    assert toks.shape == (1, 9)
+
+
 def test_speculative_ignored_for_sampling_and_batch(tiny_lm):
     """speculative falls back silently for temperature>0 or B>1."""
     model, params, cfg = tiny_lm
