@@ -422,30 +422,30 @@ def make_verify_step(model: LlavaModel, k_spec: int):
 
 
 def make_sampled_verify_step(model: LlavaModel, k_spec: int,
-                             temperature: float, top_p: float):
+                             nucleus: bool):
     """Jitted speculative-SAMPLING verification step (B==1 solo path):
-    fn(params, tokens [1, 1+k], cache, rng) -> (toks, n_acc, cache').
-    Same rejection scheme as the engine's spec step — see
-    speculative_accept for the math and unbiasedness argument."""
-    key = (model, k_spec, float(temperature), float(top_p), "sampled")
+    fn(params, tokens [1, 1+k], cache, rng, temps [B], topps [B])
+    -> (toks, n_acc, cache'). temperature/top_p ride as RUNTIME arrays
+    (clients vary them per request; baking them into the jit key would
+    compile one program per float pair). Same rejection scheme as the
+    engine's spec step — see speculative_accept for the math and
+    unbiasedness argument; `nucleus` selects the pay-the-vocab-sort
+    program variant."""
+    key = (model, k_spec, bool(nucleus), "sampled")
     hit = _VERIFY_FN_CACHE.get(key)
     if hit is not None:
         return hit
-    nucleus = top_p < 1.0
 
-    def verify(params, tokens, cache, rng):
+    def verify(params, tokens, cache, rng, temps, topps):
         pos0 = cache.pos
         out = model.apply(params, tokens, None, cache=cache)
-        B = tokens.shape[0]
-        temps = jnp.full((B,), temperature, jnp.float32)
-        topps = jnp.full((B,), top_p, jnp.float32)
         toks, n_acc = speculative_accept(out.logits, tokens[:, 1:],
                                          temps, topps, rng,
                                          nucleus=nucleus)
         cache2 = out.cache.replace(pos=pos0 + 1 + n_acc)
         return toks, n_acc, cache2
 
-    fn = jax.jit(verify)
+    fn = jax.jit(verify, static_argnames=())
     _VERIFY_FN_CACHE[key] = fn
     return fn
 
@@ -465,7 +465,10 @@ def _spec_chunks(model, params, decode_step, input_ids, cur, cache,
 
     sampled = temperature > 0.0
     if sampled:
-        verify = make_sampled_verify_step(model, spec, temperature, top_p)
+        verify = make_sampled_verify_step(model, spec,
+                                          nucleus=top_p < 1.0)
+        temps1 = jnp.full((1,), temperature, jnp.float32)
+        topps1 = jnp.full((1,), top_p, jnp.float32)
         if rng is None:
             rng = jax.random.PRNGKey(0)
     else:
@@ -491,7 +494,8 @@ def _spec_chunks(model, params, decode_step, input_ids, cur, cache,
             if sampled:
                 rng, sub = jax.random.split(rng)
                 got, n_acc, cache = verify(
-                    params, jnp.asarray(toks[None]), cache, sub)
+                    params, jnp.asarray(toks[None]), cache, sub,
+                    temps1, topps1)
             else:
                 got, n_acc, cache = verify(
                     params, jnp.asarray(toks[None]), cache)
@@ -702,7 +706,10 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
     stops = set(stop_token_ids or [])
     if eos_token_id is not None:
         stops.add(int(eos_token_id))
-    cur = sample_token(last_logits, rng, temperature, top_p)
+    # split BEFORE consuming: categorical(rng) then split(rng) would
+    # correlate the first draw with every downstream draw (key reuse)
+    rng, r_first = jax.random.split(rng)
+    cur = sample_token(last_logits, r_first, temperature, top_p)
 
     if spec:
         parts = [np.asarray(cur)[:, None].copy()]

@@ -23,7 +23,8 @@ def chat_loop(adapter, image_path: Optional[str] = None,
     """adapter: eval.JaxLlava. Reads prompts, prints replies token by
     token as they decode (the reference CLI's TextStreamer role,
     moe_model/serve/cli.py:95-118); speculative=K enables prompt-lookup
-    speculation for greedy chats."""
+    speculation (greedy bit-exact; temp>0 via the unbiased rejection
+    scheme)."""
     from ..models.llava import stream_generate
 
     conv = conv_templates[conv_template].copy()
@@ -56,6 +57,11 @@ def chat_loop(adapter, image_path: Optional[str] = None,
         out_stream.flush()
         tokens: list = []
         printed = ""
+        final = ""
+        # hold back enough chars that a marker straddling a chunk
+        # boundary ('<|end|>' arriving as '<|e' + 'nd|>') is never
+        # partially printed; flushed after the stream ends
+        hold = len("<|end|>") - 1
         for chunk in stream_generate(
                 adapter.model, adapter.params,
                 np.asarray([ids], np.int32), px,
@@ -67,13 +73,19 @@ def chat_loop(adapter, image_path: Optional[str] = None,
             tokens.extend(int(t) for t in chunk[0])
             text = adapter.tokenizer.decode(tokens,
                                             skip_special_tokens=True)
-            text = text.split("<|end|>")[0]
-            if text.startswith(printed) and len(text) > len(printed):
-                out_stream.write(text[len(printed):])
+            if text.endswith("�"):
+                continue    # incomplete multi-byte char: wait for more
+            final = text = text.split("<|end|>")[0]
+            safe = text[: max(0, len(text) - hold)]
+            if safe.startswith(printed) and len(safe) > len(printed):
+                out_stream.write(safe[len(printed):])
                 out_stream.flush()
-                printed = text
-        text = printed.strip()
-        conv.messages[-1][1] = text
+                printed = safe
+        # conversation state always comes from the FINAL decoded text,
+        # never from what happened to be printable incrementally
+        if final.startswith(printed) and len(final) > len(printed):
+            out_stream.write(final[len(printed):])
+        conv.messages[-1][1] = final.strip()
         out_stream.write("\n")
         out_stream.flush()
     return conv

@@ -140,8 +140,9 @@ def jax_llava_generate_fn(adapter, default_speculative: int = 0):
         max_new = int(params.get("max_new_tokens", 128))
         temperature = float(params.get("temperature", 0.0))
         top_p = float(params.get("top_p", 1.0))
-        # prompt-lookup speculative decoding (greedy only; bit-exact —
-        # serve/speculative.py): K drafts verified per device step
+        # prompt-lookup speculative decoding (serve/speculative.py):
+        # K drafts verified per device step — greedy bit-exact, temp>0
+        # unbiased via the point-mass rejection scheme
         spec = int(params.get("speculative", default_speculative))
         stops = _stop_list(params.get("stop"))
         ids = adapter.tokenizer_ids_for_prompt(prompt, bool(images))

@@ -101,7 +101,12 @@ async function complete() {
     buf = lines.pop();
     for (const line of lines) {
       if (!line.trim()) continue;
-      hist[hist.length - 1][1] = JSON.parse(line).text;
+      const obj = JSON.parse(line);
+      if (obj.error) {
+        hist[hist.length - 1][1] = '[error] ' + obj.error;
+      } else {
+        hist[hist.length - 1][1] = obj.text;
+      }
       render();
     }
   }
@@ -227,22 +232,28 @@ def make_handler(controller_addr: str, model_name: str,
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
                 self.end_headers()
-                with urlrequest.urlopen(req, timeout=300) as r:
-                    buf = b""
-                    while True:
-                        block = r.read(4096)
-                        if not block:
-                            break
-                        buf += block
-                        while b"\0" in buf:
-                            part, buf = buf.split(b"\0", 1)
-                            if not part:
-                                continue
-                            text = json.loads(part).get("text", text)
-                            self.wfile.write(
-                                (json.dumps({"text": text}) + "\n")
-                                .encode())
-                            self.wfile.flush()
+                try:
+                    with urlrequest.urlopen(req, timeout=300) as r:
+                        buf = b""
+                        while True:
+                            block = r.read(4096)
+                            if not block:
+                                break
+                            buf += block
+                            while b"\0" in buf:
+                                part, buf = buf.split(b"\0", 1)
+                                if not part:
+                                    continue
+                                text = json.loads(part).get("text", text)
+                                self.wfile.write(
+                                    (json.dumps({"text": text}) + "\n")
+                                    .encode())
+                                self.wfile.flush()
+                except Exception as e:  # noqa: BLE001 — surface it:
+                    # headers are out, so the error rides the stream
+                    self.wfile.write(
+                        (json.dumps({"error": str(e)}) + "\n").encode())
+                    return
             else:
                 with urlrequest.urlopen(req, timeout=300) as r:
                     for part in r.read().split(b"\0"):

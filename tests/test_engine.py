@@ -718,7 +718,6 @@ def test_spec_sampling_first_token_marginal_unbiased(tiny_model):
         cache = KVCache.create(model.cfg.decoder, B, 32)
         out = model.apply(params, ids, None, cache=cache)
         cache = out.cache
-        logits0 = np.asarray(out.logits[:, len(prompt) - 1])[0]
 
         cur = jnp.full((B,), 9, jnp.int32)          # next fed token
         temps = jnp.full((B,), 1.0, jnp.float32)

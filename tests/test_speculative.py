@@ -263,8 +263,9 @@ def test_speculative_sampling_solo_terminates_and_counts(tiny_lm):
     assert toks.shape == (1, 9)
 
 
-def test_speculative_ignored_for_sampling_and_batch(tiny_lm):
-    """speculative falls back silently for temperature>0 or B>1."""
+def test_speculative_ignored_for_batch(tiny_lm):
+    """speculative falls back silently for B>1 (temperature>0 B==1 DOES
+    speculate now, via the rejection scheme — see the sampled tests)."""
     model, params, cfg = tiny_lm
     prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8],
                        [5, 9, 16, 5, 9, 16, 5, 9]], np.int32)

@@ -181,12 +181,20 @@ def main():
             p2 = np.concatenate([
                 prompts[i], np.asarray(toks1[:-1], np.int32),
                 turn2_qs[i]])
+            if len(p2) + a.max_new + a.spec > a.max_len:
+                raise SystemExit(
+                    f"--multi-turn: turn-2 prompt {len(p2)} + max_new "
+                    f"{a.max_new} exceeds --max-len {a.max_len}; raise "
+                    "--max-len or lower --max-new/--prompt-len")
             t2 = time.perf_counter()
             first2 = None
             for tok in engine.submit(p2, max_new_tokens=a.max_new):
                 if first2 is None:
                     first2 = time.perf_counter()
                 n += 1
+            if first2 is None:
+                raise SystemExit("turn-2 stream yielded nothing "
+                                 f"(engine error: {engine.error})")
             rec["ttft2_s"] = first2 - t2
             rec["tokens"] = n
         rec["t_done"] = time.perf_counter()
