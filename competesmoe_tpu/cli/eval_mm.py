@@ -60,10 +60,11 @@ def main(argv=None):
                          "than one chip (serve.model_worker shares the "
                          "same path)")
     ap.add_argument("--speculative", type=int, default=0,
-                    help="prompt-lookup speculative decoding for greedy "
+                    help="prompt-lookup speculative decoding for "
                          "batch-1 generation tasks: verify K drafted "
-                         "tokens per device step (bit-exact; scores "
-                         "are unchanged)")
+                         "tokens per device step (greedy: bit-exact, "
+                         "scores unchanged; sampled gen_kwargs: "
+                         "unbiased rejection scheme)")
     a = ap.parse_args(argv)
     if a.rank is None or a.world_size is None:
         from ..parallel.distributed import detect_env

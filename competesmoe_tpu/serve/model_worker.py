@@ -324,10 +324,11 @@ def main(argv=None):
                          "cache rows of HBM)")
     ap.add_argument("--speculative", type=int, default=0,
                     help="prompt-lookup speculative decoding: verify K "
-                         "drafted tokens per device step (greedy "
-                         "requests only; bit-exact). Applies to the "
-                         "solo path and, with --engine-slots, to the "
-                         "batched engine (spec_k)")
+                         "drafted tokens per device step (greedy: "
+                         "bit-exact; temp>0: unbiased rejection "
+                         "scheme). Applies to the solo path and, with "
+                         "--engine-slots, to the batched engine "
+                         "(spec_k)")
     ap.add_argument("--no-register", action="store_true")
     a = ap.parse_args(argv)
 
