@@ -746,3 +746,37 @@ def test_spec_sampling_first_token_marginal_unbiased(tiny_model):
                     f"p {p_true[t]:.4f} (tol {tol:.4f})")
     finally:
         engine.shutdown()
+
+
+def test_engine_prefix_cache_with_speculation_token_exact(tiny_model):
+    """A prefix-cache unpark composes with spec_k: the continuation
+    after a park hit stays token-exact vs solo greedy decode (verify
+    steps run on the spliced row)."""
+    import time
+
+    model, params = tiny_model
+    p1 = np.tile(np.arange(1, 5, dtype=np.int32), 2)
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          run_thread=False, prefix_cache_slots=2,
+                          spec_k=2)
+    try:
+        def run(ids, max_new):
+            out, done = _collect(engine, ids, max_new=max_new)
+            deadline = time.time() + 120
+            while engine._requests.qsize() < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            while not done.is_set() and time.time() < deadline:
+                engine._tick()
+            assert done.is_set(), "engine stalled"
+            return out
+
+        reply1 = run(p1, 6)
+        p2 = np.concatenate([p1, np.asarray(reply1, np.int32),
+                             np.asarray([30, 31, 32], np.int32)])
+        reply2 = run(p2, 6)
+        assert engine.stats()["engine_prefix_cache_hits"] == 1
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+    want = _solo(model, params, p2, max_new=6)
+    assert reply2 == want, f"park+spec {reply2} != solo {want}"
