@@ -73,22 +73,11 @@ def _render_prompt(conv_template: str, messages: list
 
 def _worker_stream(controller_addr: str, payload: dict, timeout: int):
     """Yield cumulative-text dicts from the controller's stream proxy
-    (null-delimited JSON, the reference worker protocol)."""
-    req = urlrequest.Request(
-        controller_addr + "/worker_generate_stream",
-        data=json.dumps(payload).encode(), method="POST",
-        headers={"Content-Type": "application/json"})
-    with urlrequest.urlopen(req, timeout=timeout) as r:
-        buf = b""
-        while True:
-            block = r.read(4096)
-            if not block:
-                break
-            buf += block
-            while b"\0" in buf:
-                part, buf = buf.split(b"\0", 1)
-                if part:
-                    yield json.loads(part)
+    (null-delimited JSON — see serve/stream_client.py)."""
+    from .stream_client import iter_worker_stream
+
+    yield from iter_worker_stream(
+        controller_addr + "/worker_generate_stream", payload, timeout)
 
 
 def make_handler(controller_addr: str, conv_template: str = "phi35",

@@ -210,20 +210,19 @@ def make_handler(controller_addr: str, model_name: str,
                     conv.roles[0] if role == "USER" else conv.roles[1],
                     text)
             conv.append_message(conv.roles[1], None)
-            req = urlrequest.Request(
-                controller_addr + "/worker_generate_stream",
-                data=json.dumps({
-                    "model": data.get("model", model_name),
-                    "prompt": conv.get_prompt(),
-                    "images": images,
-                    # the reference gradio UI's sampling sliders
-                    # (gradio_web_server.py http_bot payload)
-                    "temperature": float(data.get("temperature", 0.2)),
-                    "top_p": float(data.get("top_p", 0.7)),
-                    "max_new_tokens": int(data.get("max_new_tokens", 512)),
-                    "stop": conv.sep2 or conv.sep}).encode(),
-                method="POST",
-                headers={"Content-Type": "application/json"})
+            wpayload = {
+                "model": data.get("model", model_name),
+                "prompt": conv.get_prompt(),
+                "images": images,
+                # the reference gradio UI's sampling sliders
+                # (gradio_web_server.py http_bot payload)
+                "temperature": float(data.get("temperature", 0.2)),
+                "top_p": float(data.get("top_p", 0.7)),
+                "max_new_tokens": int(data.get("max_new_tokens", 512)),
+                "stop": conv.sep2 or conv.sep}
+            from .stream_client import iter_worker_stream
+
+            stream_url = controller_addr + "/worker_generate_stream"
             text = ""
             if self.path == "/chat_stream":
                 # live tokens to the browser (the reference gradio UI
@@ -233,32 +232,21 @@ def make_handler(controller_addr: str, model_name: str,
                 self.send_header("Content-Type", "application/x-ndjson")
                 self.end_headers()
                 try:
-                    with urlrequest.urlopen(req, timeout=300) as r:
-                        buf = b""
-                        while True:
-                            block = r.read(4096)
-                            if not block:
-                                break
-                            buf += block
-                            while b"\0" in buf:
-                                part, buf = buf.split(b"\0", 1)
-                                if not part:
-                                    continue
-                                text = json.loads(part).get("text", text)
-                                self.wfile.write(
-                                    (json.dumps({"text": text}) + "\n")
-                                    .encode())
-                                self.wfile.flush()
+                    for msg in iter_worker_stream(stream_url, wpayload,
+                                                  timeout=300):
+                        text = msg.get("text", text)
+                        self.wfile.write(
+                            (json.dumps({"text": text}) + "\n").encode())
+                        self.wfile.flush()
                 except Exception as e:  # noqa: BLE001 — surface it:
                     # headers are out, so the error rides the stream
                     self.wfile.write(
                         (json.dumps({"error": str(e)}) + "\n").encode())
                     return
             else:
-                with urlrequest.urlopen(req, timeout=300) as r:
-                    for part in r.read().split(b"\0"):
-                        if part:
-                            text = json.loads(part).get("text", text)
+                for msg in iter_worker_stream(stream_url, wpayload,
+                                              timeout=300):
+                    text = msg.get("text", text)
             # conversation state log (the reference appends every round)
             with open(self._conv_log_file(), "a") as f:
                 f.write(json.dumps({
