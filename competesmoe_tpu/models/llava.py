@@ -250,6 +250,33 @@ class LlavaModel(nn.Module):
 # Generation
 # ---------------------------------------------------------------------------
 
+def _pad_prompt_bucket(input_ids, attention_mask, enabled: bool,
+                       lo: int = 32):
+    """Right-pad prompts to a pow-2 length bucket (mask 0 — pads land
+    in the cache dump slot, token-exact). Serving prompts vary by a few
+    tokens per request; without bucketing every distinct length traces
+    and compiles a fresh prefill program (seconds each on TPU), with it
+    the program count is O(log lengths)."""
+    ids = np.asarray(input_ids)
+    B, L = ids.shape
+    if attention_mask is None:
+        attention_mask = np.ones_like(ids)
+    if not enabled:
+        return ids, np.asarray(attention_mask), L
+    Lb = lo
+    while Lb < L:
+        Lb *= 2
+    if Lb == L:
+        return ids, np.asarray(attention_mask), L
+    pad = Lb - L
+    ids = np.concatenate(
+        [ids, np.zeros((B, pad), ids.dtype)], axis=1)
+    mask = np.concatenate(
+        [np.asarray(attention_mask),
+         np.zeros((B, pad), np.asarray(attention_mask).dtype)], axis=1)
+    return ids, mask, Lb
+
+
 _GEN_FN_CACHE: Dict = {}
 
 
@@ -530,7 +557,8 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
                     stop_token_ids: Optional[List[int]] = None,
                     rng: Optional[jax.Array] = None,
                     chunk_max: int = 8,
-                    speculative: int = 0):
+                    speculative: int = 0,
+                    pad_to_bucket: bool = True):
     """Incremental generation: yields np.ndarray token chunks [B, n] as
     they are sampled — the concurrent-streaming role of the reference
     worker's threaded `TextIteratorStreamer`
@@ -556,12 +584,15 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
     cfg = model.cfg
     B, L = input_ids.shape
     spec = int(speculative) if (speculative and B == 1) else 0
+    orig_ids = np.asarray(input_ids)   # unpadded: draft history source
+    input_ids, attention_mask, L = _pad_prompt_bucket(
+        input_ids, attention_mask, pad_to_bucket)
     P = cfg.num_image_tokens if pixel_values is not None else 0
     prompt_len = L - 1 + P if pixel_values is not None else L
     max_len = prompt_len + max_new_tokens + spec
+    if pad_to_bucket:
+        max_len = -(-max_len // 128) * 128
     prefill, decode_step = make_generate_fns(model, cfg, max_len)
-    if attention_mask is None:
-        attention_mask = np.ones_like(input_ids)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -617,7 +648,7 @@ def stream_generate(model: LlavaModel, params, input_ids: np.ndarray,
 
     if spec:
         rng, sub = jax.random.split(rng)
-        for emit in _spec_chunks(model, params, decode_step, input_ids,
+        for emit in _spec_chunks(model, params, decode_step, orig_ids,
                                  cur, cache, max_new_tokens, spec,
                                  temperature=temperature, top_p=top_p,
                                  rng=sub):
@@ -656,7 +687,8 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
              rng: Optional[jax.Array] = None,
              stop_token_ids: Optional[List[int]] = None,
              scan_decode: bool = True,
-             speculative: int = 0
+             speculative: int = 0,
+             pad_to_bucket: bool = True
              ) -> Tuple[np.ndarray, LlavaOutput]:
     """Generation: jitted prefill + decode.
 
@@ -678,12 +710,15 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
     B, L = input_ids.shape
     spec = int(speculative) if (speculative and B == 1
                                 and max_new_tokens > 1) else 0
+    orig_ids = np.asarray(input_ids)
+    input_ids, attention_mask, L = _pad_prompt_bucket(
+        input_ids, attention_mask, pad_to_bucket)
     P = cfg.num_image_tokens if pixel_values is not None else 0
     prompt_len = L - 1 + P if pixel_values is not None else L
     max_len = prompt_len + max_new_tokens + spec
+    if pad_to_bucket:
+        max_len = -(-max_len // 128) * 128
     prefill, decode_step = make_generate_fns(model, cfg, max_len)
-    if attention_mask is None:
-        attention_mask = np.ones_like(input_ids)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -716,7 +751,7 @@ def generate(model: LlavaModel, params, input_ids: np.ndarray,
         rng, sub = jax.random.split(rng)
         if not (stops and int(parts[0][0, 0]) in stops):
             for emit in _spec_chunks(model, params, decode_step,
-                                     input_ids, cur, cache,
+                                     orig_ids, cur, cache,
                                      max_new_tokens, spec,
                                      temperature=temperature,
                                      top_p=top_p, rng=sub):

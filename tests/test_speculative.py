@@ -263,6 +263,35 @@ def test_speculative_sampling_solo_terminates_and_counts(tiny_lm):
     assert toks.shape == (1, 9)
 
 
+def test_bucket_padding_exact_and_reuses_programs(tiny_lm):
+    """Prompt bucket-padding (serving default) is token-exact vs the
+    unpadded path, and ragged prompt lengths within one bucket share
+    ONE (prefill, decode) program pair instead of compiling per
+    length."""
+    from competesmoe_tpu.models.llava import _GEN_FN_CACHE
+
+    model, params, cfg = tiny_lm
+    before = {k for k in _GEN_FN_CACHE if k[0] is model}
+    outs = {}
+    for L in (5, 9, 13, 21):   # all in the 32-bucket
+        prompt = np.arange(2, 2 + L, dtype=np.int32)[None] % 60
+        padded, _ = generate(model, params, prompt, None,
+                             max_new_tokens=6, temperature=0.0,
+                             scan_decode=False)
+        plain, _ = generate(model, params, prompt, None,
+                            max_new_tokens=6, temperature=0.0,
+                            scan_decode=False, pad_to_bucket=False)
+        np.testing.assert_array_equal(padded[0], plain[0])
+        outs[L] = padded
+    after = {k for k in _GEN_FN_CACHE if k[0] is model}
+    # every padded run shares one (model, 128) entry; the unpadded runs
+    # contribute one entry per distinct L+6
+    # at most ONE shared bucketed program pair was added by the four
+    # ragged lengths (zero when an earlier test already built it)
+    new_padded = {k for k in after - before if k[1] % 128 == 0}
+    assert len(new_padded) <= 1, sorted(after - before)
+
+
 def test_speculative_ignored_for_batch(tiny_lm):
     """speculative falls back silently for B>1 (temperature>0 B==1 DOES
     speculate now, via the rejection scheme — see the sampled tests)."""
