@@ -2,9 +2,9 @@
 
 The reference exposes only its own controller/worker protocol (its
 gradio UI and CLI speak it directly); every modern client, eval harness,
-and gateway instead speaks the OpenAI chat-completions API. This module
-bridges the two on the stdlib: `/v1/models` and `/v1/chat/completions`
-(stream and non-stream) rendered through the SAME conversation templates
+and gateway instead speaks the OpenAI API. This module bridges the two
+on the stdlib: `/v1/models`, `/v1/chat/completions`, and the legacy
+`/v1/completions` (raw-prompt) endpoint (stream and non-stream) rendered through the SAME conversation templates
 training used (multimodal/conversation.py — prompt fidelity is what
 makes served outputs match eval outputs), dispatched through the
 controller like the web UI (serve/web.py), so it composes with every
@@ -122,15 +122,24 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                                   "type": "invalid_request_error"}}, 404)
 
         def do_POST(self):
-            if self.path.rstrip("/") != "/v1/chat/completions":
+            route = self.path.rstrip("/")
+            if route not in ("/v1/chat/completions", "/v1/completions"):
                 return self._json(
                     {"error": {"message": f"no route {self.path}",
                                "type": "invalid_request_error"}}, 404)
+            # legacy /v1/completions: raw prompt string, no template
+            legacy = route == "/v1/completions"
             n = int(self.headers.get("Content-Length", 0))
             try:
                 data = json.loads(self.rfile.read(n) or b"{}")
-                prompt, images, conv_stop = _render_prompt(
-                    conv_template, data.get("messages", []))
+                if legacy:
+                    prompt = data.get("prompt", "")
+                    if isinstance(prompt, list):
+                        prompt = prompt[0] if prompt else ""
+                    images, conv_stop = [], None
+                else:
+                    prompt, images, conv_stop = _render_prompt(
+                        conv_template, data.get("messages", []))
             except Exception as e:  # noqa: BLE001 — client error surface
                 return self._json(
                     {"error": {"message": str(e),
@@ -163,12 +172,13 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                 # extension: per-request spec K (solo worker path; an
                 # engine-mode worker uses its engine-wide spec_k)
                 payload["speculative"] = int(data["speculative"])
-            rid = "chatcmpl-" + uuid.uuid4().hex[:24]
+            rid = ("cmpl-" if legacy else "chatcmpl-") \
+                + uuid.uuid4().hex[:24]
             created = int(time.time())
             if data.get("stream"):
                 try:
                     return self._stream(rid, created, model, payload,
-                                        stops)
+                                        stops, legacy)
                 except Exception:  # noqa: BLE001 — client went away;
                     return          # headers already sent, nothing to do
             try:
@@ -186,13 +196,18 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                                        "code": msg["error_code"]}}, 502)
                     text = msg.get("text", text)
                     n_chunks += 1
+                choice = ({"index": 0, "text": text,
+                           "finish_reason": "stop"} if legacy else
+                          {"index": 0,
+                           "message": {"role": "assistant",
+                                       "content": text},
+                           "finish_reason": "stop"})
                 return self._json({
-                    "id": rid, "object": "chat.completion",
+                    "id": rid,
+                    "object": ("text_completion" if legacy
+                               else "chat.completion"),
                     "created": created, "model": model,
-                    "choices": [{
-                        "index": 0,
-                        "message": {"role": "assistant", "content": text},
-                        "finish_reason": "stop"}],
+                    "choices": [choice],
                     # token accounting is not exposed by the worker
                     # protocol; chunk count approximates decode steps
                     "usage": {"prompt_tokens": 0,
@@ -203,7 +218,8 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                     {"error": {"message": f"upstream: {e}",
                                "type": "server_error"}}, 502)
 
-        def _stream(self, rid, created, model, payload, stops):
+        def _stream(self, rid, created, model, payload, stops,
+                    legacy=False):
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -211,12 +227,19 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
             self.end_headers()
 
             def chunk(delta, finish=None):
+                if legacy:
+                    choice = {"index": 0,
+                              "text": delta.get("content", ""),
+                              "finish_reason": finish}
+                    obj = "text_completion"
+                else:
+                    choice = {"index": 0, "delta": delta,
+                              "finish_reason": finish}
+                    obj = "chat.completion.chunk"
                 return ("data: " + json.dumps({
-                    "id": rid, "object": "chat.completion.chunk",
+                    "id": rid, "object": obj,
                     "created": created, "model": model,
-                    "choices": [{"index": 0, "delta": delta,
-                                 "finish_reason": finish}]})
-                    + "\n\n").encode()
+                    "choices": [choice]}) + "\n\n").encode()
 
             def sse_error(message):
                 # errors after the SSE headers cannot become an HTTP
@@ -227,7 +250,9 @@ def make_handler(controller_addr: str, conv_template: str = "phi35",
                     + "\n\n").encode())
                 self.wfile.write(b"data: [DONE]\n\n")
 
-            self.wfile.write(chunk({"role": "assistant", "content": ""}))
+            if not legacy:
+                self.wfile.write(
+                    chunk({"role": "assistant", "content": ""}))
             # hold back max(len(stop))-1 chars so a stop string
             # straddling a chunk boundary is never partially streamed —
             # the worker only cuts it on its final chunk

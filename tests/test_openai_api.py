@@ -287,6 +287,36 @@ def test_engine_backed_worker_streams_through_api():
             h.shutdown()
 
 
+def test_legacy_completions_endpoint(stack):
+    """/v1/completions (raw prompt, no template): non-stream object
+    shape and SSE text chunks reassemble to the same completion."""
+    body = {"model": "tiny-llava", "prompt": "hello world hello",
+            "max_tokens": 5, "temperature": 0.0}
+    d = post_json(stack + "/v1/completions", body)
+    assert d["object"] == "text_completion"
+    assert d["id"].startswith("cmpl-")
+    want = d["choices"][0]["text"]
+    assert isinstance(want, str)
+
+    req = urlrequest.Request(
+        stack + "/v1/completions",
+        data=json.dumps(dict(body, stream=True)).encode(),
+        headers={"Content-Type": "application/json"})
+    got, done = "", False
+    with urlrequest.urlopen(req, timeout=60) as r:
+        for line in r.read().decode().splitlines():
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                done = True
+                break
+            ch = json.loads(payload)
+            assert ch["object"] == "text_completion"
+            got += ch["choices"][0]["text"]
+    assert done and got == want
+
+
 def test_bad_route_and_bad_request(stack):
     try:
         urlrequest.urlopen(stack + "/v1/embeddings", data=b"{}",
