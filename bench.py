@@ -112,7 +112,8 @@ def main():
                         "58% of the uniform-bandwidth HBM model = the "
                         "measured gather-wall floor, docs/perf.md). "
                         "Re-run when the tunnel is up for a live "
-                        "number."}}), flush=True)
+                        "number (tools/run_tpu_battery.sh runs the "
+                        "full serving measurement set)."}}), flush=True)
         # the hung backend-init thread is not a daemon the interpreter
         # can shed — exit hard after flushing the one contract line
         import os
