@@ -685,14 +685,30 @@ class DecodeEngine:
             self._run()
         except Exception as e:  # noqa: BLE001 — surface to all waiters
             self.error = e
-            for req in list(self._live.values()):
-                req.done = True
-                req.out.put(None)
-            while not self._requests.empty():
-                try:
-                    self._requests.get_nowait().out.put(None)
-                except queue.Empty:
-                    break
+            self._release_waiters()
+
+    def _release_waiters(self):
+        """Unblock every consumer (live, queued, and chunked-prefill
+        in-flight/queued) — without this, a client of a request parked
+        in _pf_queue would block on out.get() forever after an engine
+        error or shutdown."""
+        for req in list(self._live.values()):
+            req.done = True
+            req.out.put(None)
+        if self._pf_state is not None:
+            r = self._pf_state["req"]
+            r.done = True
+            r.out.put(None)
+            self._pf_state = None
+        for req in self._pf_queue:
+            req.done = True
+            req.out.put(None)
+        self._pf_queue.clear()
+        while not self._requests.empty():
+            try:
+                self._requests.get_nowait().out.put(None)
+            except queue.Empty:
+                break
 
     def _run(self):
         while not self._stop.is_set():
@@ -838,3 +854,5 @@ class DecodeEngine:
         self._woken.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        # consumers blocked on out.get() must not hang past shutdown
+        self._release_waiters()

@@ -780,3 +780,46 @@ def test_engine_prefix_cache_with_speculation_token_exact(tiny_model):
         engine.shutdown()
     want = _solo(model, params, p2, max_new=6)
     assert reply2 == want, f"park+spec {reply2} != solo {want}"
+
+
+def test_engine_error_releases_chunked_prefill_waiters(tiny_model):
+    """An engine-thread crash must unblock EVERY consumer, including
+    requests parked in the chunked-prefill queue / in-flight staging —
+    without _release_waiters they would block on out.get() forever."""
+    model, params = tiny_model
+    rng = np.random.default_rng(3)
+    long_prompt = rng.integers(1, 60, 24).astype(np.int32)
+
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          run_thread=False, prefill_chunk=8)
+    try:
+        out, done = _collect(engine, long_prompt, max_new=4)
+        deadline = __import__("time").time() + 60
+        while (engine._requests.qsize() < 1
+               and __import__("time").time() < deadline):
+            __import__("time").sleep(0.01)
+        engine._admit()          # routes the long prompt to _pf_queue
+        engine._pf_start()       # reserves the slot, stages the prefill
+        assert engine._pf_state is not None
+        # simulate the engine loop dying mid-prefill
+        engine.error = RuntimeError("boom")
+        engine._release_waiters()
+        assert done.wait(timeout=30), "waiter hung after engine error"
+        assert out == []
+    finally:
+        engine.shutdown()
+
+
+def test_engine_shutdown_releases_waiters(tiny_model):
+    """shutdown() must not leave a consumer blocked on out.get()."""
+    model, params = tiny_model
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          run_thread=False)
+    out, done = _collect(engine, np.asarray([3, 4, 5], np.int32),
+                         max_new=4)
+    deadline = __import__("time").time() + 60
+    while (engine._requests.qsize() < 1
+           and __import__("time").time() < deadline):
+        __import__("time").sleep(0.01)
+    engine.shutdown()            # never ticked: request still queued
+    assert done.wait(timeout=30), "waiter hung after shutdown"
