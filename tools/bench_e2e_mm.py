@@ -21,6 +21,14 @@ import sys
 import time
 
 import jax
+
+# the axon sitecustomize pins the TPU backend at interpreter start;
+# JAX_PLATFORMS env alone cannot override it after that, so honor an
+# explicit request (COMPETESMOE_PLATFORM=cpu => CPU smoke run)
+if _os.environ.get("COMPETESMOE_PLATFORM"):
+    jax.config.update("jax_platforms",
+                      _os.environ["COMPETESMOE_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -26,6 +26,14 @@ import threading
 import time
 
 import jax
+
+# the axon sitecustomize pins the TPU backend at interpreter start;
+# JAX_PLATFORMS env alone cannot override it after that, so honor an
+# explicit request (COMPETESMOE_PLATFORM=cpu => CPU smoke run)
+if _os.environ.get("COMPETESMOE_PLATFORM"):
+    jax.config.update("jax_platforms",
+                      _os.environ["COMPETESMOE_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,6 +51,16 @@ def build_model(a):
                               num_hidden_layers=a.layers,
                               quant=a.quant or None,
                               kv_quant=a.kv_quant or None)
+    if a.tiny:
+        # CPU-smoke geometry: same engine code paths, seconds to compile
+        # (the phi35 geometry takes >9 min of CPU XLA compiles)
+        dec = dataclasses.replace(
+            dec, vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_attention_heads=4, num_key_value_heads=4,
+            max_position_embeddings=2048,
+            original_max_position_embeddings=2048,
+            rope_scaling_type=None, rope_short_factor=None,
+            rope_long_factor=None)
     # tiny vision tower: the bench drives text-only requests; the llava
     # wrapper is what the engine serves in production
     vis = VisionConfig(hidden_size=16, intermediate_size=32,
@@ -104,16 +122,22 @@ def main():
                          "the perfect-draft throughput ceiling of the "
                          "verify machinery, independent of workload "
                          "repetitiveness")
+    ap.add_argument("--tiny", action="store_true",
+                    help="64-dim decoder instead of phi35 geometry: a "
+                         "CPU-runnable end-to-end smoke of the full "
+                         "engine (admission, chunked prefill, spec, "
+                         "prefix cache) — numbers are NOT perf data")
     a = ap.parse_args()
 
     model, params = build_model(a)
     rng = np.random.default_rng(0)
+    hi = min(30000, model.cfg.decoder.vocab_size - 1)
     if a.prompt_mode == "loop":
-        prompts = [np.tile(rng.integers(10, 30000, 8),
+        prompts = [np.tile(rng.integers(10, hi, 8),
                            a.prompt_len // 8 + 1)[: a.prompt_len]
                    .astype(np.int32) for _ in range(a.requests)]
     else:
-        prompts = [rng.integers(10, 30000, a.prompt_len).astype(np.int32)
+        prompts = [rng.integers(10, hi, a.prompt_len).astype(np.int32)
                    for _ in range(a.requests)]
 
     engine = DecodeEngine(model, params, n_slots=a.slots,
