@@ -47,6 +47,15 @@ def decoder_config_from_hf(cfg: Dict, model_name: str = "",
     if cfg.get("model_type") in ("mistral", "llama", "mixtral"):
         fused = False
     rs = cfg.get("rope_scaling") or {}
+    # HF Mixtral: the decoder FFN is the checkpoint's own block_sparse_moe
+    # (the reference keeps those experts and rewires only the forward,
+    # smoe_mixtral_helper.py:20-77) -> MixtralMoELayer
+    moe_kw = {}
+    if cfg.get("model_type") == "mixtral" or "num_local_experts" in cfg:
+        moe_kw = dict(moe_name="mixtral",
+                      num_experts=cfg.get("num_local_experts", 8),
+                      num_selected=cfg.get("num_experts_per_tok", 2),
+                      moe_args=moe_args_from_hf(cfg))
     return DecoderConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -68,7 +77,7 @@ def decoder_config_from_hf(cfg: Dict, model_name: str = "",
         if "long_factor" in rs else None,
         sliding_window=cfg.get("sliding_window"),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
-        fused_qkv=fused, dtype=dtype)
+        fused_qkv=fused, dtype=dtype, **moe_kw)
 
 
 def moe_args_from_hf(cfg: Dict) -> MoEArgs:

@@ -97,20 +97,41 @@ def convert_decoder(sd: Dict[str, np.ndarray], cfg: DecoderConfig,
             for n in ("q_proj", "k_proj", "v_proj"):
                 attn[n] = _dense(m, p + f"self_attn.{n}")
         attn["o_proj"] = _dense(m, p + "self_attn.o_proj")
-        if cfg.fused_qkv:
-            mlp = {"gate_up_proj": _dense(m, p + "mlp.gate_up_proj"),
-                   "down_proj": _dense(m, p + "mlp.down_proj")}
-        else:
-            mlp = {"gate_proj": _dense(m, p + "mlp.gate_proj"),
-                   "up_proj": _dense(m, p + "mlp.up_proj"),
-                   "down_proj": _dense(m, p + "mlp.down_proj")}
-        params[f"layers_{li}"] = {
+        layer_params = {
             "input_layernorm": _rms(m, p + "input_layernorm"),
             "post_attention_layernorm": _rms(
                 m, p + "post_attention_layernorm"),
             "self_attn": attn,
-            "mlp": mlp,
         }
+        if (p + "block_sparse_moe.gate.weight") in m:
+            # HF Mixtral MoE FFN: the reference keeps these exact tensors
+            # and only rewires the forward (smoe_mixtral_helper.py:20-77)
+            # -> MixtralMoELayer's stacked layout, loaded verbatim
+            bp = p + "block_sparse_moe."
+            n_exp = cfg.num_experts
+            layer_params["moe"] = {
+                "gate_kernel": np.ascontiguousarray(
+                    m[bp + "gate.weight"].T),
+                "experts_w1": np.stack(
+                    [m[bp + f"experts.{i}.w1.weight"].T
+                     for i in range(n_exp)]),
+                "experts_w3": np.stack(
+                    [m[bp + f"experts.{i}.w3.weight"].T
+                     for i in range(n_exp)]),
+                "experts_w2": np.stack(
+                    [m[bp + f"experts.{i}.w2.weight"].T
+                     for i in range(n_exp)]),
+            }
+        elif cfg.fused_qkv:
+            layer_params["mlp"] = {
+                "gate_up_proj": _dense(m, p + "mlp.gate_up_proj"),
+                "down_proj": _dense(m, p + "mlp.down_proj")}
+        else:
+            layer_params["mlp"] = {
+                "gate_proj": _dense(m, p + "mlp.gate_proj"),
+                "up_proj": _dense(m, p + "mlp.up_proj"),
+                "down_proj": _dense(m, p + "mlp.down_proj")}
+        params[f"layers_{li}"] = layer_params
     return params
 
 

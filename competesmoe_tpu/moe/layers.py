@@ -341,6 +341,60 @@ class SharedExpertV3(SharedExpertV2):
         return shared + routed
 
 
+@register_moe("mixtral")
+class MixtralMoELayer(MoeLayerBase):
+    """HF Mixtral's own sparse MoE block, with the reference's rewired
+    forward.
+
+    The reference's mixtral family does NOT replace Mixtral's experts: it
+    keeps the checkpoint's gate and SwiGLU experts (w1 gate / w3 up / w2
+    down, no biases) and swaps only the block's `forward` to add a router
+    z-loss and a Switch-style top-1 density balance loss
+    (moe_model/model/language_model/smoe_mixtral_helper.py:20-77,
+    installed by llava_mixtral.py's `initialize_smoe_modules`). This
+    layer mirrors that exactly: the parameter layout IS
+    `block_sparse_moe` (so a real Mixtral checkpoint loads verbatim via
+    hf_loader.convert_decoder), routing is top-k of the f32 softmax with
+    post-top-k renormalization, and dispatch is the sorted grouped GEMM
+    (ops.expert_compute.grouped_ffn_swiglu) instead of the loop +
+    index_add.
+    """
+
+    @nn.compact
+    def __call__(self, x, *, step=None, train: bool = False,
+                 return_id_experts: bool = False) -> Tuple[jax.Array, MoEAux]:
+        e, d, h = self.n_experts, self.in_dim, self.hidden_dim
+        kernel, _ = self._gate_param()
+        w1 = self.param("experts_w1", torch_linear_init(d), (e, d, h))
+        w3 = self.param("experts_w3", torch_linear_init(d), (e, d, h))
+        w2 = self.param("experts_w2", torch_linear_init(h),
+                        (e, h, self.out_dim))
+        logits = self.gate_logits(x, kernel)
+        weights, sel, gate_softmax = R.topk_softmax(logits, self.n_selected)
+        weights = R.normalize_weights(weights, x.dtype)
+        b, n, _ = x.shape
+        out = ec.grouped_ffn_swiglu(
+            x.reshape(b * n, d), sel.reshape(b * n, -1),
+            weights.reshape(b * n, -1).astype(x.dtype), w1, w3, w2)
+        out = out.reshape(b, n, self.out_dim)
+        aux = zero_aux(x)
+        if train or return_id_experts:
+            # the helper flattens [B, N] before the density means
+            # (hidden_states.view(-1, d), smoe_mixtral_helper.py:23) —
+            # unlike the mm tree, which keeps the batch dim
+            balance = L.switch_balance_loss(
+                gate_softmax.reshape(b * n, e), sel.reshape(b * n, -1), e)
+            zl = L.z_loss(logits)
+            aux = MoEAux(
+                aux_loss=(balance * self.args.balance_loss_coef
+                          + zl * self.args.router_z_loss_coef),
+                losses={"balance_loss": jax.lax.stop_gradient(balance),
+                        "router_z_loss": jax.lax.stop_gradient(zl)},
+                gate_softmax=jax.lax.stop_gradient(gate_softmax),
+                selected_experts=sel)
+        return out, aux
+
+
 def _flip_schedule_field():
     return dataclasses.field(default=None, compare=False, hash=False)
 

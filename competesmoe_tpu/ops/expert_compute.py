@@ -199,6 +199,34 @@ def grouped_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
     return out.astype(x.dtype)
 
 
+def grouped_ffn_swiglu(x: jax.Array, sel: jax.Array, weights: jax.Array,
+                       w1: jax.Array, w3: jax.Array, w2: jax.Array,
+                       gs: Optional[GroupedSel] = None) -> jax.Array:
+    """Sparse MoE FFN with Mixtral-style SwiGLU experts — per expert
+    `w2 @ (silu(w1 @ x) * (w3 @ x))`, no biases (HF
+    MixtralBlockSparseTop2MLP). The reference keeps Mixtral's own experts
+    and loops over them with index_add
+    (moe_model/model/language_model/smoe_mixtral_helper.py:55-75); this is
+    the same math as sorted grouped GEMMs.
+
+    x: [T, d]; sel/weights: [T, k]; w1/w3: [E, d, h]; w2: [E, h, v].
+    """
+    T = x.shape[0]
+    n_experts = w1.shape[0]
+    k = sel.shape[-1]
+    if gs is None:
+        gs = sort_by_expert(sel, n_experts)
+    xs = jnp.take(x, gs.token_ids, axis=0)
+    g = _ragged_dot(xs, w1, gs.group_sizes)
+    u = _ragged_dot(xs, w3, gs.group_sizes)
+    h = jax.nn.silu(g) * u
+    o = _ragged_dot(h, w2, gs.group_sizes)
+    o = jnp.take(o, gs.inv_perm, axis=0).reshape(T, k, o.shape[-1])
+    out = jnp.einsum("tkv,tk->tv", o, weights.astype(o.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
 def grouped_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
                      w1: jax.Array, b1: jax.Array, w2: jax.Array,
                      b2: jax.Array, activation: Activation = jax.nn.gelu,

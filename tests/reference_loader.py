@@ -128,6 +128,17 @@ def mm_moe(name: str):
     return importlib.import_module(f"moe_model.model.moe.{name}")
 
 
+def mm_lm(name: str):
+    """Import a module of the reference's language_model tree by leaf name
+    (e.g. smoe_mixtral_helper — torch/transformers/einops only)."""
+    install()
+    if "moe_model.model.language_model" not in sys.modules:
+        _mk_pkg("moe_model.model.language_model",
+                f"{REF}/moe_model/model/language_model")
+    return importlib.import_module(
+        f"moe_model.model.language_model.{name}")
+
+
 def pt_moe(name: str):
     """Import a module of the reference pretrain MoE tree by leaf name."""
     install()

@@ -280,3 +280,35 @@ def test_builder_dispatches_clip_tower_by_name():
         {**base, "mm_vision_tower": "google/siglip-so400m-patch14-224"})
     assert sig.vision.tower_type == "siglip"
     assert not sig.vision.use_cls_token
+
+
+def test_mixtral_logits_parity():
+    """A real HF Mixtral checkpoint loads verbatim: block_sparse_moe
+    weights -> MixtralMoELayer via convert_decoder, config via
+    decoder_config_from_hf (reference role: llava_mixtral.py keeps
+    Mixtral's own experts, smoe_mixtral_helper.py:20-77)."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    from competesmoe_tpu.models.builder import decoder_config_from_hf
+
+    torch.manual_seed(5)
+    hf_cfg = MixtralConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, sliding_window=None)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+    cfg = decoder_config_from_hf(hf_cfg.to_dict(), "llava-mixtral",
+                                 dtype=jnp.float32)
+    assert cfg.moe_name == "mixtral"
+    assert cfg.num_experts == 4 and cfg.num_selected == 2
+    assert not cfg.fused_qkv
+    params = convert_decoder(_sd(hf), cfg)
+    ids = torch.randint(0, 96, (2, 7))
+    with torch.no_grad():
+        want = hf(ids).logits.numpy()
+    model = DecoderLM(cfg)
+    logits, _, _ = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4,
+                               atol=2e-4)

@@ -385,3 +385,50 @@ def test_pt_competition_policy_routing_exact():
         np.asarray(sel_j).reshape(2, 6, 4), t2n(sel_t))
     check_close(np.asarray(aff_j).reshape(2, 6, 8), t2n(aff))
     check_close(np.asarray(tk_j).reshape(2, 6, 4, -1), t2n(tk))
+
+
+# ---------------------------------------------------------------------------
+# mixtral family: the reference keeps HF Mixtral's own block_sparse_moe and
+# rewires only its forward (smoe_mixtral_helper.py:20-77, installed by
+# llava_mixtral.py initialize_smoe_modules). Parity runs the reference's
+# ACTUAL rewired forward on a real HF MixtralSparseMoeBlock.
+# ---------------------------------------------------------------------------
+
+def test_mixtral_moe_block_parity_vs_reference_helper():
+    from transformers import MixtralConfig
+    from transformers.models.mixtral.modeling_mixtral import (
+        MixtralSparseMoeBlock)
+
+    from competesmoe_tpu.moe import get_moe
+
+    torch.manual_seed(3)
+    cfg = MixtralConfig(hidden_size=16, intermediate_size=32,
+                        num_local_experts=4, num_experts_per_tok=2)
+    block = MixtralSparseMoeBlock(cfg).eval()
+    helper = rl.mm_lm("smoe_mixtral_helper")
+    rewired = helper.MixtralDecoderLayerMOEBlock_forward(block)
+
+    x = np.random.default_rng(7).standard_normal((2, 5, 16)).astype(
+        np.float32)
+    with torch.no_grad():
+        out_t, (bal_t, z_t) = rewired(torch.tensor(x))
+
+    layer = get_moe("mixtral")(in_dim=16, out_dim=16, n_experts=4,
+                               n_selected=2, args=MoEArgs(),
+                               expert_hidden_dim=32)
+    params = {
+        "gate_kernel": t2n(block.gate.weight).T,
+        "experts_w1": np.stack([t2n(e.w1.weight).T for e in block.experts]),
+        "experts_w3": np.stack([t2n(e.w3.weight).T for e in block.experts]),
+        "experts_w2": np.stack([t2n(e.w2.weight).T for e in block.experts]),
+    }
+    init = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out_j, aux = layer.apply(merge_params(init, params), jnp.asarray(x),
+                             train=True)
+    check_close(np.asarray(out_j), t2n(out_t).reshape(2, 5, 16))
+    check_close(float(aux.losses["balance_loss"]), float(bal_t))
+    check_close(float(aux.losses["router_z_loss"]), float(z_t))
+    # the wrapper scales by the coefficients when summing into the LM loss
+    # (llava_mixtral.py:142-147)
+    check_close(float(aux.aux_loss),
+                0.01 * float(bal_t) + 0.001 * float(z_t), rtol=1e-5)
