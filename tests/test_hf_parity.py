@@ -312,3 +312,33 @@ def test_mixtral_logits_parity():
     logits, _, _ = model.apply({"params": params}, jnp.asarray(ids.numpy()))
     np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4,
                                atol=2e-4)
+
+
+def test_mistral_sliding_window_logits_parity():
+    """Mistral = llama layout + sliding-window attention; T > window so
+    the window actually binds (ref role: llava_mistral.py wraps HF
+    Mistral unmodified)."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(6)
+    hf_cfg = MistralConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, sliding_window=4,
+        attn_implementation="eager")
+    hf = MistralForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, original_max_position_embeddings=256,
+        rms_norm_eps=1e-6, sliding_window=4, fused_qkv=False,
+        dtype=jnp.float32)
+    params = convert_decoder(_sd(hf), cfg)
+    ids = torch.randint(0, 96, (2, 9))
+    with torch.no_grad():
+        want = hf(ids).logits.numpy()
+    model = DecoderLM(cfg)
+    logits, _, _ = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4,
+                               atol=2e-4)
