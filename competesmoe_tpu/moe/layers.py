@@ -373,9 +373,10 @@ class MixtralMoELayer(MoeLayerBase):
         weights, sel, gate_softmax = R.topk_softmax(logits, self.n_selected)
         weights = R.normalize_weights(weights, x.dtype)
         b, n, _ = x.shape
-        out = ec.grouped_ffn_swiglu(
+        out = ec.moe_ffn_swiglu(
             x.reshape(b * n, d), sel.reshape(b * n, -1),
-            weights.reshape(b * n, -1).astype(x.dtype), w1, w3, w2)
+            weights.reshape(b * n, -1).astype(x.dtype), w1, w3, w2,
+            impl=self.impl)
         out = out.reshape(b, n, self.out_dim)
         aux = zero_aux(x)
         if train or return_id_experts:

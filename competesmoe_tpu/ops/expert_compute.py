@@ -311,6 +311,23 @@ def moe_ffn_kv(x: jax.Array, sel: jax.Array, weights: jax.Array,
     return grouped_ffn_kv(x, sel, weights, keys, values, activation, b1=b1)
 
 
+def moe_ffn_swiglu(x: jax.Array, sel: jax.Array, weights: jax.Array,
+                   w1: jax.Array, w3: jax.Array, w2: jax.Array,
+                   impl: str = "auto") -> jax.Array:
+    """MoE FFN dispatcher (Mixtral SwiGLU expert parameterization):
+    grouped GEMMs single-device, explicit all-to-all under an active
+    expert-parallel mesh."""
+    mesh = _ep_mesh(impl)
+    if mesh is not None:
+        from ..parallel import ep_context
+        from ..parallel.expert_parallel import make_ep_ffn_swiglu
+        data_axis, expert_axis = ep_context.ep_axes()
+        fn = make_ep_ffn_swiglu(mesh, data_axis=data_axis,
+                                expert_axis=expert_axis)
+        return fn(x, sel, weights, w1, w3, w2)
+    return grouped_ffn_swiglu(x, sel, weights, w1, w3, w2)
+
+
 def moe_ffn_mlp2(x: jax.Array, sel: jax.Array, weights: jax.Array,
                  w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
                  activation: Activation = jax.nn.gelu,

@@ -171,6 +171,38 @@ def make_ep_ffn_mlp2(mesh: Mesh, activation: Callable,
     return ep_ffn
 
 
+def make_ep_ffn_swiglu(mesh: Mesh, capacity: Optional[int] = None,
+                       data_axis: str = "data",
+                       expert_axis: str = "expert"):
+    """Expert-parallel MoE FFN for Mixtral-style SwiGLU experts
+    (w2(silu(w1 x) * w3 x), no biases — MixtralMoELayer). The reference
+    replicates Mixtral's experts per rank (smoe_mixtral_helper.py); this
+    is the sharded upgrade, same all-to-all dataflow as the other trees.
+
+    Returns fn(x, sel, weights, w1 [E, d, h], w3 [E, d, h],
+    w2 [E, h, v]) -> [T, v].
+    """
+    token_spec = P((data_axis, expert_axis))
+    expert_spec = P(expert_axis)
+    n_ep = mesh.shape[expert_axis]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(token_spec, token_spec, token_spec, expert_spec,
+                       expert_spec, expert_spec),
+             out_specs=token_spec, check_vma=False)
+    def ep_ffn(x, sel, weights, w1, w3, w2):
+        def compute_local(flat_x, flat_eid):
+            ones = jnp.ones((flat_x.shape[0], 1), x.dtype)
+            return ec.grouped_ffn_swiglu(flat_x, flat_eid[:, None], ones,
+                                         w1, w3, w2)
+
+        return _ep_dispatch(x, sel, weights, compute_local,
+                            w2.shape[-1], expert_axis,
+                            w1.shape[0] * n_ep, capacity)
+
+    return ep_ffn
+
+
 def _competition_combine(outs_loc, expert_axis, topk):
     """Shared tail of the sharded competition step.
 
