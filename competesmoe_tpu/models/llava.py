@@ -143,6 +143,9 @@ class LlavaOutput:
     vision_auxes: Any = None
     projector_aux: Any = None
     cache: Optional[KVCache] = None
+    # decoder-block MoE aux (mixtral family): coef-scaled MEAN over
+    # layers, the reference's aggregation (llava_mixtral.py:160-167)
+    aux_llm: jax.Array = 0.0
 
 
 class LlavaModel(nn.Module):
@@ -225,10 +228,19 @@ class LlavaModel(nn.Module):
             sp_mask = sp_mask[:, :maxlen]
             sp_pos = sp_pos[:, :maxlen]
 
-        logits, new_cache, _ = lm(
+        logits, new_cache, d_aux = lm(
             inputs_embeds=embeds, attention_mask=sp_mask,
             position_ids=sp_pos if cache is None else None,
             cache=cache, step=step, train=train)
+
+        # decoder-block MoE losses (mixtral family): the reference sums
+        # coef * MEAN over layers into the LM loss
+        # (llava_mixtral.py:160-167); each layer's aux_loss here is
+        # already coef-scaled, so mean of them == that expression
+        aux_llm = jnp.zeros((), jnp.float32)
+        if self.cfg.decoder.moe_name is not None:
+            aux_llm = (d_aux["total_aux_loss"]
+                       / self.cfg.decoder.num_hidden_layers)
 
         loss = None
         if labels is not None:
@@ -237,10 +249,10 @@ class LlavaModel(nn.Module):
             shift_labels = jnp.where(sp_mask[:, 1:], sp_labels[:, 1:],
                                      IGNORE_INDEX)
             ce, _ = lm_loss_fn(shift_logits, shift_labels, IGNORE_INDEX)
-            loss = ce + aux_clip + p_aux.aux_loss
+            loss = ce + aux_clip + p_aux.aux_loss + aux_llm
         return LlavaOutput(
             logits=logits, loss=loss, aux_mlp=p_aux.aux_loss,
-            aux_clip=aux_clip, labels=sp_labels,
+            aux_clip=aux_clip, labels=sp_labels, aux_llm=aux_llm,
             vision_auxes=v_auxes if return_id_experts else None,
             projector_aux=p_aux if return_id_experts else None,
             cache=new_cache)

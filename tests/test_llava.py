@@ -312,3 +312,40 @@ def test_stream_generate_topp_uses_chunks():
     sizes = [c.shape[1] for c in chunks]
     assert sizes == [1, 1, 2, 4]
     np.testing.assert_array_equal(greedy, got)
+
+
+def test_mixtral_decoder_aux_reaches_mm_loss():
+    """With a Mixtral-MoE decoder FFN, the decoder blocks' coef-scaled
+    z/balance losses are added to the LLaVA loss as a MEAN over layers —
+    the reference's aggregation (llava_mixtral.py:160-167). Vision tower
+    and projector are dense here so the delta isolates the decoder aux."""
+    import dataclasses
+
+    cfg = tiny_llava_cfg(moe=False)
+    dec = dataclasses.replace(cfg.decoder, moe_name="mixtral",
+                              num_experts=4, num_selected=2)
+    cfg = dataclasses.replace(cfg, decoder=dec)
+    model = LlavaModel(cfg)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(2, 60, (2, 8)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    mask = np.ones_like(ids)
+    px = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(px), labels=jnp.asarray(labels),
+                        attention_mask=jnp.asarray(mask))
+
+    def run(train):
+        return model.apply(params, jnp.asarray(ids), jnp.asarray(px),
+                           labels=jnp.asarray(labels),
+                           attention_mask=jnp.asarray(mask), train=train)
+
+    out_t, out_e = run(True), run(False)
+    # dense tower/projector: only the decoder contributes aux
+    assert float(out_t.aux_clip) == 0.0 and float(out_t.aux_mlp) == 0.0
+    assert float(out_t.aux_llm) > 0.0
+    assert float(out_e.aux_llm) == 0.0  # eval mode: no aux
+    # forward output is train-invariant, so the loss delta IS aux_llm
+    np.testing.assert_allclose(float(out_t.loss) - float(out_e.loss),
+                               float(out_t.aux_llm), rtol=1e-5, atol=1e-7)
