@@ -65,6 +65,15 @@ def main(argv=None):
                          "tokens per device step (greedy: bit-exact, "
                          "scores unchanged; sampled gen_kwargs: "
                          "unbiased rejection scheme)")
+    ap.add_argument("--engine-slots", type=int, default=0,
+                    help="run generation tasks through the continuous-"
+                         "batching DecodeEngine with N slots sharing "
+                         "ONE batched decode step (token-exact vs the "
+                         "solo path; ignored for --return-id-experts "
+                         "runs, which need prefill telemetry)")
+    ap.add_argument("--engine-max-len", type=int, default=0,
+                    help="engine KV length (default: the model's "
+                         "tokenizer_model_max_length)")
     a = ap.parse_args(argv)
     if a.rank is None or a.world_size is None:
         from ..parallel.distributed import detect_env
@@ -123,7 +132,10 @@ def main(argv=None):
                               conv_template=run.conv_template,
                               batch_size=run.batch_size,
                               max_new_tokens=run.max_new_tokens,
-                              speculative=getattr(run, "speculative", 0))
+                              speculative=getattr(run, "speculative", 0),
+                              engine_slots=getattr(run, "engine_slots", 0),
+                              engine_max_len=getattr(run, "engine_max_len",
+                                                     0))
         results = harness.simple_evaluate(
             lm, run.tasks.split(","), limit=run.limit, rank=run.rank,
             world_size=run.world_size,

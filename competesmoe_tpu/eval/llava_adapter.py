@@ -63,7 +63,8 @@ class JaxLlava:
                  conv_template: str = "phi35", batch_size: int = 1,
                  max_new_tokens: int = 128,
                  stop_token_ids: Optional[List[int]] = None,
-                 speculative: int = 0):
+                 speculative: int = 0,
+                 engine_slots: int = 0, engine_max_len: int = 0):
         self.model = model
         # accept either raw params or the full variables dict
         self.params = params if "params" in params else {"params": params}
@@ -78,6 +79,15 @@ class JaxLlava:
         # (models/llava.py:generate speculative=K) — VQA answers quote
         # the prompt, the regime where drafts accept
         self.speculative = speculative
+        # engine_slots > 0: generate_until runs through the
+        # continuous-batching DecodeEngine — N requests share ONE
+        # batched decode step instead of Collator-batch generates
+        # (token-exact vs the solo path, tests/test_engine.py). Big
+        # suites are decode-bound, so this is the eval-side analog of
+        # the serving engine win.
+        self.engine_slots = engine_slots
+        self.engine_max_len = engine_max_len
+        self._engine = None
         self.time_inference: List[float] = []
         self._ll_fns: Dict[Tuple[int, bool], Any] = {}
 
@@ -112,8 +122,67 @@ class JaxLlava:
 
     # -- request types --
 
+    def _get_engine(self):
+        if self._engine is None:
+            from ..serve.engine import DecodeEngine
+            max_len = (self.engine_max_len
+                       or self.model.cfg.tokenizer_model_max_length
+                       or 2048)
+            self._engine = DecodeEngine(
+                self.model, self.params, n_slots=self.engine_slots,
+                max_len=max_len, spec_k=self.speculative)
+        return self._engine
+
+    def _generate_until_engine(self,
+                               requests: List[Instance]) -> List[str]:
+        """generate_until through the continuous-batching engine: all
+        requests enqueue at once; the engine keeps `engine_slots` of
+        them decoding in ONE batched step program."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        engine = self._get_engine()
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        eos_ids = ([eos] if eos is not None else []) + self.stop_token_ids
+
+        def run_one(r: Instance) -> str:
+            ctx, gen_kwargs, visual = (r.arguments[0],
+                                       r.arguments[1] or {},
+                                       r.arguments[2])
+            has_image = bool(visual)
+            ids = np.asarray(self._build_prompt(ctx, has_image), np.int32)
+            px = (process_images([visual[0]], self.image_processor)
+                  if has_image else None)
+            row = list(engine.submit(
+                ids, pixel_values=px,
+                max_new_tokens=gen_kwargs.get("max_new_tokens",
+                                              self.max_new_tokens),
+                temperature=gen_kwargs.get("temperature", 0.0),
+                top_p=gen_kwargs.get("top_p", 1.0),
+                eos_ids=eos_ids))
+            for stop in eos_ids:
+                if stop in row:
+                    row = row[:row.index(stop)]
+            text = self.tokenizer.decode(row, skip_special_tokens=True)
+            return text.split("<|end|>")[0].strip()
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=max(self.engine_slots * 2,
+                                                2)) as pool:
+            ordered = list(pool.map(run_one, requests))
+        if engine.error is not None:
+            raise RuntimeError("eval engine died") from engine.error
+        self.time_inference.append(time.perf_counter() - t0)
+        for inst, resp in zip(requests, ordered):
+            inst.resps.append(resp)
+        return ordered
+
     def generate_until(self, requests: List[Instance],
                        return_id_experts: bool = False) -> List[str]:
+        # routing telemetry needs the prefill's per-layer auxes, which
+        # the batched engine doesn't surface — fall back to the solo
+        # path for return_id_experts runs
+        if self.engine_slots and not return_id_experts:
+            return self._generate_until_engine(requests)
         collator = Collator(
             requests,
             sort_fn=lambda r: -len(r.arguments[0]),
@@ -130,8 +199,16 @@ class JaxLlava:
             ids, mask = self._pad_batch(id_lists)
             px = None
             if has_image:
-                imgs = [v[0] for v in visuals]
-                px = process_images(imgs, self.image_processor)
+                # a chunk may mix image and text-only requests (e.g.
+                # MMMU docs without figures): text-only rows get a zero
+                # image whose features the splice never reads (their
+                # rows contain no image token)
+                rows = [i for i, v in enumerate(visuals) if v]
+                px_rows = process_images([visuals[i][0] for i in rows],
+                                         self.image_processor)
+                px = np.zeros((len(visuals),) + px_rows.shape[1:],
+                              px_rows.dtype)
+                px[rows] = px_rows
             t0 = time.perf_counter()
             toks, out = generate(
                 self.model, self.params, ids, px, attention_mask=mask,

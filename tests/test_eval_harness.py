@@ -354,3 +354,35 @@ def test_offline_judge_fallback_flagged(jax_llava):
     r = results["results"]["toy_judge"]
     assert r.get("offline_metric") is True
     assert "offline_judge_containment" in r
+
+
+def test_engine_backed_generate_until_matches_solo(jax_llava):
+    """--engine-slots: generate_until through the continuous-batching
+    engine returns exactly the solo path's responses (the engine's
+    token-exactness carries to eval scores)."""
+    from competesmoe_tpu.eval.instance import Instance
+
+    img = Image.new("RGB", (30, 30), (0, 128, 255))
+    def mk():
+        return [Instance(request_type="generate_until",
+                         arguments=(q, {"max_new_tokens": 4}, v),
+                         idx=0, metadata=("eng", i, 1))
+                for i, (q, v) in enumerate(
+                    [("what color is this", [img]),
+                     ("is this a cat", [img]),
+                     ("yes red blue a cat what", []),
+                     ("what color", [img]),
+                     ("blue a", [])])]
+
+    want = jax_llava.generate_until(mk())
+
+    eng_lm = JaxLlava(jax_llava.model, jax_llava.params,
+                      jax_llava.tokenizer, jax_llava.image_processor,
+                      batch_size=2, max_new_tokens=3,
+                      engine_slots=2, engine_max_len=96)
+    try:
+        got = eng_lm.generate_until(mk())
+    finally:
+        if eng_lm._engine is not None:
+            eng_lm._engine.shutdown()
+    assert got == want, f"{got} != {want}"
