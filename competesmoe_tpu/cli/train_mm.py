@@ -86,6 +86,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="fully shard dense params over the data axis "
                          "(ZeRO-3 analog); --no-fsdp replicates them")
     ap.add_argument("--no-fsdp", dest="fsdp", action="store_false")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-decoder-layer rematerialization "
+                         "(jax.checkpoint): trade recompute FLOPs for "
+                         "activation memory — the lever that fits the "
+                         "5.1B sft on 16 GB chips")
     # LoRA training (train.py:1310-1340)
     ap.add_argument("--lora-enable", action="store_true")
     ap.add_argument("--lora-r", type=int, default=128)
@@ -137,6 +142,10 @@ def main(argv=None):
     _, model0, variables, image_processor, _ = load_pretrained_model(
         a.model_dir, dtype=jnp.bfloat16 if a.bf16 else jnp.float32)
     cfg = model0.cfg
+    if a.remat:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, decoder=_dc.replace(cfg.decoder,
+                                                   remat=True))
 
     tcfg = MMTrainConfig(
         stage=a.stage, learning_rate=a.learning_rate,

@@ -50,6 +50,13 @@ class DecoderConfig:
     sliding_window: Optional[int] = None
     tie_word_embeddings: bool = False
     fused_qkv: bool = False        # Phi-3 qkv_proj / gate_up_proj layout
+    # Per-layer rematerialization (jax.checkpoint): recompute block
+    # activations in the backward pass instead of storing them — the
+    # activation-memory lever for the 5.1B sft on 16 GB chips (the
+    # reference leans on ZeRO-3 gather granularity instead). Forward-only
+    # paths (decode) are unaffected: without a grad there is nothing to
+    # recompute. Off by default; `--remat` on the mm train CLI.
+    remat: bool = False
     attention_bias: bool = False
     # MPT-family knobs (llava_mpt backbone): alibi position bias instead
     # of RoPE, bias-free LayerNorm instead of RMSNorm, plain GELU MLP
@@ -736,9 +743,12 @@ class DecoderLayer(nn.Module):
         else:
             self.mlp = DecoderMLP(cfg)
 
-    def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
+    def __call__(self, x, cos, sin, mask=None, cache_kv=None,
                  cache_idx=None, layer_idx: int = 0, step=None,
                  train=False, attn_window=None, deferred=False):
+        # positional-friendly signature: nn.remat's static_argnums are
+        # positional (layer_idx/train/attn_window/deferred must stay
+        # python values — they steer control flow and list indexing)
         res = x
         h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
                                       mask=mask, cache_kv=cache_kv,
@@ -774,7 +784,13 @@ class DecoderLM(nn.Module):
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.hidden_size,
             embedding_init=nn.initializers.normal(0.02))
-        self.layers = [DecoderLayer(cfg)
+        layer_cls = DecoderLayer
+        if cfg.remat:
+            # argnums count self as 0: x1 cos2 sin3 mask4 cache_kv5
+            # cache_idx6 layer_idx7 step8 train9 attn_window10 deferred11
+            layer_cls = nn.remat(DecoderLayer,
+                                 static_argnums=(7, 9, 10, 11))
+        self.layers = [layer_cls(cfg)
                        for _ in range(cfg.num_hidden_layers)]
         # the final norm folds into lm_head; with tied embeddings the
         # embedding matrix is also the input table, so it cannot absorb
@@ -889,10 +905,10 @@ class DecoderLM(nn.Module):
         auxes: List[MoEAux] = []
         pending = []
         for li, layer in enumerate(self.layers):
+            # positional call: required by nn.remat's static_argnums
             x, updated, aux = layer(
-                x, cos, sin, mask=mask, cache_kv=cache_kv,
-                cache_idx=cache_idx, layer_idx=li, step=step, train=train,
-                attn_window=attn_window, deferred=deferred)
+                x, cos, sin, mask, cache_kv, cache_idx, li, step, train,
+                attn_window, deferred)
             total_aux = total_aux + aux.aux_loss
             auxes.append(aux)
             if updated is not None:

@@ -349,3 +349,44 @@ def test_mixtral_decoder_aux_reaches_mm_loss():
     # forward output is train-invariant, so the loss delta IS aux_llm
     np.testing.assert_allclose(float(out_t.loss) - float(out_e.loss),
                                float(out_t.aux_llm), rtol=1e-5, atol=1e-7)
+
+
+def test_decoder_remat_loss_and_grads_identical():
+    """--remat (per-layer jax.checkpoint in the decoder) recomputes
+    activations in backward; loss and gradients must be identical to the
+    stored-activation baseline."""
+    import dataclasses
+
+    cfg = tiny_llava_cfg(moe=True)
+    rng = np.random.default_rng(9)
+    ids = rng.integers(2, 60, (2, 8)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    labels, mask = ids.copy(), np.ones_like(ids)
+    px = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+
+    def loss_and_grads(use_remat):
+        c = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, remat=use_remat))
+        model = LlavaModel(c)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                            jnp.asarray(px), labels=jnp.asarray(labels),
+                            attention_mask=jnp.asarray(mask))
+
+        def f(p):
+            return model.apply(p, jnp.asarray(ids), jnp.asarray(px),
+                               labels=jnp.asarray(labels),
+                               attention_mask=jnp.asarray(mask),
+                               train=True, step=jnp.int32(1)).loss
+
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    (l0, g0), (l1, g1) = loss_and_grads(False), loss_and_grads(True)
+    # remat does not change param structure: checkpoints interchangeable
+    assert jax.tree_util.tree_structure(g0) == \
+        jax.tree_util.tree_structure(g1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # recompute reorders XLA fusions -> f32 reassociation noise only
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
