@@ -42,3 +42,30 @@ python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
 python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
   --multi-turn --prefix-cache 4 --steps-per-call 8 --max-len 1024 \
   | tee /tmp/engine_multiturn_parked.json
+
+# 6. remat memory A/B on the real backend: predicted HBM peak of a
+#    sharded-free 4-layer train step with/without --remat
+python - <<'PYEOF' | tee /tmp/remat_mem.json
+import json, jax, jax.numpy as jnp
+from competesmoe_tpu.models.decoder import DecoderConfig, DecoderLM
+import dataclasses
+def peak(remat):
+    cfg = DecoderConfig(vocab_size=32064, hidden_size=3072,
+                        intermediate_size=8192, num_hidden_layers=4,
+                        num_attention_heads=32, num_key_value_heads=32,
+                        fused_qkv=True, max_position_embeddings=4096,
+                        original_max_position_embeddings=4096,
+                        dtype=jnp.bfloat16, remat=remat)
+    model = DecoderLM(cfg)
+    ids = jnp.zeros((4, 2048), jnp.int32)
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids))
+    def loss(p):
+        logits, _, _ = model.apply(p, ids)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+    c = jax.jit(jax.grad(loss)).lower(params).compile()
+    m = c.memory_analysis()
+    return m.temp_size_in_bytes
+b, r = peak(False), peak(True)
+print(json.dumps({"metric": "remat_temp_bytes", "baseline_mb": b/1e6,
+                  "remat_mb": r/1e6, "saving_pct": 100*(1-r/b)}))
+PYEOF
