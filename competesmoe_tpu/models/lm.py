@@ -94,6 +94,11 @@ class LMConfig:
     # halting.py): 0 = off; >0 wraps every block in an ACTBlock
     act_max_steps: int = 0
     act_loss: float = 0.0
+    # per-block rematerialization (jax.checkpoint): recompute block
+    # activations in backward instead of storing n_layers of them —
+    # the long-unroll/large-config memory lever (-remat). Ignored when
+    # ACT wraps blocks (the ACT scan carries its own state).
+    remat: bool = False
 
 
     # misc
@@ -278,9 +283,11 @@ class MoETransformerBlock(nn.Module):
         self.norm1 = nn.LayerNorm(dtype=cfg.dtype)
         self.norm2 = nn.LayerNorm(dtype=cfg.dtype)
 
-    def __call__(self, x, *, step=None, train=False, flips=None,
+    def __call__(self, x, step=None, train=False, flips=None,
                  prev_state=None, pos_offset: int = 0,
                  return_id_experts: bool = False):
+        # positional-friendly: nn.remat static_argnums (train,
+        # pos_offset, return_id_experts) must stay python values
         ninput = self.norm1(x)
         attend_to = None
         if prev_state is not None:
@@ -321,7 +328,13 @@ class MoELanguageModel(nn.Module):
         self.embedding = nn.Embed(
             cfg.vocab_size, cfg.d_model,
             embedding_init=nn.initializers.normal(cfg.d_model**-0.5))
-        blocks = [MoETransformerBlock(cfg)
+        block_cls = MoETransformerBlock
+        if cfg.remat and cfg.act_max_steps == 0:
+            # argnums count self as 0: x1 step2 train3 flips4
+            # prev_state5 pos_offset6 return_id_experts7
+            block_cls = nn.remat(MoETransformerBlock,
+                                 static_argnums=(3, 6, 7))
+        blocks = [block_cls(cfg)
                   for _ in range(cfg.n_unique_layers)]
         if cfg.act_max_steps > 0:
             from .act import ACTBlock
@@ -367,10 +380,9 @@ class MoELanguageModel(nn.Module):
                 # save this layer's (normalized) input for the next block
                 new_state.append(jax.lax.stop_gradient(
                     self.blocks[ui].norm1(net)))
-            net_o, aux = self.blocks[ui](net, step=step, train=train,
-                                         flips=flips, prev_state=prev,
-                                         pos_offset=pos_offset,
-                                         return_id_experts=return_id_experts)
+            # positional call: required by nn.remat's static_argnums
+            net_o, aux = self.blocks[ui](net, step, train, flips, prev,
+                                         pos_offset, return_id_experts)
             if return_id_experts and aux.selected_experts is not None:
                 aux_losses[f"layer{li}/selected_experts"] = \
                     aux.selected_experts

@@ -464,7 +464,12 @@ class CompeteSMoELayer(MoeLayerBase):
         if not use_schedule:
             return router_branch(x)
 
-        sched = jnp.asarray(np.asarray(schedule, dtype=bool))
+        # schedule may arrive as a tracer (a remat'd block passes
+        # flips as a checkpointed arg) — only host arrays go
+        # through numpy
+        sched = (schedule.astype(bool)
+                 if isinstance(schedule, jax.Array)
+                 else jnp.asarray(np.asarray(schedule, dtype=bool)))
         step = jnp.asarray(step, jnp.int32)
         rel = step - self.step_warm
         idx = jnp.clip(rel, 0, sched.shape[0] - 1)

@@ -408,7 +408,12 @@ class PretrainCompeteSMoE(MoEUTBase):
         if not use_schedule:
             return router_branch(x)
 
-        sched = jnp.asarray(np.asarray(schedule, dtype=bool))
+        # schedule may arrive as a tracer (a remat'd block passes
+        # flips as a checkpointed arg) — only host arrays go
+        # through numpy
+        sched = (schedule.astype(bool)
+                 if isinstance(schedule, jax.Array)
+                 else jnp.asarray(np.asarray(schedule, dtype=bool)))
         step_a = jnp.asarray(step, jnp.int32)
         rel = step_a - self.step_warm
         idx = jnp.clip(rel, 0, sched.shape[0] - 1)

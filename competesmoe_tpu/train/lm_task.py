@@ -102,6 +102,9 @@ def _task_args(parser: ArgumentParser):
     # axis like set_z3_leaf_modules kept them gather-free)
     parser.add_argument("-fsdp", default=False)
     parser.add_argument("-fsdp.min_size", default=65536)
+    # per-block rematerialization: recompute activations in backward
+    # (jax.checkpoint) — the long-unroll memory lever
+    parser.add_argument("-remat", default=False)
     # profiling: capture a jax.profiler trace for steps [start, start+n)
     # (the reference's commented torch.profiler block + -speedtest,
     # simple_task.py:361-381,439-445)
@@ -232,6 +235,7 @@ def lm_config_from(a: DotDict) -> LMConfig:
         attn_backend=a.transformer.attn_backend,
         universal_group_size=a.transformer.universal.group_size,
         universal_group_type=a.transformer.universal.group_type,
+        remat=bool(a.remat),
         dtype=jnp.bfloat16 if a.amp else jnp.float32,
     )
 

@@ -148,3 +148,37 @@ def test_resolve_attn_backend():
     assert resolve_attn_backend("auto", 1024, 128, "tpu") == "einsum"
     assert resolve_attn_backend("auto", 4096, 96, "tpu") == "einsum"
     assert resolve_attn_backend("auto", 4096, 128, "cpu") == "einsum"
+
+
+def test_lm_remat_loss_and_grads_identical():
+    """-remat (per-block jax.checkpoint): loss identical, grads equal to
+    f32 reassociation noise, param tree unchanged — with the competesmoe
+    flip schedule active so the rematted branch includes lax.cond."""
+    sched = build_flip_schedule(2, total_steps=10, warm_up=0.0,
+                                rate_flip=1.0, max_compete_in_iter=2,
+                                seed=0)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(1, 120, (2, 17)), jnp.int32)
+
+    def loss_and_grads(remat):
+        cfg = tiny_cfg(moe_name="competesmoe", dtype=jnp.float32,
+                       remat=remat)
+        model = MoELanguageModel(cfg, flip_schedule=sched)
+        params = model.init(jax.random.PRNGKey(0), tokens[:, :-1])
+
+        def f(p):
+            logits, aux = model.apply(p, tokens[:, :-1], train=True,
+                                      step=jnp.int32(1))
+            loss, _ = lm_loss_fn(logits, tokens[:, 1:])
+            return loss + aux["total_aux_loss"]
+
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    (l0, g0), (l1, g1) = loss_and_grads(False), loss_and_grads(True)
+    assert jax.tree_util.tree_structure(g0) == \
+        jax.tree_util.tree_structure(g1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
