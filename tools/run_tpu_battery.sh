@@ -18,6 +18,8 @@ python bench.py | tee /tmp/bench_live.json
 python tools/bench_decode.py --spec-step 4 --quant int8 --kv-quant int8 \
   | tee /tmp/spec_step_int8.json
 python tools/bench_decode.py --spec-step 4 | tee /tmp/spec_step_bf16.json
+python tools/bench_decode.py --spec-step 4 --quant int4 --kv-quant int8 \
+  | tee /tmp/spec_step_int4.json
 
 # 3. engine aggregate: perfect-draft ceiling, then realistic lookup hits
 python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
