@@ -86,6 +86,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="fully shard dense params over the data axis "
                          "(ZeRO-3 analog); --no-fsdp replicates them")
     ap.add_argument("--no-fsdp", dest="fsdp", action="store_false")
+    ap.add_argument("--profile-start-step", type=int, default=-1,
+                    help="capture a jax.profiler trace (TensorBoard) for "
+                         "steps [N, N + --profile-n-steps)")
+    ap.add_argument("--profile-n-steps", type=int, default=5)
     ap.add_argument("--remat", action="store_true",
                     help="per-decoder-layer rematerialization "
                          "(jax.checkpoint): trade recompute FLOPs for "
@@ -262,8 +266,16 @@ def main(argv=None):
         logger = MetricLogger(out_dir, stdout_interval=a.log_interval)
         meter = ElapsedTimeMeter()
 
+        # jax.profiler trace window (the LM task's -profile.* analog;
+        # reference role: the commented torch.profiler block +
+        # EfficiencyCallback timing)
+        prof_start = a.profile_start_step
+        prof_end = prof_start + a.profile_n_steps if prof_start >= 0 else -1
+
         batches = iter(sampler)
         for step in range(start_step, a.num_train_steps):
+            if step == prof_start:
+                jax.profiler.start_trace(str(out_dir / "trace"))
             try:
                 idx = next(batches)
             except StopIteration:
@@ -274,6 +286,9 @@ def main(argv=None):
                      for k, v in batch.items()}
             with meter:
                 state, metrics = step_fn(state, batch)
+            if step == prof_end - 1:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             if step % a.log_interval == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 metrics["time_per_iteration"] = meter.mean_ms / 1000.0

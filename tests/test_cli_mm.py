@@ -66,12 +66,16 @@ def test_train_mm_cli(ckpt_dir, tok_dir, data_dir, tmp_path):
           "--stage", "sft", "--num-train-steps", "3",
           "--per-device-batch-size", "2", "--model-max-length", "64",
           "--save-interval", "2", "--log-interval", "1",
-          "--learning-rate", "1e-4",
+          "--learning-rate", "1e-4", "--remat",
+          "--profile-start-step", "1", "--profile-n-steps", "1",
           "--output-dir", str(out)])
     log = (out / "log_trainer.jsonl").read_text().strip().splitlines()
     recs = [json.loads(l) for l in log]
     assert any("loss/total" in r for r in recs)
     assert (out / "checkpoint" / "model-3").exists()
+    # --profile-start-step wrote a TensorBoard trace
+    assert any((out / "trace").rglob("*.pb")) or \
+        any((out / "trace").rglob("*trace*")), "no profiler trace"
 
 
 def test_eval_mm_cli(ckpt_dir, tok_dir, tmp_path, capsys):
