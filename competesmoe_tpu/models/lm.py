@@ -225,6 +225,21 @@ class FastRopeAttention(nn.Module):
             k = apply_partial_rope(k, sin0[None, :, None, :],
                                    cos0[None, :, None, :], n_rotate)
 
+        # sequence parallelism: with an active seq mesh, plain causal
+        # attention runs as a K/V ring over ICI (context parallelism,
+        # parallel/ring_attention.py) — the [B, h, T, T] score matrix
+        # never materializes on one chip. RoPE above used global
+        # positions, so the ring sees correctly-rotated blocks.
+        from ..parallel import seq_context
+        seq_mesh = seq_context.current_seq_mesh()
+        if seq_mesh is not None and attend_to is None and mask is None:
+            from ..parallel.ring_attention import make_ring_attention
+            ring = make_ring_attention(seq_mesh,
+                                       seq_axis=seq_context.seq_axis())
+            out = ring(q, k, v).reshape(B, T, h * p)
+            return nn.Dense(cfg.d_model, use_bias=False, kernel_init=init,
+                            dtype=cfg.dtype, name="out")(out)
+
         # [B, h, T, p]
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
