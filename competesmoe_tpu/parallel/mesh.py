@@ -29,12 +29,20 @@ EXPERT_PARAM_NAMES = (
 )
 
 
-def make_mesh(n_expert: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh with ('data', 'expert') axes; expert axis size n_expert."""
+def make_mesh(n_expert: int = 1, devices: Optional[Sequence] = None,
+              n_seq: int = 1) -> Mesh:
+    """Mesh with ('data', 'expert') axes; expert axis size n_expert.
+    n_seq > 1 adds a trailing 'seq' axis for sequence/context
+    parallelism (ring attention, parallel/ring_attention.py)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if n % n_expert != 0:
-        raise ValueError(f"{n} devices not divisible by expert={n_expert}")
+    if n % (n_expert * n_seq) != 0:
+        raise ValueError(f"{n} devices not divisible by "
+                         f"expert={n_expert} x seq={n_seq}")
+    if n_seq > 1:
+        arr = np.asarray(devices).reshape(n // (n_expert * n_seq),
+                                          n_expert, n_seq)
+        return Mesh(arr, ("data", "expert", "seq"))
     arr = np.asarray(devices).reshape(n // n_expert, n_expert)
     return Mesh(arr, ("data", "expert"))
 

@@ -97,6 +97,11 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-valid_interval", default=500)
     parser.add_argument("-valid_batches", default=10)
     parser.add_argument("-n_expert_shards", default=1)
+    # sequence/context parallelism: shard attention over a 'seq' mesh
+    # axis — plain causal attention runs as a K/V ring over ICI
+    # (parallel/ring_attention.py), removing the single-chip T^2 score
+    # matrix. The reference has no long-context mechanism (SURVEY §5).
+    parser.add_argument("-n_seq_shards", default=1)
     # fully-sharded dense params over the data axis (the reference's
     # DeepSpeed ZeRO-3 role, scripts/zero3.json; experts keep their own
     # axis like set_z3_leaf_modules kept them gather-free)
@@ -270,7 +275,12 @@ class SyntheticTransformerTask:
         self.schedule = schedule
         self.model = MoELanguageModel(cfg, flip_schedule=schedule)
 
-        self.mesh = make_mesh(n_expert=a.n_expert_shards)
+        self.mesh = make_mesh(n_expert=a.n_expert_shards,
+                              n_seq=a.n_seq_shards)
+        if a.n_seq_shards > 1 and a.lm.unroll % a.n_seq_shards != 0:
+            raise ValueError(
+                f"-lm.unroll {a.lm.unroll} must divide by "
+                f"-n_seq_shards {a.n_seq_shards} (ring attention blocks)")
         n_dev = self.mesh.devices.size
         if a.batch_size % n_dev != 0:
             raise ValueError(
@@ -337,12 +347,18 @@ class SyntheticTransformerTask:
             record.write_text(str(ckpt_dir))
 
     def _ep_scope(self):
-        """Expert-parallel dispatch context for this task's jit traces."""
+        """Parallel-dispatch context for this task's jit traces: expert
+        parallelism (all-to-all MoE dispatch) and/or sequence
+        parallelism (ring attention over the 'seq' axis)."""
+        import contextlib
+        stack = contextlib.ExitStack()
         if self._use_ep:
             from ..parallel.ep_context import use_expert_parallel
-            return use_expert_parallel(self.mesh)
-        import contextlib
-        return contextlib.nullcontext()
+            stack.enter_context(use_expert_parallel(self.mesh))
+        if "seq" in self.mesh.axis_names:
+            from ..parallel.seq_context import use_sequence_parallel
+            stack.enter_context(use_sequence_parallel(self.mesh))
+        return stack
 
     # -- data --
 

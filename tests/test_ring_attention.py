@@ -143,3 +143,31 @@ def test_lm_train_step_with_sequence_parallel_matches_single_device():
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_lm_task_with_seq_shards_end_to_end(tmp_path):
+    """-n_seq_shards through the pretrain CLI: the synthetic task trains
+    on a ('data','expert','seq') mesh with ring attention active and a
+    finite decreasing-ish loss."""
+    from competesmoe_tpu.train.lm_task import _task_args, get_task
+    from competesmoe_tpu.utils.argparser import ArgumentParser
+
+    p = ArgumentParser()
+    _task_args(p)
+    a = p.parse([
+        "-task", "synthetic_transformer", "-stop_after", "3",
+        "-batch_size", "8", "-lm.unroll", "32", "-state_size", "32",
+        "-transformer.encoder_n_layers", "2", "-moe.n_experts", "4",
+        "-pkm.n_heads", "2", "-moe_name", "competesmoe",
+        "-lm.vocab_size", "64", "-n_seq_shards", "4",
+        "-run_dir", str(tmp_path), "-name", "sp_e2e",
+        "-save_interval", "1000", "-log_interval", "1",
+    ])
+    task = get_task("synthetic_transformer")(a)
+    assert "seq" in task.mesh.axis_names and task.mesh.shape["seq"] == 4
+    task.train()
+    import json
+    log = (tmp_path / "sp_e2e" / "log_trainer.jsonl").read_text()
+    recs = [json.loads(l) for l in log.strip().splitlines()]
+    losses = [r["loss/total"] for r in recs if "loss/total" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
