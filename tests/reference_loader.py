@@ -61,7 +61,23 @@ def _install_stubs() -> None:
         loguru.logger = _Logger()
 
     if "triton" not in sys.modules:
-        triton = _mk_stub_module("triton")
+        # a PACKAGE stub: torch._inductor probes `import
+        # triton.backends.compiler` etc. whenever `import triton`
+        # succeeds (e.g. while importing transformers model classes
+        # AFTER these stubs are installed) — pre-seed the submodules it
+        # walks so the probe degrades to torch's own no-AttrsDescriptor
+        # fallback instead of crashing the transformers import
+        # (torch/_inductor/runtime/hints.py:55-123)
+        triton = _mk_pkg("triton")
+        for sub in ("triton.backends", "triton.backends.compiler",
+                    "triton.compiler", "triton.compiler.compiler",
+                    "triton.runtime"):
+            _mk_stub_module(sub)
+        triton.backends = sys.modules["triton.backends"]
+        triton.backends.compiler = sys.modules["triton.backends.compiler"]
+        triton.compiler = sys.modules["triton.compiler"]
+        triton.compiler.compiler = sys.modules["triton.compiler.compiler"]
+        triton.runtime = sys.modules["triton.runtime"]
         tl = _mk_stub_module("triton.language")
 
         def _guarded(name):
