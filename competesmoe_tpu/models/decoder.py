@@ -511,7 +511,7 @@ class DecoderAttention(nn.Module):
     def __call__(self, x, cos, sin, *, mask=None, cache_kv=None,
                  cache_idx=None, layer_idx: int = 0,
                  attn_window: Optional[int] = None,
-                 deferred: bool = False):
+                 deferred: bool = False, ring_qv=None):
         """mask: [B, Tq, Tk] bool (True = attend). cache_kv: the FULL
         stacked (k, v) buffers [L, B, max_len, h_kv, d] — this layer
         scatters into its own [layer_idx] slice in place (restacking
@@ -544,6 +544,27 @@ class DecoderAttention(nn.Module):
         if not cfg.use_alibi:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+
+        if ring_qv is not None and cache_kv is None and h == hk:
+            # sequence-parallel training: position/validity-masked ring
+            # attention over the 'seq' mesh axis — the [B, h, T, T]
+            # score matrix never materializes on one chip (the dense
+            # mask path below builds it). DecoderLM only passes ring_qv
+            # under an active seq mesh with plain (no alibi, no window,
+            # MHA) attention.
+            from ..parallel import seq_context
+            from ..parallel.ring_attention import \
+                make_ring_attention_masked
+            smesh = seq_context.current_seq_mesh()
+            ring = make_ring_attention_masked(
+                smesh, seq_axis=seq_context.seq_axis())
+            qpos, kvalid = ring_qv
+            out = ring(q, k, v, qpos.astype(jnp.int32),
+                       qpos.astype(jnp.int32), kvalid.astype(bool))
+            out = out.reshape(B, T, h * p)
+            out = _make_dense(cfg, cfg.hidden_size, "o_proj",
+                              cfg.attention_bias)(out)
+            return out, None
 
         new_cache = None
         k_scale = v_scale = None
@@ -745,7 +766,8 @@ class DecoderLayer(nn.Module):
 
     def __call__(self, x, cos, sin, mask=None, cache_kv=None,
                  cache_idx=None, layer_idx: int = 0, step=None,
-                 train=False, attn_window=None, deferred=False):
+                 train=False, attn_window=None, deferred=False,
+                 ring_qv=None):
         # positional-friendly signature: nn.remat's static_argnums are
         # positional (layer_idx/train/attn_window/deferred must stay
         # python values — they steer control flow and list indexing)
@@ -755,7 +777,7 @@ class DecoderLayer(nn.Module):
                                       cache_idx=cache_idx,
                                       layer_idx=layer_idx,
                                       attn_window=attn_window,
-                                      deferred=deferred)
+                                      deferred=deferred, ring_qv=ring_qv)
         x = res + h
         res = x
         h = self.post_attention_layernorm(x)
@@ -866,6 +888,7 @@ class DecoderLM(nn.Module):
                     and not isinstance(cache.k, (list, tuple)))
 
         # Build the attention mask [B, Tq, Tk].
+        ring_qv = None
         if cache is not None:
             if attn_window is not None and attn_window < kv_len:
                 # windowed KV read (see DecoderAttention): mask matches
@@ -888,13 +911,27 @@ class DecoderLM(nn.Module):
                 if cfg.sliding_window:
                     mask = mask & (kpos > qpos - cfg.sliding_window)
         else:
-            qpos = position_ids[:, :, None]
-            kpos = position_ids[:, None, :]
-            mask = kpos <= qpos
-            if cfg.sliding_window:
-                mask = mask & (kpos > qpos - cfg.sliding_window)
-            if attention_mask is not None:
-                mask = mask & attention_mask[:, None, :].astype(bool)
+            from ..parallel import seq_context
+            if (seq_context.current_seq_mesh() is not None
+                    and cfg.sliding_window is None and not cfg.use_alibi
+                    and cfg.num_attention_heads
+                    == cfg.num_key_value_heads):
+                # sequence-parallel training: skip the [B, T, T] dense
+                # mask entirely — positions + validity ride the ring
+                # (parallel/ring_attention.make_ring_attention_masked)
+                kvalid = (attention_mask.astype(bool)
+                          if attention_mask is not None
+                          else jnp.ones((B, T), bool))
+                ring_qv = (position_ids, kvalid)
+                mask = None
+            else:
+                qpos = position_ids[:, :, None]
+                kpos = position_ids[:, None, :]
+                mask = kpos <= qpos
+                if cfg.sliding_window:
+                    mask = mask & (kpos > qpos - cfg.sliding_window)
+                if attention_mask is not None:
+                    mask = mask & attention_mask[:, None, :].astype(bool)
 
         cache_kv = None
         if cache is not None:
@@ -908,7 +945,7 @@ class DecoderLM(nn.Module):
             # positional call: required by nn.remat's static_argnums
             x, updated, aux = layer(
                 x, cos, sin, mask, cache_kv, cache_idx, li, step, train,
-                attn_window, deferred)
+                attn_window, deferred, ring_qv)
             total_aux = total_aux + aux.aux_loss
             auxes.append(aux)
             if updated is not None:

@@ -100,3 +100,62 @@ def make_ring_attention(mesh: Mesh, seq_axis: str = "seq",
         return out.astype(q.dtype).transpose(0, 2, 1, 3)
 
     return ring
+
+
+def make_ring_attention_masked(mesh: Mesh, seq_axis: str = "seq"):
+    """Ring attention with caller-supplied per-token positions and
+    validity — the padded-batch form the multimodal decoder needs
+    (splice-padded rows, per-row position ids).
+
+    Returns fn(q, k, v, qpos, kpos, kvalid) -> out where q/k/v are
+    [B, T, h, p] and qpos/kpos/kvalid are [B, T] (int32, int32, bool),
+    all T-sharded over `seq_axis`. A key is attended iff
+    `kvalid & (kpos <= qpos)` — exactly the decoder's
+    `mask = (kpos <= qpos) & attention_mask` training mask
+    (models/decoder.py no-cache branch). kpos/kvalid rotate around the
+    ring with their K/V block."""
+    spec4 = P(None, seq_axis, None, None)
+    spec2 = P(None, seq_axis)
+    n = mesh.shape[seq_axis]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec4, spec4, spec4, spec2, spec2, spec2),
+             out_specs=spec4, check_vma=False)
+    def ring(q, k, v, qpos, kpos, kvalid):
+        B, Tl, h, p = q.shape
+        scale = 1.0 / math.sqrt(p)
+        qs = (q.transpose(0, 2, 1, 3) * jnp.asarray(scale, q.dtype))
+        kb = k.transpose(0, 2, 1, 3)
+        vb = v.transpose(0, 2, 1, 3)
+
+        m = jnp.full((B, h, Tl), NEG_INF, jnp.float32)
+        l = jnp.zeros((B, h, Tl), jnp.float32)
+        o = jnp.zeros((B, h, Tl, p), jnp.float32)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        kp, kv_ok = kpos, kvalid
+        for s in range(n):
+            scores = jnp.einsum("bhqp,bhkp->bhqk", qs, kb,
+                                preferred_element_type=jnp.float32)
+            ok = kv_ok[:, None, :] & (kp[:, None, :] <= qpos[:, :, None])
+            scores = jnp.where(ok[:, None], scores, NEG_INF)
+            m_new = jnp.maximum(m, scores.max(axis=-1))
+            m_use = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            p_ = jnp.exp(scores - m_use[..., None])
+            alpha = jnp.exp(m - m_use)
+            l = l * alpha + p_.sum(axis=-1)
+            o = o * alpha[..., None] + jnp.einsum(
+                "bhqk,bhkp->bhqp", p_.astype(vb.dtype), vb,
+                preferred_element_type=jnp.float32)
+            m = m_new
+            if s < n - 1:
+                kb = jax.lax.ppermute(kb, seq_axis, perm)
+                vb = jax.lax.ppermute(vb, seq_axis, perm)
+                kp = jax.lax.ppermute(kp, seq_axis, perm)
+                kv_ok = jax.lax.ppermute(kv_ok, seq_axis, perm)
+        # rows whose every key is masked (fully-padded) normalize by a
+        # safe 1 and output zeros
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out = o / l_safe[..., None]
+        return out.astype(q.dtype).transpose(0, 2, 1, 3)
+
+    return ring

@@ -171,3 +171,92 @@ def test_lm_task_with_seq_shards_end_to_end(tmp_path):
     recs = [json.loads(l) for l in log.strip().splitlines()]
     losses = [r["loss/total"] for r in recs if "loss/total" in r]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_masked_ring_attention_matches_reference():
+    """The padded/position-id form: random validity + per-row restarting
+    positions must reproduce dense masked attention exactly."""
+    from competesmoe_tpu.parallel.ring_attention import (
+        make_ring_attention_masked)
+
+    B, T, h, p = 2, 24, 2, 8
+    rng = np.random.default_rng(11)
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (B, T, h, p), jnp.float32)
+    k = jax.random.normal(ks[1], (B, T, h, p), jnp.float32)
+    v = jax.random.normal(ks[2], (B, T, h, p), jnp.float32)
+    # right-padded rows (like the image splice) + cumsum position ids
+    valid = np.ones((B, T), bool)
+    valid[0, 19:] = False
+    valid[1, 14:] = False
+    pos = np.maximum(np.cumsum(valid, axis=1) - 1, 0).astype(np.int32)
+
+    # dense reference with the decoder's training mask
+    qt = q.transpose(0, 2, 1, 3).astype(jnp.float32)
+    kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
+    scores = jnp.einsum("bhqp,bhkp->bhqk", qt, kt) / math.sqrt(p)
+    m = (pos[:, None, :] <= pos[:, :, None]) & valid[:, None, :]
+    scores = jnp.where(m[:, None], scores, -jnp.inf)
+    want = jnp.einsum("bhqk,bhkp->bhqp", jax.nn.softmax(scores, -1), vt)
+    want = want.transpose(0, 2, 1, 3)
+
+    mesh = seq_mesh(4)
+    ring = make_ring_attention_masked(mesh)
+    with mesh:
+        sh4 = NamedSharding(mesh, P(None, "seq", None, None))
+        sh2 = NamedSharding(mesh, P(None, "seq"))
+        got = jax.jit(ring)(
+            jax.device_put(q, sh4), jax.device_put(k, sh4),
+            jax.device_put(v, sh4),
+            jax.device_put(jnp.asarray(pos), sh2),
+            jax.device_put(jnp.asarray(pos), sh2),
+            jax.device_put(jnp.asarray(valid), sh2))
+    # compare only valid query rows (padded rows are never read)
+    gv = np.asarray(got)[np.asarray(valid)]
+    wv = np.asarray(want)[np.asarray(valid)]
+    np.testing.assert_allclose(gv, wv, rtol=2e-5, atol=2e-5)
+
+
+def test_llava_mm_loss_with_sequence_parallel_matches_single_device():
+    """Multimodal training step (image splice -> padded rows ->
+    decoder) on a ('data','seq') mesh == single device: the decoder's
+    masked ring path is numerically the dense-mask path."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_llava import tiny_llava_cfg
+    from competesmoe_tpu.models.llava import IMAGE_TOKEN_INDEX, LlavaModel
+    from competesmoe_tpu.parallel.seq_context import use_sequence_parallel
+
+    cfg = tiny_llava_cfg(moe=True)
+    model = LlavaModel(cfg)
+    rng = np.random.default_rng(3)
+    # L=13 text tokens, 1 image token -> spliced T = 13 - 1 + 4 = 16,
+    # divisible by the 4-way seq axis (ring blocks need T % n_seq == 0)
+    ids = rng.integers(2, 60, (4, 13)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    labels, mask = ids.copy(), np.ones_like(ids)
+    mask[2, 10:] = 0  # a padded row exercises kvalid on the ring
+    px = rng.normal(size=(4, 28, 28, 3)).astype(np.float32)
+
+    def loss(p):
+        return model.apply(p, jnp.asarray(ids), jnp.asarray(px),
+                           labels=jnp.asarray(labels),
+                           attention_mask=jnp.asarray(mask),
+                           train=True, step=jnp.int32(1)).loss
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(px), labels=jnp.asarray(labels),
+                        attention_mask=jnp.asarray(mask))
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("data", "seq"))
+    with use_sequence_parallel(mesh), mesh:
+        l_sp, g_sp = jax.jit(jax.value_and_grad(loss))(
+            jax.device_put(params))
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
