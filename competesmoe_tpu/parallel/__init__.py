@@ -16,4 +16,14 @@ from .expert_parallel import (  # noqa: F401
     make_ep_all_experts_mlp2,
     make_ep_ffn_kv,
     make_ep_ffn_mlp2,
+    make_ep_ffn_swiglu,
+)
+from .ring_attention import (  # noqa: F401
+    make_ring_attention,
+    make_ring_attention_masked,
+)
+from .seq_context import (  # noqa: F401
+    current_seq_mesh,
+    set_seq_mesh,
+    use_sequence_parallel,
 )
