@@ -260,3 +260,50 @@ def test_llava_mm_loss_with_sequence_parallel_matches_single_device():
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_masked_ring_attention_fuzz(seed):
+    """Random validity patterns (including an ALL-invalid row: output
+    defined as zeros, no NaN) and random non-monotone positions."""
+    from competesmoe_tpu.parallel.ring_attention import (
+        make_ring_attention_masked)
+
+    B, T, h, p = 2, 16, 2, 4
+    rng = np.random.default_rng(seed)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, T, h, p), jnp.float32)
+    k = jax.random.normal(ks[1], (B, T, h, p), jnp.float32)
+    v = jax.random.normal(ks[2], (B, T, h, p), jnp.float32)
+    valid = rng.random((B, T)) > 0.3
+    valid[0, :] = False          # entire row masked
+    valid[1, 0] = True           # keep one anchor so softmax is defined
+    pos = rng.integers(0, T, (B, T)).astype(np.int32)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqp,bhkp->bhqk", qt, kt) / math.sqrt(p)
+    m = (pos[:, None, :] <= pos[:, :, None]) & valid[:, None, :]
+    has_any = np.asarray(m).any(-1)  # [B, T] rows with >= 1 valid key
+    scores = jnp.where(m[:, None], scores, -jnp.inf)
+    want = jnp.einsum("bhqk,bhkp->bhqp",
+                      jax.nn.softmax(scores, -1), vt).transpose(0, 2, 1, 3)
+
+    mesh = seq_mesh(4)
+    ring = make_ring_attention_masked(mesh)
+    with mesh:
+        sh4 = NamedSharding(mesh, P(None, "seq", None, None))
+        sh2 = NamedSharding(mesh, P(None, "seq"))
+        got = jax.jit(ring)(
+            jax.device_put(q, sh4), jax.device_put(k, sh4),
+            jax.device_put(v, sh4),
+            jax.device_put(jnp.asarray(pos), sh2),
+            jax.device_put(jnp.asarray(pos), sh2),
+            jax.device_put(jnp.asarray(valid), sh2))
+    got = np.asarray(got)
+    assert np.isfinite(got).all(), "NaN/inf leaked from masked ring"
+    np.testing.assert_allclose(got[has_any], np.asarray(want)[has_any],
+                               rtol=3e-5, atol=3e-5)
+    assert np.abs(got[~has_any]).max() == 0.0, \
+        "all-masked rows must output exact zeros"
