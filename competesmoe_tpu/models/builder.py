@@ -138,6 +138,16 @@ def llava_config_from_hf(cfg: Dict, model_name: str = "",
         num_selected=cfg.get("num_selected", 2), moe_args=moe_args,
         dtype=dtype)
     dec = decoder_config_from_hf(cfg, model_name, dtype)
+    merge = cfg.get("mm_patch_merge_type", "flat")
+    if merge not in ("flat", None):
+        # spatial/spatial_unpad (+ image_newline) is dormant in the
+        # reference snapshot: the field defaults to 'flat'
+        # (train.py:123) and every shipped recipe trains with
+        # --image_aspect_ratio pad — fail loudly instead of silently
+        # splicing a 'flat' layout into a checkpoint trained otherwise
+        raise NotImplementedError(
+            f"mm_patch_merge_type={merge!r} is not supported (only the "
+            "reference's shipped 'flat' layout is; see PARITY.md §2c)")
     return LlavaConfig(
         vision=vis, projector=proj, decoder=dec,
         tokenizer_model_max_length=cfg.get("tokenizer_model_max_length",
