@@ -117,6 +117,7 @@ def main(argv=None):
         batch_sharding,
         make_mesh,
         make_param_shardings,
+        put_batch,
         replicated,
     )
     from ..train.checkpoint import Saver
@@ -282,7 +283,7 @@ def main(argv=None):
                 batches = iter(sampler)
                 idx = next(batches)
             batch = collator([dataset[i] for i in idx])
-            batch = {k: jax.device_put(jnp.asarray(v), b_shard)
+            batch = {k: put_batch(v, mesh, b_shard)
                      for k, v in batch.items()}
             with meter:
                 state, metrics = step_fn(state, batch)
@@ -306,7 +307,7 @@ def main(argv=None):
                     ev = collator([eval_dataset[j] for j in
                                    range(bi * global_batch,
                                          (bi + 1) * global_batch)])
-                    ev = {k: jax.device_put(jnp.asarray(v), b_shard)
+                    ev = {k: put_batch(v, mesh, b_shard)
                           for k, v in ev.items()}
                     losses.append(float(eval_step(params_now, ev)))
                 logger.log(step, {"eval/loss": float(np.mean(losses))})

@@ -2,6 +2,7 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
     make_param_shardings,
+    put_batch,
     replicated,
     shard_params,
 )

@@ -97,6 +97,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_batch(batch, mesh: Mesh,
+              sharding: Optional[NamedSharding] = None):
+    """Multi-host-safe batch placement.
+
+    `jax.device_put(host_array, sharding)` requires every device in the
+    sharding to be addressable — fine on one host, an error on a
+    multi-host mesh. Every host builds the same global batch (the
+    samplers are deterministic in the seed, the reference's
+    DatasetSplitter role), and `make_array_from_callback` slices out
+    just this host's addressable shards. Single-host behavior is
+    identical to device_put (asserted in tests/test_fsdp.py)."""
+    sharding = sharding or batch_sharding(mesh)
+    arr = np.asarray(batch)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_params(params, mesh: Mesh):
     """Device_put params according to the expert/replicated rules."""
     return jax.device_put(params, make_param_shardings(mesh, params))

@@ -416,7 +416,8 @@ class SyntheticTransformerTask:
     def fetch_batch(self) -> jax.Array:
         idx = next(self.sampler)
         batch = self.dataset.batch(idx)
-        return jax.device_put(jnp.asarray(batch), batch_sharding(self.mesh))
+        from ..parallel import put_batch
+        return put_batch(batch, self.mesh)
 
     def validate(self) -> float:
         total_nll, total_tok = 0.0, 0
@@ -425,7 +426,8 @@ class SyntheticTransformerTask:
         with self.mesh, self._ep_scope():
             for _ in range(self.a.valid_batches):
                 batch = jnp.asarray(self.valid_dataset.batch(next(sampler)))
-                batch = jax.device_put(batch, batch_sharding(self.mesh))
+                from ..parallel import put_batch
+                batch = put_batch(batch, self.mesh)
                 nll, n = self.eval_step(self.state.params, batch)
                 total_nll += float(nll)
                 total_tok += int(n)

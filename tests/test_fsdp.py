@@ -104,3 +104,20 @@ def test_fsdp_cli_end_to_end(tmp_path):
     emb = task.state.params["embedding"]["embedding"]
     assert any(ax == "data" for ax in emb.sharding.spec
                if ax is not None)
+
+
+def test_put_batch_equals_device_put_single_host():
+    """put_batch (multi-host-safe make_array_from_callback) must place
+    values and sharding exactly like device_put on one host."""
+    from competesmoe_tpu.parallel import batch_sharding, put_batch
+    from competesmoe_tpu.parallel.mesh import make_mesh
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    mesh = make_mesh(n_expert=2)
+    x = np.arange(16 * 8, dtype=np.int32).reshape(16, 8)
+    a = put_batch(x, mesh)
+    b = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
