@@ -74,6 +74,11 @@ def main(argv=None):
     ap.add_argument("--engine-max-len", type=int, default=0,
                     help="engine KV length (default: the model's "
                          "tokenizer_model_max_length)")
+    ap.add_argument("--merge-dir", default="",
+                    help="with --world-size > 1: shared directory for "
+                         "cross-rank result merging — rank 0 prints "
+                         "GLOBAL metrics over all ranks' samples "
+                         "(the reference's accelerate gather role)")
     a = ap.parse_args(argv)
     if a.rank is None or a.world_size is None:
         from ..parallel.distributed import detect_env
@@ -139,7 +144,8 @@ def main(argv=None):
         results = harness.simple_evaluate(
             lm, run.tasks.split(","), limit=run.limit, rank=run.rank,
             world_size=run.world_size,
-            return_id_experts=run.return_id_experts, seed=run.seed)
+            return_id_experts=run.return_id_experts, seed=run.seed,
+            merge_dir=getattr(run, "merge_dir", "") or None)
         print(harness.make_table(results))
         out_dir = Path(run.output_path) if run.output_path else \
             Path("eval_results")

@@ -20,7 +20,11 @@ from .task import ConfigurableTask, get_task_config
 def simple_evaluate(lm, tasks: List[str], limit: Optional[int] = None,
                     rank: int = 0, world_size: int = 1,
                     return_id_experts: bool = False,
-                    seed: int = 0) -> Dict[str, Any]:
+                    seed: int = 0, merge_dir=None) -> Dict[str, Any]:
+    """merge_dir: with world_size > 1, a shared directory through which
+    rank shards merge — rank 0 returns GLOBAL metrics over every rank's
+    samples (see merge_rank_results); without it each rank reports its
+    own slice."""
     random.seed(seed)
     np.random.seed(seed)
     task_objs = {name: ConfigurableTask(get_task_config(name), limit=limit)
@@ -34,6 +38,9 @@ def simple_evaluate(lm, tasks: List[str], limit: Optional[int] = None,
         results["time_inference"] = {
             "total_s": float(sum(times)), "n_batches": len(times),
             "mean_s": float(sum(times) / len(times))}
+    if world_size > 1 and merge_dir is not None:
+        results = merge_rank_results(task_objs, results, rank,
+                                     world_size, merge_dir)
     return results
 
 
@@ -84,23 +91,11 @@ def evaluate(lm, task_objs: Dict[str, ConfigurableTask], rank: int = 0,
         fn = getattr(lm, reqtype)
         fn(reqs, return_id_experts=return_id_experts)
 
-    # 3. filters + scoring per task (+ bootstrap stderr)
-    results: Dict[str, Any] = {"results": {}, "samples": {}, "groups": {}}
-    group_members: Dict[str, list] = {}
+    # 3. filters + scoring per task (populates task.sample_scores)
+    samples_by_task: Dict[str, list] = {}
     for name, task in task_objs.items():
         task.apply_filters()
-        scores = task.score()
-        for metric, vals in getattr(task, "sample_scores", {}).items():
-            # corpus-level metrics (e.g. CIDEr) keep raw per-sample items;
-            # bootstrap only applies to numeric per-sample scores
-            numeric = all(isinstance(v, (int, float)) for v in vals)
-            if metric in scores and bootstrap_iters > 0 and numeric:
-                scores[f"{metric}_stderr"] = bootstrap_stderr(
-                    vals, n_resamples=bootstrap_iters)
-        results["results"][name] = scores
-        if task.cfg.group:
-            group_members.setdefault(task.cfg.group, []).append((name,
-                                                                 task))
+        task.score()
         samples = []
         for inst in task.instances:
             if inst.padded:
@@ -112,19 +107,55 @@ def evaluate(lm, task_objs: Dict[str, ConfigurableTask], rank: int = 0,
                 rec["logs_metrics_vision"] = inst.logs_metrics_vision
                 rec["logs_metrics_mlp"] = inst.logs_metrics_mlp
             samples.append(rec)
-        results["samples"][name] = samples
+        samples_by_task[name] = samples
 
-    # 4. group aggregation: size-weighted mean over member tasks, pooled
-    #    stderr (reference evaluator.py group handling)
+    # 4. aggregation (+ bootstrap, groups) over this rank's samples
+    return score_and_aggregate(
+        task_objs,
+        {name: getattr(t, "sample_scores", {})
+         for name, t in task_objs.items()},
+        samples_by_task, bootstrap_iters)
+
+
+def score_and_aggregate(task_objs: Dict[str, ConfigurableTask],
+                        sample_scores_by_task: Dict[str, Dict[str, list]],
+                        samples_by_task: Dict[str, list],
+                        bootstrap_iters: int = 1000) -> Dict[str, Any]:
+    """Aggregate per-sample scores into the results dict: per-task
+    aggregation + bootstrap stderr + size-weighted group rollup. Called
+    on a rank's own scores by evaluate(), and on MERGED rank shards by
+    merge_rank_results (the reference's accelerate-gather role)."""
+    from .metrics import bootstrap_stderr, pooled_stderr
+
+    results: Dict[str, Any] = {"results": {}, "samples": samples_by_task,
+                               "groups": {}}
+    group_members: Dict[str, list] = {}
+    for name, task in task_objs.items():
+        per_metric = sample_scores_by_task.get(name, {})
+        scores = task.aggregate(per_metric)
+        for metric, vals in per_metric.items():
+            # corpus-level metrics (e.g. CIDEr) keep raw per-sample items;
+            # bootstrap only applies to numeric per-sample scores
+            numeric = all(isinstance(v, (int, float)) for v in vals)
+            if metric in scores and bootstrap_iters > 0 and numeric:
+                scores[f"{metric}_stderr"] = bootstrap_stderr(
+                    vals, n_resamples=bootstrap_iters)
+        results["results"][name] = scores
+        if task.cfg.group:
+            group_members.setdefault(task.cfg.group, []).append((name,
+                                                                 task))
+
+    # group aggregation: size-weighted mean over member tasks, pooled
+    # stderr (reference evaluator.py group handling)
     for group, members in group_members.items():
         agg: Dict[str, Any] = {}
         metrics = set()
         for name, task in members:
-            metrics.update(getattr(task, "sample_scores", {}).keys())
+            metrics.update(sample_scores_by_task.get(name, {}).keys())
         for metric in metrics:
             vals, errs, sizes = [], [], []
             for name, task in members:
-                samples = getattr(task, "sample_scores", {}).get(metric)
+                samples = sample_scores_by_task.get(name, {}).get(metric)
                 if not samples:
                     continue
                 vals.append(results["results"][name][metric])
@@ -139,6 +170,64 @@ def evaluate(lm, task_objs: Dict[str, ConfigurableTask], rank: int = 0,
             agg["n_samples"] = total
         results["groups"][group] = agg
     return results
+
+
+def merge_rank_results(task_objs: Dict[str, ConfigurableTask],
+                       results: Dict[str, Any], rank: int,
+                       world_size: int, merge_dir,
+                       timeout_s: float = 1800.0,
+                       bootstrap_iters: int = 1000) -> Dict[str, Any]:
+    """File-based cross-rank result merge (the reference gathers sample
+    logs with accelerate, evaluator.py + llava_trainer gather role; here
+    a shared filesystem replaces the collective so eval processes need
+    no jax.distributed session).
+
+    Every rank atomically writes its per-sample scores + sample records
+    to `merge_dir/rank_<r>.json`. Non-zero ranks return their local
+    (partial) results flagged `partial_rank`; rank 0 waits for all
+    shards and re-aggregates globally — metric means, bootstrap stderr,
+    and group rollups are then computed over the FULL sample set, not
+    rank 0's slice."""
+    import time as _time
+    from pathlib import Path
+
+    merge_dir = Path(merge_dir)
+    merge_dir.mkdir(parents=True, exist_ok=True)
+    shard = {name: {"sample_scores": getattr(t, "sample_scores", {}),
+                    "samples": results["samples"].get(name, [])}
+             for name, t in task_objs.items()}
+    tmp = merge_dir / f"rank_{rank}.json.tmp"
+    tmp.write_text(json.dumps(shard, default=str))
+    tmp.rename(merge_dir / f"rank_{rank}.json")
+
+    if rank != 0:
+        results["partial_rank"] = rank
+        return results
+
+    deadline = _time.monotonic() + timeout_s
+    paths = [merge_dir / f"rank_{r}.json" for r in range(world_size)]
+    while not all(p.exists() for p in paths):
+        if _time.monotonic() > deadline:
+            missing = [str(p) for p in paths if not p.exists()]
+            raise TimeoutError(f"rank shards missing after {timeout_s}s: "
+                               f"{missing}")
+        _time.sleep(0.5)
+
+    merged_scores: Dict[str, Dict[str, list]] = {}
+    merged_samples: Dict[str, list] = {}
+    for p in paths:
+        data = json.loads(p.read_text())
+        for name, rec in data.items():
+            ms = merged_scores.setdefault(name, {})
+            for metric, vals in rec["sample_scores"].items():
+                ms.setdefault(metric, []).extend(vals)
+            merged_samples.setdefault(name, []).extend(rec["samples"])
+    out = score_and_aggregate(task_objs, merged_scores, merged_samples,
+                              bootstrap_iters)
+    out["merged_ranks"] = world_size
+    if "time_inference" in results:
+        out["time_inference"] = results["time_inference"]
+    return out
 
 
 def make_table(results: Dict[str, Any]) -> str:

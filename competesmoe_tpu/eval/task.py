@@ -344,6 +344,13 @@ class ConfigurableTask:
                     val = float(resps[0][1])
                 per_metric.setdefault(spec["metric"],
                                       []).append(self._coerce_float(val))
+        self.sample_scores = per_metric
+        return self.aggregate(per_metric)
+
+    def aggregate(self, per_metric: Dict[str, list]) -> Dict[str, float]:
+        """Aggregation over per-sample scores — factored out of score()
+        so the evaluator can re-aggregate MERGED rank shards (the
+        reference's accelerate gather role, evaluator.py:~330-560)."""
         out = {}
         for spec in self.cfg.metric_list:
             name = spec["metric"]
@@ -356,5 +363,4 @@ class ConfigurableTask:
                 out[name] = get_aggregation("mean")(vals)
         if getattr(self, "offline_metric", False):
             out["offline_metric"] = True
-        self.sample_scores = per_metric
         return out

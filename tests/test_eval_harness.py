@@ -386,3 +386,35 @@ def test_engine_backed_generate_until_matches_solo(jax_llava):
         if eng_lm._engine is not None:
             eng_lm._engine.shutdown()
     assert got == want, f"{got} != {want}"
+
+
+def test_cross_rank_merge_equals_single_rank(jax_llava, tmp_path):
+    """Two ranks with a shared merge_dir: rank 0's merged metrics equal
+    a single-rank full run (the reference's accelerate-gather role)."""
+    img_r = Image.new("RGB", (30, 30), (255, 0, 0))
+    docs = [{"question": f"what color is this {i}", "answer": "red",
+             "img": img_r} for i in range(5)]
+    register_task("merge_vqa", TaskConfig(
+        task="merge_vqa", output_type="generate_until",
+        doc_to_text=lambda d: d["question"],
+        doc_to_visual=lambda d: [d["img"]],
+        doc_to_target=lambda d: d["answer"],
+        generation_kwargs={"max_new_tokens": 3},
+        metric_list=[{"metric": "exact_match", "aggregation": "mean"},
+                     {"metric": "anls", "aggregation": "mean"}],
+        docs=docs))
+
+    full = simple_evaluate(jax_llava, ["merge_vqa"])
+
+    md = tmp_path / "merge"
+    r1 = simple_evaluate(jax_llava, ["merge_vqa"], rank=1, world_size=2,
+                         merge_dir=md)
+    assert r1.get("partial_rank") == 1
+    r0 = simple_evaluate(jax_llava, ["merge_vqa"], rank=0, world_size=2,
+                         merge_dir=md)
+    assert r0.get("merged_ranks") == 2
+    assert len(r0["samples"]["merge_vqa"]) == 5
+    for metric in ("exact_match", "anls"):
+        np.testing.assert_allclose(
+            r0["results"]["merge_vqa"][metric],
+            full["results"]["merge_vqa"][metric], rtol=1e-9)
