@@ -15,7 +15,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from competesmoe_tpu.parallel.ring_attention import make_ring_attention
 
-pytestmark = pytest.mark.fast
+# exactness/fuzz cores are fast-tier; the LM/LLaVA composition
+# runs (jit-heavy, ~1 min each) ride the mid tier (unmarked)
 
 
 def ref_attention(q, k, v, causal):
@@ -36,6 +37,7 @@ def seq_mesh(n):
     return Mesh(np.array(jax.devices()[:n]), ("seq",))
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("n_seq", [2, 4, 8])
 @pytest.mark.parametrize("causal", [True, False])
 def test_ring_attention_matches_full(n_seq, causal):
@@ -56,6 +58,7 @@ def test_ring_attention_matches_full(n_seq, causal):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.fast
 def test_ring_attention_bf16_and_grads():
     """bf16 inputs accumulate in f32; grads flow through the ring (the
     ppermute chain differentiates — training viability, not just
@@ -89,6 +92,7 @@ def test_ring_attention_bf16_and_grads():
             rtol=0.1, atol=0.15)  # bf16 grads: loose band
 
 
+@pytest.mark.fast
 def test_ring_attention_hlo_has_collective_permute():
     mesh = seq_mesh(4)
     ring = make_ring_attention(mesh)
@@ -173,6 +177,7 @@ def test_lm_task_with_seq_shards_end_to_end(tmp_path):
     assert losses and all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.fast
 def test_masked_ring_attention_matches_reference():
     """The padded/position-id form: random validity + per-row restarting
     positions must reproduce dense masked attention exactly."""
@@ -262,6 +267,7 @@ def test_llava_mm_loss_with_sequence_parallel_matches_single_device():
                                    rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_masked_ring_attention_fuzz(seed):
     """Random validity patterns (including an ALL-invalid row: output
