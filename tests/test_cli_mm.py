@@ -114,6 +114,18 @@ def test_eval_mm_cli(ckpt_dir, tok_dir, tmp_path, capsys):
     results_q = json.loads(out_q.read_text())
     assert "cli_toy" in results_q["results"]
 
+    # engine-backed generation end-to-end through the CLI flag
+    out_e = tmp_path / "results_e.json"
+    main(["--model-dir", str(ckpt_dir), "--tokenizer", tok_dir,
+          "--tasks", "cli_toy", "--batch-size", "2",
+          "--max-new-tokens", "2", "--engine-slots", "2",
+          "--engine-max-len", "96", "--output-path", str(out_e)])
+    results_e = json.loads(out_e.read_text())
+    # engine path is token-exact vs the solo path on the same (bf16)
+    # model, so the score equals the first run's
+    assert (results_e["results"]["cli_toy"]["exact_match"]
+            == results["results"]["cli_toy"]["exact_match"])
+
 
 @pytest.mark.parametrize("version", ["plain", "v1", "llama_2"])
 def test_train_mm_cli_versions(ckpt_dir, tok_dir, data_dir, tmp_path,
