@@ -34,7 +34,16 @@ class ACTBlock(nn.Module):
     act_loss_coef: float = 0.0
 
     @nn.compact
-    def __call__(self, x, **block_kwargs) -> Tuple[jax.Array, MoEAux]:
+    def __call__(self, x, step=None, train: bool = False, flips=None,
+                 prev_state=None, pos_offset: int = 0,
+                 return_id_experts: bool = False
+                 ) -> Tuple[jax.Array, MoEAux]:
+        # signature mirrors MoETransformerBlock so the LM's positional
+        # block call (required by nn.remat's static_argnums) works for
+        # ACT-wrapped blocks too
+        block_kwargs = dict(step=step, train=train, flips=flips,
+                            prev_state=prev_state, pos_offset=pos_offset,
+                            return_id_experts=return_id_experts)
         B, T, D = x.shape
         halt_dense = nn.Dense(1, name="halting",
                               kernel_init=nn.initializers.zeros,
