@@ -155,10 +155,19 @@ def time_decode(prefill, make_decode, params, ids, cache, reps=3,
 
 
 def run_jax(a):
+    moe_kw = {}
+    if a.moe_experts:
+        # Mixtral-style MoE FFN decode (MixtralMoELayer): every decode
+        # step streams the expert bank — the MoE analog of the dense
+        # weight-bandwidth story. E=8/k=2 at the phi35 width gives a
+        # Mixtral-8x7B-shaped per-layer FFN.
+        moe_kw = dict(moe_name="mixtral", num_experts=a.moe_experts,
+                      num_selected=a.moe_topk)
     cfg = dataclasses.replace(phi35_mini_config(),
                               num_hidden_layers=a.layers,
                               quant=a.quant or None,
                               kv_quant=a.kv_quant or None,
+                              **moe_kw,
                               matvec_kernel=a.matvec and not a.mesh,
                               norm_folded=a.fold_norms,
                               # TP sharding specs address the stacked
@@ -364,6 +373,11 @@ def main():
                     help="Pallas small-M weight-streaming matmuls in the "
                          "decode step (single-chip only; ignored with "
                          "--mesh)")
+    ap.add_argument("--moe-experts", type=int, default=0,
+                    help="swap the dense FFN for a Mixtral-style MoE "
+                         "with E experts (registry 'mixtral'; decode "
+                         "streams the whole expert bank per step)")
+    ap.add_argument("--moe-topk", type=int, default=2)
     ap.add_argument("--kv-quant", default="", choices=["", "int8"],
                     help="int8 KV cache (halves KV read bandwidth)")
     ap.add_argument("--cache-layout", default="stacked",
