@@ -71,3 +71,7 @@ b, r = peak(False), peak(True)
 print(json.dumps({"metric": "remat_temp_bytes", "baseline_mb": b/1e6,
                   "remat_mb": r/1e6, "saving_pct": 100*(1-r/b)}))
 PYEOF
+
+# 7. MoE-FFN decode (MixtralMoELayer): expert-bank streaming vs dense FFN
+python tools/bench_decode.py --layers 8 --moe-experts 8 --kv-quant int8 \
+  | tee /tmp/moe_decode_bf16.json
