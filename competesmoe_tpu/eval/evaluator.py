@@ -222,6 +222,17 @@ def merge_rank_results(task_objs: Dict[str, ConfigurableTask],
             for metric, vals in rec["sample_scores"].items():
                 ms.setdefault(metric, []).extend(vals)
             merged_samples.setdefault(name, []).extend(rec["samples"])
+    # guard against stale shards from a previous run in a reused
+    # merge_dir: the merged sample count must be exactly the doc count
+    for name, task in task_objs.items():
+        got, want = len(merged_samples.get(name, [])), len(task.docs)
+        if got != want:
+            raise RuntimeError(
+                f"merged sample count for {name!r} is {got}, expected "
+                f"{want} — stale rank shards in {merge_dir}? Use a "
+                f"fresh --merge-dir per run")
+    for p in paths:  # consumed: a rerun cannot merge this run's shards
+        p.unlink()
     out = score_and_aggregate(task_objs, merged_scores, merged_samples,
                               bootstrap_iters)
     out["merged_ranks"] = world_size
