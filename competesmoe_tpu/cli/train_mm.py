@@ -63,6 +63,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--per-device-batch-size", type=int, default=4)
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="gradient-accumulation microbatches per step")
+    ap.add_argument("--allow-tiny-dataset", action="store_true",
+                    help="permit datasets smaller than one global batch "
+                         "by cycling samples (smoke tests only)")
     ap.add_argument("--num-train-steps", type=int, default=1000)
     ap.add_argument("--warmup-ratio", type=float, default=0.03)
     ap.add_argument("--save-interval", type=int, default=500)
@@ -124,6 +127,7 @@ def main(argv=None):
     from ..train.lm_trainer import TrainState
     from ..train.logger import ElapsedTimeMeter, MetricLogger
     from ..train.lora import (
+        apply_lora,
         init_lora_params,
         lora_scaling,
         make_mm_lora_train_step,
@@ -177,9 +181,17 @@ def main(argv=None):
     if len(dataset) >= global_batch:
         sampler = LengthGroupedSampler(dataset.modality_lengths,
                                        global_batch, seed=a.seed)
+    elif not a.allow_tiny_dataset:
+        raise ValueError(
+            f"dataset ({len(dataset)}) is smaller than one global batch "
+            f"({global_batch} = {a.per_device_batch_size} x {n_dev} "
+            f"devices): a real run would silently train on repeated "
+            f"samples. Shrink --per-device-batch-size / the mesh, or "
+            f"pass --allow-tiny-dataset for smoke tests.")
     else:
-        # smoke runs: dataset smaller than one global batch — cycle
-        # indices so the sharded step still gets a full batch
+        # smoke runs (explicit --allow-tiny-dataset): dataset smaller
+        # than one global batch — cycle indices so the sharded step
+        # still gets a full batch
         print(f"dataset ({len(dataset)}) < global batch {global_batch}; "
               "cycling samples", flush=True)
 
@@ -215,7 +227,8 @@ def main(argv=None):
                 optax.adamw(a.learning_rate, weight_decay=0.0))
             state = TrainState.create(lora, optimizer)
             lora_step = make_mm_lora_train_step(
-                model, optimizer, lora_scaling(a.lora_r, a.lora_alpha))
+                model, optimizer, lora_scaling(a.lora_r, a.lora_alpha),
+                n_microbatch=a.grad_accum)
 
             def step_fn(state, batch):
                 return lora_step(state, base_params, batch)
@@ -299,8 +312,13 @@ def main(argv=None):
                 raise FloatingPointError(f"non-finite loss at step {step}")
             if (eval_step is not None and step > 0
                     and step % a.eval_interval == 0):
+                # LoRA runs: fold the TRAINED adapters into the frozen
+                # base so eval/loss tracks training progress (evaluating
+                # base_params alone would stay at the frozen-base value)
                 params_now = (state.params if not a.lora_enable
-                              else base_params)
+                              else apply_lora(
+                                  base_params, state.params,
+                                  lora_scaling(a.lora_r, a.lora_alpha)))
                 losses = []
                 for bi in range(min(a.eval_batches,
                                     len(eval_dataset) // global_batch)):

@@ -506,7 +506,11 @@ class DecodeEngine:
             suffix = ids[n:]
             if IMAGE_TOKEN_INDEX in suffix:
                 continue
-            if meta["len"] + len(suffix) + req.max_new_tokens > self.max_len:
+            # Same speculative headroom as submit(): verify steps write
+            # pos..pos+k, so a reused admission at exactly the limit
+            # would clamp accepted-draft KV into the dump slot.
+            if (meta["len"] + len(suffix) + req.max_new_tokens
+                    + self._spec_k > self.max_len):
                 continue
             best, best_n = idx, n
         return best
@@ -799,9 +803,20 @@ class DecodeEngine:
                eos_ids: Optional[List[int]] = None
                ) -> Iterator[int]:
         """Enqueue a prompt; yields sampled token ids as they decode."""
-        if len(ids) + max_new_tokens + self._spec_k > self.max_len:
+        from ..constants import IMAGE_TOKEN_INDEX
+        # Capacity must be checked against the SPLICED length: each
+        # <image> sentinel expands to num_image_tokens embeddings
+        # (models/llava.py stream_generate: prompt_len = L - 1 + P per
+        # image), so a near-capacity multimodal prompt that passes a
+        # raw-len check would overflow the cache and clamp writes into
+        # the dump slot silently.
+        n_img = int(np.sum(np.asarray(ids) == IMAGE_TOKEN_INDEX))
+        p_img = int(getattr(self.cfg, "num_image_tokens", 0) or 0)
+        expanded = len(ids) + n_img * max(p_img - 1, 0)
+        if expanded + max_new_tokens + self._spec_k > self.max_len:
             raise ValueError(
-                f"prompt {len(ids)} + max_new {max_new_tokens} "
+                f"prompt {len(ids)} (expanded {expanded} with {n_img} "
+                f"image(s) x {p_img} tokens) + max_new {max_new_tokens} "
                 f"(+ spec_k {self._spec_k}) exceeds engine max_len "
                 f"{self.max_len}")
         req = _Request(ids=np.asarray(ids, np.int32),

@@ -56,6 +56,20 @@ def data_dir(tmp_path_factory):
     return d
 
 
+def test_train_mm_cli_rejects_tiny_dataset(ckpt_dir, tok_dir, data_dir,
+                                           tmp_path):
+    """Without --allow-tiny-dataset, a dataset smaller than one global
+    batch aborts instead of silently training on cycled samples."""
+    from competesmoe_tpu.cli.train_mm import main
+    with pytest.raises(ValueError, match="allow-tiny-dataset"):
+        main(["--data-path", str(data_dir / "data.json"),
+              "--image-folder", str(data_dir / "imgs"),
+              "--tokenizer", tok_dir, "--model-dir", str(ckpt_dir),
+              "--stage", "sft", "--num-train-steps", "1",
+              "--per-device-batch-size", "2", "--model-max-length", "64",
+              "--output-dir", str(tmp_path / "out-tiny")])
+
+
 def test_train_mm_cli(ckpt_dir, tok_dir, data_dir, tmp_path):
     from competesmoe_tpu.cli.train_mm import main
     out = tmp_path / "out"
@@ -65,6 +79,7 @@ def test_train_mm_cli(ckpt_dir, tok_dir, data_dir, tmp_path):
           "--model-dir", str(ckpt_dir),
           "--stage", "sft", "--num-train-steps", "3",
           "--per-device-batch-size", "2", "--model-max-length", "64",
+          "--allow-tiny-dataset",
           "--save-interval", "2", "--log-interval", "1",
           "--learning-rate", "1e-4", "--remat",
           "--profile-start-step", "1", "--profile-n-steps", "1",

@@ -155,6 +155,25 @@ def test_engine_rejects_oversized_prompt(tiny_model):
         engine.shutdown()
 
 
+def test_engine_rejects_oversized_image_prompt(tiny_model):
+    """Capacity is checked against the SPLICED length: an image prompt
+    whose raw token count fits but whose <image>-expanded length
+    (raw - 1 + num_image_tokens per image) would overflow the cache must
+    be rejected at submit, not silently clamped into the dump slot."""
+    model, params = tiny_model
+    P = model.cfg.num_image_tokens
+    ids = np.array([5, IMAGE_TOKEN_INDEX, 7], np.int32)  # expanded: P + 2
+    px = np.zeros((1, 28, 28, 3), np.float32)
+    engine = DecodeEngine(model, params, n_slots=1, max_len=P + 8)
+    try:
+        # raw check would pass (3 + 8 <= P + 8); expanded must not
+        with pytest.raises(ValueError):
+            next(iter(engine.submit(ids, pixel_values=px,
+                                    max_new_tokens=8)))
+    finally:
+        engine.shutdown()
+
+
 def test_engine_tiny_topp_equals_greedy(tiny_model):
     """top_p -> 0 keeps only the argmax token in the nucleus, so sampled
     output must match greedy exactly (exercises the nucleus step program

@@ -214,6 +214,54 @@ def test_lora_training_step():
     assert max(diffs) > 0
 
 
+def test_lora_filter_excludes_lm_head():
+    """Reference find_all_linear_names removes 'lm_head' from the LoRA
+    target set (train.py:264-265); adapter trees must match."""
+    from competesmoe_tpu.train.lora import init_lora_params
+
+    params = {
+        "lm_head": {"kernel": jnp.zeros((8, 64))},
+        "decoder": {"lm_head": {"kernel": jnp.zeros((8, 64))},
+                    "layers_0": {"q_proj": {"kernel": jnp.zeros((8, 8))}}},
+    }
+    lora = init_lora_params(params, rank=2, rng=jax.random.PRNGKey(0))
+    assert any("layers_0" in k for k in lora)
+    assert not any("lm_head" in k for k in lora)
+
+
+def test_lora_grad_accum_matches_full_batch():
+    """make_mm_lora_train_step(n_microbatch=2) == one full-batch step
+    (same homogeneous-microbatch identity as the dense step)."""
+    import optax
+
+    from competesmoe_tpu.train.lora import (
+        init_lora_params,
+        lora_scaling,
+        make_mm_lora_train_step,
+    )
+
+    model, cfg, tcfg = build()
+    batch = mm_batch(B=8)
+    params, _ = init_state(model, tcfg, batch)
+    lora = init_lora_params(params, rank=4, rng=jax.random.PRNGKey(1))
+    scaling = lora_scaling(4, 8.0)
+    optimizer = optax.sgd(1.0)
+    step1 = make_mm_lora_train_step(model, optimizer, scaling,
+                                    donate=False, n_microbatch=1)
+    step2 = make_mm_lora_train_step(model, optimizer, scaling,
+                                    donate=False, n_microbatch=2)
+    s1, m1 = step1(TrainState.create(lora, optimizer), params, batch)
+    s2, m2 = step2(TrainState.create(lora, optimizer), params, batch)
+    assert np.allclose(float(m1["loss/total"]), float(m2["loss/total"]),
+                       rtol=1e-5, atol=1e-6)
+    for p0, a, b in zip(jax.tree_util.tree_leaves(lora),
+                        jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+        g1 = np.asarray(a) - np.asarray(p0)
+        g2 = np.asarray(b) - np.asarray(p0)
+        np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-5)
+
+
 def test_mm_eval_step():
     model, cfg, tcfg = build()
     batch = mm_batch()
