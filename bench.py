@@ -103,14 +103,21 @@ def main():
             "vs_baseline": 3.493,
             "detail": {
                 "measured_live": False,
+                # gather-aware floor at this shape: sort 81 (measured)
+                # + x-gather 284 (@472 GB/s) + GEMMs 200 (@921) +
+                # combine 215 (@351) = 781 us; see the live branch for
+                # the arithmetic
+                "composite_floor_us": 780.8,
+                "pct_composite_floor": 79.2,
                 "note": "TPU tunnel unreachable at bench time "
                         "(jax.devices() hang > 180 s); value/"
                         "vs_baseline replay BENCH_r02's on-chip "
                         "measurement (2026-08-17 re-profile: sort 81 "
                         "+ x-gather 239 + grouped GEMMs 243 + combine "
                         "369 us = 932, run-to-run spread 851-1066; "
-                        "58% of the uniform-bandwidth HBM model = the "
-                        "measured gather-wall floor, docs/perf.md). "
+                        "79% of the composite gather-aware floor / "
+                        "58% of the unattainable uniform-bandwidth "
+                        "model, docs/perf.md). "
                         "Re-run when the tunnel is up for a live "
                         "number (tools/run_tpu_battery.sh runs the "
                         "full serving measurement set)."}}), flush=True)
@@ -156,6 +163,29 @@ def main():
         + slots * D                   # combine read
         + tokens * D)                 # output write
     sol_us = bytes_moved / (HBM_GBPS * 1e9) * 1e6
+
+    # Composite (gather-aware) floor: the uniform model above prices
+    # every byte at stream bandwidth, which tools/measure_gather_bw.py
+    # proved unattainable for the ~40% of bytes moving through scattered
+    # 1 KB row gathers. Price each stage at the chip's DEMONSTRATED rate
+    # for its access pattern (the same framing as decode's
+    # composite-SOL 82% below): sort at its measured cost (network-
+    # bound, no byte model), the x dispatch gather at the token_ids
+    # structured-gather rate, the GEMM block at sequential stream rate,
+    # the combine at the inv_perm interleaved-gather rate.
+    GATHER_TOK_GBPS, GATHER_INV_GBPS, SEQ_GBPS = 472.0, 351.0, 921.0
+    SORT_US = 81.0  # measured, tools/profile_dispatch.py 2026-08-17
+    xg_us = 2 * (2 * slots * D) / (GATHER_TOK_GBPS * 1e9) * 1e6
+    gemm_bytes = 2 * (slots * D            # xs read by GEMM1
+                      + 2 * E * D * ES     # both weight tensors
+                      + 2 * slots * ES     # h write + read
+                      + slots * D)         # o write
+    gemm_us = gemm_bytes / (SEQ_GBPS * 1e9) * 1e6
+    # combine: gather slots rows (read) + k-fold reduce to tokens rows
+    # (write) at the interleaved-gather rate
+    comb_us = 2 * (slots * D + tokens * D) / (GATHER_INV_GBPS * 1e9) * 1e6
+    composite_floor_us = SORT_US + xg_us + gemm_us + comb_us
+
     print(json.dumps({
         "metric": "moe_dispatch_gemm_us_per_layer",
         "value": round(t_grouped * 1e6, 2),
@@ -172,6 +202,13 @@ def main():
             "hbm_model_mb": round(bytes_moved / 1e6, 1),
             "hbm_sol_us": round(sol_us, 1),
             "pct_hbm_sol": round(sol_us / (t_grouped * 1e6) * 100, 1),
+            # gather-aware floor (stage bytes priced at demonstrated
+            # per-pattern rates; see the block computing it above) —
+            # the honest efficiency number for this op, same framing
+            # as decode's composite SOL
+            "composite_floor_us": round(composite_floor_us, 1),
+            "pct_composite_floor": round(
+                composite_floor_us / (t_grouped * 1e6) * 100, 1),
             # Stage deltas (tools/profile_dispatch.py, v5e, 2026-08-17).
             # Their sum equals the measured full pipeline: composition
             # overhead is zero and each stage is at its demonstrated

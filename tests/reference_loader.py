@@ -138,6 +138,44 @@ def install() -> None:
     _installed = True
 
 
+def install_full_llava() -> None:
+    """Widen the synthetic `moe_model` packages to the REAL source tree so
+    the full reference pipeline — LlavaMetaForCausalLM.prepare_inputs_
+    labels_for_multimodal (llava_arch.py:198-384) + LlavaPhiForCausalLM
+    generate (llava_phi.py:147-200) — can be instantiated for end-to-end
+    parity. Still bypasses the heavy package __init__.py files; replaces
+    the SiglipMLP stub with the real siglip_smoe module."""
+    install()
+    sys.modules["moe_model"].__path__ = [f"{REF}/moe_model"]
+    sys.modules["moe_model"].__spec__.submodule_search_locations = \
+        sys.modules["moe_model"].__path__
+    model_pkg = sys.modules["moe_model.model"]
+    model_pkg.__path__ = [f"{REF}/moe_model/model"]
+    model_pkg.__spec__.submodule_search_locations = model_pkg.__path__
+    enc = sys.modules["moe_model.model.multimodal_encoder"]
+    enc.__path__ = [f"{REF}/moe_model/model/multimodal_encoder"]
+    enc.__spec__.submodule_search_locations = enc.__path__
+    stub = sys.modules.get("moe_model.model.multimodal_encoder.siglip_smoe")
+    if stub is not None and getattr(stub, "__file__", "") == "<stub>":
+        del sys.modules["moe_model.model.multimodal_encoder.siglip_smoe"]
+        if hasattr(enc, "siglip_smoe"):
+            del enc.siglip_smoe
+    if "moe_model.model.multimodal_projector" not in sys.modules:
+        _mk_pkg("moe_model.model.multimodal_projector",
+                f"{REF}/moe_model/model/multimodal_projector")
+    if "moe_model.model.language_model" not in sys.modules:
+        _mk_pkg("moe_model.model.language_model",
+                f"{REF}/moe_model/model/language_model")
+
+
+def mm_llava_phi():
+    """The reference's llava_phi module (LlavaPhiConfig/
+    LlavaPhiForCausalLM) with the real llava_arch splice code."""
+    install_full_llava()
+    return importlib.import_module(
+        "moe_model.model.language_model.llava_phi")
+
+
 def mm_moe(name: str):
     """Import a module of the reference multimodal MoE tree by leaf name."""
     install()

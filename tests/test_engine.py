@@ -509,7 +509,6 @@ def test_engine_prefix_cache_image_conversation(tiny_model):
     assert reply2 == want
 
 
-@pytest.mark.fast
 def test_engine_speculative_matches_solo(tiny_model):
     """spec_k>0 must not change greedy output — drafts are only ever
     accepted when they equal the model's own argmax (bit-exact)."""

@@ -10,11 +10,12 @@ from competesmoe_tpu.parallel import batch_sharding, make_mesh
 from competesmoe_tpu.parallel.expert_parallel import make_ep_ffn_kv
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: heavy wide-matrix cases run mid-tier
 
 
 
 @pytest.mark.parametrize("n_ep", [2, 4])
+@pytest.mark.fast
 def test_ep_matches_single_device(n_ep):
     mesh = make_mesh(n_expert=n_ep)
     T, d, E, es, k = 64, 16, 8, 12, 2
@@ -69,6 +70,7 @@ def test_ep_capacity_drop():
     assert np.linalg.norm(tiny) < np.linalg.norm(full)
 
 
+@pytest.mark.fast
 def test_ep_grad_flows():
     mesh = make_mesh(n_expert=2)
     T, d, E, es, k = 16, 8, 4, 8, 2
@@ -96,6 +98,7 @@ def test_ep_grad_flows():
 
 
 @pytest.mark.parametrize("n_ep", [2, 4])
+@pytest.mark.fast
 def test_ep_swiglu_matches_single_device(n_ep):
     """Mixtral SwiGLU experts through the all-to-all EP path == the
     single-device grouped path (MixtralMoELayer under an EP mesh)."""

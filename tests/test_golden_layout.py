@@ -1,0 +1,119 @@
+"""Golden fixtures pinning the released CompeteSMoE-5.1B checkpoint
+layout (VERDICT r3 item 4; generator: tools/gen_golden_fixtures.py).
+
+The real artifact cannot be downloaded here, so the layout is pinned
+three ways:
+
+* `golden_5p1b_keys.json` — key->shape manifest of the reference's
+  `LlavaPhiForCausalLM` at the REAL 5.1B geometry (built on torch's meta
+  device from the reference code, released rename applied).
+* `golden_tiny_ckpt/` — a checked-in released-layout checkpoint at tiny
+  geometry whose weights came out of the reference model, plus
+  integer-robust behavioral digests (`golden_tiny_digests.json`):
+  greedy tokens and spliced labels recorded at generation time.
+* a key-template equivalence proof that the tiny checkpoint exercises
+  every key pattern the 5.1B manifest contains — so the pure-JAX digest
+  test transitively pins the full-geometry layout.
+
+If `hf_loader`/`builder` ever reinterpret the layout (transpose
+conventions, prefix mapping, expert stacking order), the digest test
+breaks loudly — with no reference tree or network needed.
+"""
+
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _template(key: str) -> str:
+    """Normalize structural indices (decoder/tower layer, expert id) so
+    geometry-independent key patterns compare across depths."""
+    key = re.sub(r"(\blayers\.)\d+(\.)", r"\1*\2", key)
+    key = re.sub(r"(\bexperts\.)\d+(\.)", r"\1*\2", key)
+    return key
+
+
+@pytest.mark.fast
+def test_golden_tiny_checkpoint_digests():
+    """Our loader must reproduce the reference pipeline's recorded
+    behavior on the checked-in released-layout checkpoint (pure JAX)."""
+    from competesmoe_tpu.models.builder import load_pretrained_model
+    from competesmoe_tpu.models.llava import generate
+
+    from competesmoe_tpu.models.llava import IMAGE_TOKEN_INDEX
+
+    digests = json.loads((FIXTURES / "golden_tiny_digests.json")
+                         .read_text())
+    _, model, variables, _, _ = load_pretrained_model(
+        FIXTURES / "golden_tiny_ckpt", dtype=jnp.float32)
+
+    # identical draw ORDER as the generator: the pixels come from the
+    # same rng stream, after the prompt draw
+    vocab = digests["geometry"]["vocab_size"]
+    rng = np.random.default_rng(4)
+    ids_img = rng.integers(2, vocab, (1, 7)).astype(np.int32)
+    ids_img[0, 1] = IMAGE_TOKEN_INDEX
+    assert ids_img[0].tolist() == digests["prompt_image"]
+    px = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    toks, _ = generate(model, variables, ids_img, px, max_new_tokens=8)
+    assert np.asarray(toks)[0].tolist() == digests["greedy_tokens_image"]
+
+    ids_txt = rng.integers(2, vocab, (1, 9)).astype(np.int32)
+    assert ids_txt[0].tolist() == digests["prompt_text"]
+    toks, _ = generate(model, variables, ids_txt, None, max_new_tokens=8)
+    assert np.asarray(toks)[0].tolist() == digests["greedy_tokens_text"]
+
+    out = model.apply(variables, jnp.asarray(ids_img), jnp.asarray(px),
+                      labels=jnp.asarray(ids_img))
+    assert (np.asarray(out.labels)[0].tolist()
+            == digests["spliced_labels_image"])
+
+
+@pytest.mark.fast
+def test_golden_key_templates_cover_5p1b():
+    """Every key pattern in the 5.1B manifest appears in the tiny
+    checkpoint (and vice versa): the digest test transitively pins the
+    full-geometry layout."""
+    manifest = json.loads((FIXTURES / "golden_5p1b_keys.json")
+                          .read_text())
+    assert manifest["n_keys"] == len(manifest["keys"])
+    # the flagship's advertised scale: 5.09B params
+    assert abs(manifest["total_params"] / 1e9 - 5.089) < 0.01
+
+    digests = json.loads((FIXTURES / "golden_tiny_digests.json")
+                         .read_text())
+    tiny_templates = {_template(k) for k in digests["state_dict_keys"]}
+    full_templates = {_template(k) for k in manifest["keys"]}
+    assert tiny_templates == full_templates, (
+        tiny_templates ^ full_templates)
+
+
+@pytest.mark.parity
+def test_golden_manifest_matches_reference():
+    """Regenerating the manifest from the reference's own model code
+    (meta device, no weights) must reproduce the checked-in fixture —
+    guards the fixture itself against staleness."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    import tempfile
+
+    import gen_golden_fixtures as gg
+
+    model, _ = gg.build_reference(
+        gg.FULL_5P1B, tempfile.mkdtemp(prefix="golden_regen_"),
+        device="meta")
+    regen = {}
+    for k, v in model.state_dict().items():
+        if "position_ids" in k:
+            continue
+        regen[gg.released_rename(k)] = list(v.shape)
+    manifest = json.loads((FIXTURES / "golden_5p1b_keys.json")
+                          .read_text())
+    assert regen == manifest["keys"]

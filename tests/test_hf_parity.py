@@ -8,6 +8,8 @@ import pytest
 import torch
 
 from competesmoe_tpu.models.decoder import DecoderConfig, DecoderLM, KVCache
+
+pytestmark = pytest.mark.parity
 from competesmoe_tpu.models.hf_loader import (
     convert_decoder,
     convert_siglip_tower,

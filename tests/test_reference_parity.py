@@ -36,7 +36,7 @@ RTOL, ATOL = 2e-5, 2e-6
 # helpers
 # ---------------------------------------------------------------------------
 
-pytestmark = pytest.mark.fast
+pytestmark = pytest.mark.parity
 
 
 def mm_cls(name):

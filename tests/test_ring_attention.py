@@ -58,7 +58,6 @@ def test_ring_attention_matches_full(n_seq, causal):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.fast
 def test_ring_attention_bf16_and_grads():
     """bf16 inputs accumulate in f32; grads flow through the ring (the
     ppermute chain differentiates — training viability, not just

@@ -29,13 +29,14 @@ from competesmoe_tpu.ops.matvec import (
     small_m_viable,
 )
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: heavy wide-matrix cases run mid-tier
 
 
 # ---------------------------------------------------------------------------
 # ops/matvec.py
 # ---------------------------------------------------------------------------
 
+@pytest.mark.fast
 def test_small_m_viable():
     assert small_m_viable(8, 3072, 9216)
     assert small_m_viable(1, 3072, 8192)
@@ -45,6 +46,7 @@ def test_small_m_viable():
 
 @pytest.mark.parametrize("m,k,n", [(1, 512, 1024), (8, 768, 384),
                                    (16, 1024, 128)])
+@pytest.mark.fast
 def test_small_m_matmul_matches_dot(m, k, n):
     kx, kw = jax.random.split(jax.random.PRNGKey(0))
     x = jax.random.normal(kx, (m, k), jnp.float32).astype(jnp.bfloat16)
@@ -57,6 +59,7 @@ def test_small_m_matmul_matches_dot(m, k, n):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.fast
 def test_quant_small_m_matmul_matches_dequant_dot():
     m, k, n = 8, 512, 256
     kx, kw, ks = jax.random.split(jax.random.PRNGKey(1), 3)
@@ -179,6 +182,7 @@ def test_per_layer_cache_layout_token_exact(kv_quant):
 
 
 @pytest.mark.parametrize("kv_quant", [None, "int8"])
+@pytest.mark.fast
 def test_deferred_decode_token_exact(kv_quant):
     cfg = tiny_cfg(kv_quant=kv_quant)
     params = DecoderLM(cfg).init(
@@ -196,6 +200,7 @@ def test_deferred_decode_token_exact(kv_quant):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.fast
 def test_quant_small_m_matmul_int4_matches_halves():
     from competesmoe_tpu.models.decoder import pack_int4, unpack_int4
     from competesmoe_tpu.ops.matvec import (quant_small_m_matmul_int4,

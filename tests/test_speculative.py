@@ -24,21 +24,24 @@ from competesmoe_tpu.models.llava import (
 from competesmoe_tpu.serve.speculative import ngram_draft
 from tests.test_llava import tiny_llava_cfg
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: heavy wide-matrix cases run mid-tier
 
 
+@pytest.mark.fast
 def test_ngram_draft_finds_continuation():
     ids = [5, 6, 7, 8, 9, 5, 6, 7]
     d = ngram_draft(ids, k=2, max_ngram=3)
     assert d is not None and d.tolist() == [8, 9]
 
 
+@pytest.mark.fast
 def test_ngram_draft_prefers_most_recent_match():
     ids = [1, 2, 3, 1, 2, 4, 1, 2]
     d = ngram_draft(ids, k=1, max_ngram=3)
     assert d.tolist() == [4]
 
 
+@pytest.mark.fast
 def test_ngram_draft_pads_short_continuation():
     ids = [7, 8, 7, 8]
     d = ngram_draft(ids, k=4, max_ngram=2)
@@ -46,6 +49,7 @@ def test_ngram_draft_pads_short_continuation():
     assert d is not None and len(d) == 4 and d[0] == 7 and d[1] == 8
 
 
+@pytest.mark.fast
 def test_ngram_draft_no_match_and_sentinels():
     assert ngram_draft([1, 2, 3, 4], k=2) is None
     assert ngram_draft([], k=2) is None
@@ -68,6 +72,7 @@ def _greedy_reference(model, params, cfg, prompt, n):
     return toks[0]
 
 
+@pytest.mark.fast
 def test_verify_step_accepts_true_continuation(tiny_lm):
     """Feeding the model's own greedy continuation as the draft must
     accept every draft token and return the same tokens."""
@@ -93,6 +98,7 @@ def test_verify_step_accepts_true_continuation(tiny_lm):
     assert int(cache2.pos[0]) == prompt.shape[1] + k + 1
 
 
+@pytest.mark.fast
 def test_verify_step_rejects_garbage_draft(tiny_lm):
     model, params, cfg = tiny_lm
     prompt = np.array([[3, 5, 7, 9, 11, 13]], np.int32)
@@ -115,6 +121,7 @@ def test_verify_step_rejects_garbage_draft(tiny_lm):
 
 
 @pytest.mark.parametrize("k", [2, 4])
+@pytest.mark.fast
 def test_speculative_stream_bit_exact(tiny_lm, k):
     """stream_generate(speculative=k) emits exactly the sequential greedy
     tokens, regardless of draft quality, and in order."""
@@ -133,6 +140,7 @@ def test_speculative_stream_bit_exact(tiny_lm, k):
     assert len(got) == n
 
 
+@pytest.mark.fast
 def test_speculative_stream_respects_stop(tiny_lm):
     model, params, cfg = tiny_lm
     prompt = np.array([[4, 8, 15, 4, 8, 15, 4, 8]], np.int32)
@@ -154,6 +162,7 @@ def test_speculative_stream_respects_stop(tiny_lm):
 
 
 @pytest.mark.parametrize("k", [3])
+@pytest.mark.fast
 def test_generate_speculative_bit_exact(tiny_lm, k):
     """generate(speculative=k) returns exactly the sequential-greedy
     tokens with the same stop truncation as the scan path."""
@@ -174,6 +183,7 @@ def test_generate_speculative_bit_exact(tiny_lm, k):
     np.testing.assert_array_equal(got_s[0], ref_s[0])
 
 
+@pytest.mark.fast
 def test_eval_adapter_speculative_same_answers(tiny_lm):
     """JaxLlava(speculative=K) produces identical generate_until
     responses (eval scores cannot move)."""
@@ -197,6 +207,7 @@ def test_eval_adapter_speculative_same_answers(tiny_lm):
     assert plain == spec
 
 
+@pytest.mark.fast
 def test_speculative_with_int8_kv_cache_bit_exact():
     """Speculation composes with the quantized KV cache: the verify
     step quantizes K+1 slots at once, per (token, head) — identical
@@ -220,6 +231,7 @@ def test_speculative_with_int8_kv_cache_bit_exact():
     np.testing.assert_array_equal(got[0], ref[0])
 
 
+@pytest.mark.fast
 def test_worker_generate_fn_speculative_matches_plain(tiny_lm):
     """The worker's solo generate_fn with speculative=K yields the same
     final text as the plain path (greedy bit-exactness end to end)."""
@@ -241,6 +253,7 @@ def test_worker_generate_fn_speculative_matches_plain(tiny_lm):
     assert plain[-1] == spec[-1]
 
 
+@pytest.mark.fast
 def test_speculative_sampling_solo_terminates_and_counts(tiny_lm):
     """temperature>0 B==1 speculation (point-mass rejection scheme)
     produces exactly max_new in-range tokens through stream_generate

@@ -19,7 +19,7 @@ torch.manual_seed(0)
 
 B, N, D, E, K = 2, 7, 16, 4, 2
 
-pytestmark = pytest.mark.fast
+pytestmark = pytest.mark.parity
 
 
 

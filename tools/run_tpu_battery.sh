@@ -75,3 +75,12 @@ PYEOF
 # 7. MoE-FFN decode (MixtralMoELayer): expert-bank streaming vs dense FFN
 python tools/bench_decode.py --layers 8 --moe-experts 8 --kv-quant int8 \
   | tee /tmp/moe_decode_bf16.json
+
+# 8. int8-quantized dispatch gathers A/B (serving-only; halves the bytes
+#    of the two gather-walled stages — win or measured rejection lands
+#    in docs/perf.md either way)
+python tools/bench_quant_dispatch.py | tee /tmp/quant_dispatch_ab.json
+
+# 9. memory-fit envelope for the 5.1B sft stage on v5e-8 (fsdp+EP+remat,
+#    compile-time HBM prediction per per-chip batch; docs/sharding.md)
+python tools/memory_envelope.py | tee /tmp/memory_envelope.json
