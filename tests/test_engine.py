@@ -591,7 +591,6 @@ def test_engine_speculative_mixed_with_sampled_slot(tiny_model):
         engine.shutdown()
 
 
-@pytest.mark.fast
 def test_engine_chunked_prefill_token_exact(tiny_model):
     """A long text prompt admitted via chunked prefill produces exactly
     the solo greedy tokens (continue-prefill across chunks is the same

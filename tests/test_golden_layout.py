@@ -40,7 +40,6 @@ def _template(key: str) -> str:
     return key
 
 
-@pytest.mark.fast
 def test_golden_tiny_checkpoint_digests():
     """Our loader must reproduce the reference pipeline's recorded
     behavior on the checked-in released-layout checkpoint (pure JAX)."""

@@ -182,7 +182,6 @@ def test_per_layer_cache_layout_token_exact(kv_quant):
 
 
 @pytest.mark.parametrize("kv_quant", [None, "int8"])
-@pytest.mark.fast
 def test_deferred_decode_token_exact(kv_quant):
     cfg = tiny_cfg(kv_quant=kv_quant)
     params = DecoderLM(cfg).init(

@@ -183,7 +183,6 @@ def test_generate_speculative_bit_exact(tiny_lm, k):
     np.testing.assert_array_equal(got_s[0], ref_s[0])
 
 
-@pytest.mark.fast
 def test_eval_adapter_speculative_same_answers(tiny_lm):
     """JaxLlava(speculative=K) produces identical generate_until
     responses (eval scores cannot move)."""
@@ -207,7 +206,6 @@ def test_eval_adapter_speculative_same_answers(tiny_lm):
     assert plain == spec
 
 
-@pytest.mark.fast
 def test_speculative_with_int8_kv_cache_bit_exact():
     """Speculation composes with the quantized KV cache: the verify
     step quantizes K+1 slots at once, per (token, head) — identical
@@ -231,7 +229,6 @@ def test_speculative_with_int8_kv_cache_bit_exact():
     np.testing.assert_array_equal(got[0], ref[0])
 
 
-@pytest.mark.fast
 def test_worker_generate_fn_speculative_matches_plain(tiny_lm):
     """The worker's solo generate_fn with speculative=K yields the same
     final text as the plain path (greedy bit-exactness end to end)."""
