@@ -88,17 +88,22 @@ def preprocess_phi35(sources, tokenizer, has_image: bool = False,
 
 
 def preprocess_plain(sources, tokenizer) -> Dict[str, List[np.ndarray]]:
-    """Projector-pretrain format: '<image>\ncaption'; only the caption is
-    supervised (train.py preprocess_plain semantics)."""
+    """Projector-pretrain format: '<image>caption\\n'; only the caption +
+    trailing sep are supervised (train.py:995-1016 exactly: the first
+    human turn is REPLACED by the bare image token, the sequence is
+    tokenized via tokenizer_image_token — so a BOS-adding tokenizer
+    keeps its BOS — and the first len(tok('<image>')) positions are
+    masked)."""
     input_ids, labels = [], []
+    sep = conversation_lib.conv_templates["plain"].sep
     for source in sources:
         assert len(source) == 2
-        caption = source[1]["value"]
-        ids = [IMAGE_TOKEN_INDEX] + list(
-            tokenizer(caption + "\n").input_ids)
-        ids = np.asarray(ids, np.int32)
+        conversation = "<image>" + source[1]["value"] + sep
+        ids = np.asarray(tokenizer_image_token(conversation, tokenizer),
+                         np.int32)
         tgt = ids.copy()
-        tgt[0] = IGNORE_INDEX
+        masked = len(tokenizer_image_token("<image>", tokenizer))
+        tgt[:masked] = IGNORE_INDEX
         input_ids.append(ids)
         labels.append(tgt)
     return {"input_ids": input_ids, "labels": labels}
@@ -158,8 +163,10 @@ def preprocess_v1(sources, tokenizer, has_image: bool = False,
 def preprocess_llama_2(sources, tokenizer, has_image: bool = False,
                        model_max_length: int = 2048):
     """[INST] format (train.py:444-526): rounds split on '</s>',
-    instruction span = up to '[/INST] '."""
-    conv = conversation_lib.conv_templates["mistral_instruct"].copy()
+    instruction span = up to '[/INST] '. --version llama_2 selects the
+    conv_llama_2 template (safety system prompt, '<s>' round separator,
+    reference conversation.py:374-385), not mistral_instruct."""
+    conv = conversation_lib.conv_templates["llama_2"].copy()
     conversations = _apply_template(sources, conv)
     tok = _tok_fn(tokenizer, has_image)
     input_ids, targets = _tokenize_conversations(conversations, tok,

@@ -164,8 +164,37 @@ conv_llava_plain = Conversation(
     system="", roles=("", ""), version="plain", messages=[], offset=0,
     sep_style=SeparatorStyle.PLAIN, sep="\n")
 
+# byte-exact reference templates (conversation.py:374-398): --version
+# llama_2 selects conv_llama_2 (full safety system prompt, '<s>' round
+# separator), NOT the system-less mistral_instruct — checkpoint fidelity
+# depends on the exact system bytes (incl. the double space after
+# 'safe.')
+conv_llama_2 = Conversation(
+    system="You are a helpful, respectful and honest assistant. Always "
+           "answer as helpfully as possible, while being safe.  Your "
+           "answers should not include any harmful, unethical, racist, "
+           "sexist, toxic, dangerous, or illegal content. Please ensure "
+           "that your responses are socially unbiased and positive in "
+           "nature.\n\nIf a question does not make any sense, or is not "
+           "factually coherent, explain why instead of answering "
+           "something not correct. If you don't know the answer to a "
+           "question, please don't share false information.",
+    roles=("USER", "ASSISTANT"), version="llama_v2", messages=[],
+    offset=0, sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>")
+
+conv_llava_llama_2 = Conversation(
+    system="You are a helpful language and vision assistant. "
+           "You are able to understand the visual content that the user "
+           "provides, "
+           "and assist the user with a variety of tasks using natural "
+           "language.",
+    roles=("USER", "ASSISTANT"), version="llama_v2", messages=[],
+    offset=0, sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>")
+
 conv_mpt = Conversation(
-    system="<|im_start|>system\nAnswer the questions.",
+    system="<|im_start|>system\nA conversation between a user and an "
+           "LLM-based AI assistant. The assistant gives helpful and "
+           "honest answers.",
     roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
     version="mpt", messages=[], offset=0, sep_style=SeparatorStyle.MPT,
     sep="<|im_end|>")
@@ -174,6 +203,8 @@ conv_templates = {
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
     "mistral_instruct": conv_mistral_instruct,
+    "llama_2": conv_llama_2,
+    "llava_llama_2": conv_llava_llama_2,
     "phi3": conv_phi_3_instruct,
     "phi35": conv_phi_35_instruct,
     "smollm": conv_smollm_instruct,

@@ -176,6 +176,31 @@ def mm_llava_phi():
         "moe_model.model.language_model.llava_phi")
 
 
+def mm_train():
+    """The reference's train.py (preprocess_* data path) + its
+    conversation module. Stubs deepspeed/dotenv (unused by the
+    preprocessors); `from moe_model.model import *` binds nothing because
+    the synthetic package executes no __init__."""
+    install_full_llava()
+    if "deepspeed" not in sys.modules:
+        _mk_stub_module("deepspeed")
+    if "dotenv" not in sys.modules:
+        dotenv = _mk_stub_module("dotenv")
+        dotenv.load_dotenv = lambda *a, **k: None
+    if "moe_model.train" not in sys.modules:
+        _mk_pkg("moe_model.train", f"{REF}/moe_model/train")
+    if "moe_model.train.llava_trainer" not in sys.modules:
+        # llava_trainer imports transformers.trainer.is_apex_available,
+        # gone from this transformers version — stub the two names
+        # train.py binds (never used by the preprocessors under test)
+        lt = _mk_stub_module("moe_model.train.llava_trainer")
+        lt.LLaVATrainer = type("LLaVATrainer", (), {})
+        lt.LLaVACallback = type("LLaVACallback", (), {})
+    train = importlib.import_module("moe_model.train.train")
+    conv = importlib.import_module("moe_model.conversation")
+    return train, conv
+
+
 def mm_moe(name: str):
     """Import a module of the reference multimodal MoE tree by leaf name."""
     install()

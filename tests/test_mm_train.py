@@ -96,12 +96,18 @@ def test_preprocess_phi35_with_image_token():
 
 
 def test_preprocess_plain():
+    """Reference layout (train.py:995-1016): a BOS-adding tokenizer
+    keeps its BOS ahead of the image token, and both are masked
+    (round-4 fix: the old port dropped the BOS; element-exact parity in
+    tests/test_preprocess_parity.py)."""
     tok = WordTok()
     d = preprocess_plain([[{"from": "human", "value": "<image>"},
                            {"from": "gpt", "value": "a dog"}]], tok)
     ids, lab = d["input_ids"][0], d["labels"][0]
-    assert ids[0] == IMAGE_TOKEN_INDEX
-    assert lab[0] == IGNORE_INDEX
+    assert ids[0] == tok.bos_token_id
+    assert ids[1] == IMAGE_TOKEN_INDEX
+    assert lab[0] == IGNORE_INDEX and lab[1] == IGNORE_INDEX
+    assert (lab[2:] != IGNORE_INDEX).any()
 
 
 def test_lazy_dataset_and_collator(tmp_path):
