@@ -192,6 +192,7 @@ def main():
         "unit": "us",
         "vs_baseline": round(t_dense / t_grouped, 3),
         "detail": {
+            "measured_live": True,
             "tokens": tokens, "d_model": D, "n_experts": E,
             "expert_size": ES, "topk": K, "dtype": "bfloat16",
             "dense_us": round(t_dense * 1e6, 2),
@@ -255,6 +256,12 @@ def main():
             # tools/measure_gather_bw.py). XLA's gather emitter is the
             # only primitive on this chip that moves scattered 1 KB rows,
             # and the pipeline already feeds it sort-structured indices.
+            # Round-4 combine-formulation A/B (tools/bench_combine.py,
+            # v5e, 2026-08-19, full-pipeline times): current inv-perm
+            # gather + einsum 945 us BEST; k separate gathers summed
+            # elementwise 990; pre-scaled rows + k gathers 1627;
+            # scatter-add segment sum 2764 — the combine's 369 us IS
+            # the interleaved-gather floor, not a fusion miss.
             # A Pallas aligned-group fused double-GEMM (ops/gmm_fused.py,
             # opt-in impl='fused') measures 96 us standalone / 280 us
             # in-loop vs 424 us for the XLA GEMMs, but its end-to-end
