@@ -188,6 +188,7 @@ class DecodeEngine:
         self._prefix_hits = 0
         self.error: Optional[Exception] = None
         self._tokens_emitted = 0
+        self._hold_admission = False   # warmup(): batch bursts deterministically
         self._started = time.monotonic()
         self._build_fns()
         self._stop = threading.Event()
@@ -561,7 +562,11 @@ class DecodeEngine:
     # -- engine thread -----------------------------------------------------
 
     def _admit(self):
-        while self._free and not self._requests.empty():
+        # warmup() holds admission while it enqueues a burst so the group
+        # forms deterministically; checked in the loop condition (not just
+        # at entry) so a tick landing mid-enqueue can't split the burst.
+        while (not self._hold_admission and self._free
+               and not self._requests.empty()):
             pending: List[_Request] = []
             while len(pending) < len(self._free):
                 try:
@@ -796,13 +801,14 @@ class DecodeEngine:
 
     # -- public API --------------------------------------------------------
 
-    def submit(self, ids: np.ndarray,
-               pixel_values: Optional[np.ndarray] = None,
-               max_new_tokens: int = 128, temperature: float = 0.0,
-               top_p: float = 1.0,
-               eos_ids: Optional[List[int]] = None
-               ) -> Iterator[int]:
-        """Enqueue a prompt; yields sampled token ids as they decode."""
+    def _make_request(self, ids: np.ndarray,
+                      pixel_values: Optional[np.ndarray] = None,
+                      max_new_tokens: int = 128, temperature: float = 0.0,
+                      top_p: float = 1.0,
+                      eos_ids: Optional[List[int]] = None) -> _Request:
+        """Validate capacity, construct, and enqueue a request (the
+        non-lazy half of submit(); warmup() enqueues through this so
+        bursts form before any consumer starts iterating)."""
         from ..constants import IMAGE_TOKEN_INDEX
         # Capacity must be checked against the SPLICED length: each
         # <image> sentinel expands to num_image_tokens embeddings
@@ -827,6 +833,17 @@ class DecodeEngine:
                        eos_ids=frozenset(eos_ids or []))
         self._requests.put(req)
         self._woken.set()
+        return req
+
+    def submit(self, ids: np.ndarray,
+               pixel_values: Optional[np.ndarray] = None,
+               max_new_tokens: int = 128, temperature: float = 0.0,
+               top_p: float = 1.0,
+               eos_ids: Optional[List[int]] = None
+               ) -> Iterator[int]:
+        """Enqueue a prompt; yields sampled token ids as they decode."""
+        req = self._make_request(ids, pixel_values, max_new_tokens,
+                                 temperature, top_p, eos_ids)
         try:
             while True:
                 tok = req.out.get()
@@ -838,6 +855,157 @@ class DecodeEngine:
             # cut) retires the slot at the next token boundary instead
             # of decoding to max_new_tokens
             req.cancelled = True
+
+    # -- warmup --------------------------------------------------------------
+
+    def _warm_drain(self, reqs: List[_Request]) -> None:
+        """Run the engine until every warmup request retires. With the
+        engine thread running this blocks on the output queues; with
+        run_thread=False it drives _tick() directly."""
+        if self._thread is None:
+            while self.error is None and not all(r.done for r in reqs):
+                self._tick()
+        else:
+            for r in reqs:
+                while r.out.get() is not None:
+                    pass
+        if self.error is not None:
+            raise RuntimeError("engine failed during warmup") from self.error
+
+    def warmup(self, prompt_buckets=(32,), burst_sizes=None,
+               sampled: bool = True, image_shapes=()) -> dict:
+        """Deterministically precompile every steady-state device program.
+
+        Under XLA each distinct program shape JIT-compiles the first time
+        live traffic hits it: the first 4-wide admission burst, the first
+        sampled slot, the first spec-verify tick each stall EVERY live
+        stream for a full compile (observed 2026-08-19: a 241 s first-token
+        time on the 5.1B engine when the verify program compiled inside
+        the timed window). The reference worker has no analog — eager
+        torch compiles nothing (moe_model/serve/model_worker.py:125-180);
+        here warmup-vs-not is the difference between a ~minutes and a
+        sub-second worst-case TTFT.
+
+        Drives tiny requests through the NORMAL admission/step path so the
+        compiled shapes are exactly steady state's:
+
+        - one burst-prefill + insert_many program per (prompt bucket,
+          pow-2 burst rows up to max_prefill_batch) — `_hold_admission`
+          batches the queued requests so each burst admits as ONE group;
+        - the plain decode step, plus the nucleus step when sampled=True;
+        - the spec-verify program(s) when spec_k>0 (drafts forced via a
+          temporary draft_fn so verify ticks are guaranteed);
+        - the chunked-prefill program when prefill_chunk>0 (text buckets
+          longer than the chunk always take this path, so their burst
+          programs are skipped — production never compiles them either);
+        - park + unpark (suffix-only prefill) when prefix_cache_slots>0;
+        - optionally, image-group prefill for each pixel_values shape in
+          `image_shapes` (grouped one-shot path, per burst size).
+
+        Warmup traffic is scrubbed afterwards: park slots cleared and
+        stats() counters reset, so serving telemetry reflects real
+        traffic only. Returns {"programs": [...], "seconds": float}.
+        """
+        from ..constants import IMAGE_TOKEN_INDEX
+
+        t0 = time.monotonic()
+        span = max(2, self.cfg.decoder.vocab_size - 12)
+        p_img = int(getattr(self.cfg, "num_image_tokens", 0) or 0)
+        if burst_sizes is None:
+            burst_sizes, s = [], 1
+            while s <= max(1, min(self.max_prefill_batch, self.n_slots)):
+                burst_sizes.append(s)
+                s *= 2
+        buckets = sorted({_bucket(int(b)) for b in prompt_buckets})
+        programs: List[str] = []
+        old_draft = self._draft_fn
+
+        def _ids(length: int, salt: int) -> np.ndarray:
+            # distinct per (bucket, row): accidental prefix-cache hits
+            # between warmup passes would reroute a burst row through
+            # the unpark path and leave its burst program uncompiled
+            return (11 + (salt * 7919 + np.arange(length)) % span
+                    ).astype(np.int32)
+
+        def _burst(bucket, size, temp, topp, max_new=2, img_shape=None):
+            self._hold_admission = True
+            reqs = []
+            for i in range(size):
+                ids = _ids(bucket, bucket * 131 + i)
+                px = None
+                if img_shape is not None:
+                    ids[min(1, bucket - 1)] = IMAGE_TOKEN_INDEX
+                    px = np.zeros(img_shape, np.float32)
+                reqs.append(self._make_request(
+                    ids, pixel_values=px, max_new_tokens=max_new,
+                    temperature=temp, top_p=topp))
+            self._hold_admission = False
+            self._woken.set()
+            self._warm_drain(reqs)
+            return reqs
+
+        try:
+            variants = [(0.0, 1.0, "plain")]
+            if sampled:
+                variants.append((0.7, 0.9, "nucleus"))
+            for temp, topp, tag in variants:
+                # plain/nucleus-step ticks must not become spec ticks
+                self._draft_fn = lambda history, k: None
+                for bucket in buckets:
+                    if bucket + 2 + self._spec_k > self.max_len:
+                        continue
+                    if not (self._pf_chunk_n
+                            and bucket > self._pf_chunk_n):
+                        for size in burst_sizes:
+                            _burst(bucket, size, temp, topp)
+                            programs.append(
+                                f"prefill[b{bucket} x{size}]+step:{tag}")
+                    for shape in image_shapes:
+                        if (bucket + max(p_img - 1, 0) + 2
+                                + self._spec_k > self.max_len):
+                            continue
+                        for size in burst_sizes:
+                            _burst(bucket, size, temp, topp,
+                                   img_shape=shape)
+                            programs.append(
+                                f"img_prefill[b{bucket} x{size} "
+                                f"{tuple(shape)}]:{tag}")
+                if self._spec_k:
+                    self._draft_fn = (
+                        lambda history, k: np.full((k,), 11, np.int32))
+                    _burst(buckets[0], 1, temp, topp,
+                           max_new=self._spec_k + 2)
+                    programs.append(f"spec_verify:{tag}")
+            self._draft_fn = lambda history, k: None
+            if self._pf_chunk_n:
+                L = self._pf_chunk_n + 1
+                if L + 2 + self._spec_k <= self.max_len:
+                    req = self._make_request(_ids(L, 997),
+                                             max_new_tokens=2)
+                    self._warm_drain([req])
+                    programs.append(
+                        f"chunked_prefill[{self._pf_chunk_n}]")
+            if self._park_n:
+                first = _burst(buckets[0], 1, 0.0, 1.0, max_new=4)[0]
+                follow = np.concatenate(
+                    [first.ids, np.asarray(first.emitted, np.int32),
+                     _ids(8, 499)])
+                if (len(follow) + 2 + self._spec_k <= self.max_len):
+                    req = self._make_request(follow, max_new_tokens=2)
+                    self._warm_drain([req])
+                    programs.append("park+unpark")
+        finally:
+            self._draft_fn = old_draft
+            self._hold_admission = False
+            # scrub: telemetry + prefix cache reflect real traffic only
+            self._park_meta = [None] * self._park_n
+            self._park_clock = 0
+            self._prefix_hits = 0
+            self._spec_calls = self._spec_accepted = self._spec_tokens = 0
+            self._tokens_emitted = 0
+            self._started = time.monotonic()
+        return {"programs": programs,
+                "seconds": round(time.monotonic() - t0, 3)}
 
     def stats(self) -> dict:
         """Slot/throughput telemetry, merged into /worker_get_status

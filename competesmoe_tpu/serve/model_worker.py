@@ -329,6 +329,15 @@ def main(argv=None):
                          "scheme). Applies to the solo path and, with "
                          "--engine-slots, to the batched engine "
                          "(spec_k)")
+    ap.add_argument("--engine-warmup", default="",
+                    help="comma-separated prompt-length buckets (e.g. "
+                         "'64,512,1024') to precompile before serving "
+                         "(DecodeEngine.warmup): every burst-prefill "
+                         "shape, plain+nucleus steps, spec verify, "
+                         "chunked prefill, park/unpark. Without it each "
+                         "program compiles inside live traffic the "
+                         "first time its shape appears, stalling every "
+                         "stream (minutes of worst-case TTFT on 5.1B)")
     ap.add_argument("--no-register", action="store_true")
     a = ap.parse_args(argv)
 
@@ -359,6 +368,11 @@ def main(argv=None):
                               prefix_cache_slots=a.engine_prefix_cache,
                               spec_k=a.speculative,
                               prefill_chunk=a.engine_prefill_chunk)
+        if a.engine_warmup:
+            buckets = [int(x) for x in a.engine_warmup.split(",") if x]
+            w = engine.warmup(prompt_buckets=buckets)
+            print(f"engine warmup: {len(w['programs'])} programs in "
+                  f"{w['seconds']} s", flush=True)
         gen_fn = engine_generate_fn(adapter, engine)
         concurrency = max(a.limit_model_concurrency, a.engine_slots)
         extra_status = engine.stats

@@ -840,3 +840,82 @@ def test_engine_shutdown_releases_waiters(tiny_model):
         __import__("time").sleep(0.01)
     engine.shutdown()            # never ticked: request still queued
     assert done.wait(timeout=30), "waiter hung after shutdown"
+
+
+def _program_counts(engine):
+    """Total compiled-trace count across every engine device program
+    (jit trace caches) plus the shared prefill-fn cache — equality
+    before/after traffic means NO program compiled inside the window."""
+    from competesmoe_tpu.models import llava as _llava
+
+    fns = [engine._step_plain, engine._step_nucleus,
+           engine._insert_many, engine._park_put,
+           engine._unpark_prefill, engine._chunk_prefill]
+    if engine._spec_k:
+        fns += [engine._spec_plain, engine._spec_nucleus]
+    n = sum(f._cache_size() for f in fns)
+    for pf, ds in _llava._GEN_FN_CACHE.values():
+        n += pf._cache_size() + ds._cache_size()
+    return n
+
+
+def test_engine_warmup_precompiles_everything(tiny_model):
+    """DecodeEngine.warmup() must leave NOTHING to compile in steady
+    state: a full mixed workload afterwards (4-wide greedy burst,
+    nucleus-sampled request, chunked long prompt, speculative ticks,
+    turn-2 prefix reuse) adds zero new traces to any engine program,
+    stays token-exact vs solo, and warmup traffic is scrubbed from
+    stats()/the prefix cache."""
+    model, params = tiny_model
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 60, 20).astype(np.int32)
+               for _ in range(4)]
+    long_p = rng.integers(1, 60, 70).astype(np.int32)
+    want = [_solo(model, params, p) for p in prompts]
+    want_long = _solo(model, params, long_p)
+
+    engine = DecodeEngine(model, params, n_slots=4, max_len=256,
+                          spec_k=2, prefill_chunk=64,
+                          prefix_cache_slots=8)
+    try:
+        rec = engine.warmup(prompt_buckets=(20,), sampled=True)
+        assert rec["programs"], "warmup reported no programs"
+        # warmup traffic scrubbed: telemetry + park reflect real
+        # serving only
+        st = engine.stats()
+        assert st["engine_tokens_emitted"] == 0
+        assert st["engine_prefix_cache_hits"] == 0
+        assert st["engine_spec_verify_calls"] == 0
+        assert all(m is None for m in engine._park_meta)
+
+        before = _program_counts(engine)
+        waits = [_collect(engine, p) for p in prompts]
+        for (out, done), w in zip(waits, want):
+            assert done.wait(timeout=120), "engine stalled"
+            assert out == w
+        out_l, done_l = _collect(engine, long_p)
+        sampled_done = threading.Event()
+
+        def sampled_consume():
+            for _ in engine.submit(prompts[0][:8], max_new_tokens=4,
+                                   temperature=0.7, top_p=0.9):
+                pass
+            sampled_done.set()
+
+        threading.Thread(target=sampled_consume, daemon=True).start()
+        assert done_l.wait(timeout=120), "chunked request stalled"
+        assert out_l == want_long
+        assert sampled_done.wait(timeout=120), "sampled request stalled"
+        # turn 2 extends prompt 0's finished conversation: prefix reuse
+        follow = np.concatenate(
+            [prompts[0], np.asarray(want[0], np.int32),
+             rng.integers(1, 60, 6).astype(np.int32)])
+        out2, done2 = _collect(engine, follow)
+        assert done2.wait(timeout=120), "turn-2 request stalled"
+        assert out2 == _solo(model, params, follow)
+        assert engine.stats()["engine_prefix_cache_hits"] == 1
+        assert engine.error is None
+        assert _program_counts(engine) == before, (
+            "steady-state traffic compiled a new program after warmup")
+    finally:
+        engine.shutdown()

@@ -146,24 +146,19 @@ def main():
                           spec_k=a.spec,
                           prefill_chunk=a.prefill_chunk,
                           prefix_cache_slots=a.prefix_cache)
-    # warmup: compile every program the timed pass will hit — prefill
-    # (chunked if configured) + plain step, the spec VERIFY program (a
+    # warmup: DecodeEngine.warmup() compiles every program the timed
+    # pass will hit — each burst-prefill shape (staggered arrivals form
+    # groups of 1/2/4 rows), the plain step, the spec VERIFY program (a
     # distinct 1+k-token jit that otherwise compiles inside the timed
     # window: ~4 min through the remote helper, observed 2026-08-19 as
-    # a 241 s TTFT), and the multi-turn turn-2 prompt bucket.
-    for _ in engine.submit(prompts[0], max_new_tokens=2):
-        pass
-    if a.spec:
-        orig_draft = engine._draft_fn
-        engine._draft_fn = lambda history, k: np.full(k, 11, np.int32)
-        for _ in engine.submit(prompts[0], max_new_tokens=a.spec + 2):
-            pass
-        engine._draft_fn = orig_draft
+    # a 241 s TTFT), chunked prefill, park/unpark, and the multi-turn
+    # turn-2 prompt bucket.
+    warm_buckets = [a.prompt_len]
     if a.multi_turn:
-        t2_len = a.prompt_len + a.max_new - 1 + 12
-        warm2 = rng.integers(10, hi, t2_len).astype(np.int32)
-        for _ in engine.submit(warm2, max_new_tokens=2):
-            pass
+        warm_buckets.append(a.prompt_len + a.max_new + 12)
+    w = engine.warmup(prompt_buckets=warm_buckets, sampled=False)
+    print(f"warmup: {len(w['programs'])} programs in {w['seconds']} s",
+          flush=True)
 
     if a.spec and a.spec_oracle:
         # discovery pass: the engine's own (exact-greedy) output is the
