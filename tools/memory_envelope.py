@@ -8,16 +8,24 @@ scripts/train/phi35mini/siglip/sft.sh.)
 Method (per-chip peak = static + transient, each from its reliable
 source):
 
-* static (exact arithmetic): params + Adam mu/nu, each leaf divided by
-  its `parallel.mesh.param_spec` shard factor on the ('data','expert')
-  mesh — no compiler involved.
+* static (exact arithmetic): bf16 params + Adam mu/nu (optax states
+  inherit the param dtype; cli/train_mm.py --bf16 defaults True) + one
+  grad-buffer copy, each leaf divided by its `parallel.mesh.param_spec`
+  shard factor on the ('data','expert') mesh — no compiler involved.
+  Reported for both v5e-8 layouts (4x2 and 8x1).
 * transient (compiled): XLA's buffer assignment (`memory_analysis().
-  temp_size_in_bytes`) of the REAL mm train step compiled single-chip at
-  the PER-CHIP batch — under batch-sharded fsdp, activation temps live
-  per chip exactly like a single-chip run at the local batch. Compiled
-  at --layers and --layers/2 and linearly extrapolated to
+  temp_size_in_bytes`) of the mm GRADIENT program compiled single-chip
+  at the PER-CHIP batch — under batch-sharded fsdp, activation temps
+  live per chip exactly like a single-chip run at the local batch.
+  Grad-only rather than the full optimizer step because the v5e AOT
+  compiler enforces whole-program HBM residency INCLUDING the
+  unsharded single-chip arguments (the full train step's params + Adam
+  tree measured a 21.4 GB argument refusal at 4 layers, 2026-08-19);
+  optimizer args are priced exactly by the static term anyway.
+  Compiled at --layers and --layers/2 and linearly extrapolated to
   --extrapolate-to (decoder depth dominates; the vision tower runs at
-  full depth in both compiles, landing in the intercept).
+  full depth in both compiles, landing in the intercept). A compile
+  refusal at some batch is recorded as a row, not a crash.
 * fsdp all-gather transient: + 2 x the largest dense leaf (the gathered
   weight and its prefetch double-buffer).
 
@@ -80,13 +88,24 @@ def build_model(layers: int, vis_layers: int, seq_len: int, remat: bool,
                       projector_flip_schedule=ps), cfg, tcfg
 
 
-def param_shapes(model, cfg):
-    return jax.eval_shape(
+def param_shapes(model, cfg, dtype=jnp.bfloat16):
+    """Abstract param tree with float leaves cast to the TRAINING dtype.
+
+    flax init defaults param_dtype=f32, but cli/train_mm.py loads the
+    checkpoint at bf16 (--bf16 defaults True, matching the reference's
+    bf16 deepspeed recipe) and optax states inherit the param dtype —
+    pricing the f32 init tree would double both the static term and the
+    backward temps."""
+    tree = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32),
                              jnp.zeros((1, cfg.vision.image_size,
                                         cfg.vision.image_size, 3),
                                        jnp.float32)),
         jax.random.PRNGKey(0))["params"]
+    return jax.tree_util.tree_map(
+        lambda l: (jax.ShapeDtypeStruct(l.shape, dtype)
+                   if jnp.issubdtype(l.dtype, jnp.floating) else l),
+        tree)
 
 
 def static_bytes_per_chip(params, data_size: int, expert_size: int):
@@ -115,26 +134,38 @@ def static_bytes_per_chip(params, data_size: int, expert_size: int):
         total += -(-nbytes // factor)
 
     jax.tree_util.tree_map_with_path(visit, params)
-    return 3 * total, 2 * largest_dense  # params + mu + nu; 2x AG buffer
+    # params + Adam mu/nu (optax keeps states in the params' own dtype,
+    # so the 3x prices whatever dtype the caller's tree holds — f32
+    # master params by default, matching cli/train_mm.py); the grad
+    # buffer (one more sharded param-sized copy, live between backward
+    # and the update) is returned separately; 2x largest dense leaf is
+    # the fsdp all-gather + prefetch transient.
+    return 3 * total, total, 2 * largest_dense
 
 
 def temp_bytes_single_chip(layers, vis_layers, seq_len, per_chip, remat,
                            image_size):
-    """XLA temp buffer bytes of the mm train step compiled single-chip
-    at the per-chip batch (AOT: no data allocated)."""
-    from competesmoe_tpu.train.lm_trainer import TrainState
-    from competesmoe_tpu.train.mm_task import (
-        make_mm_optimizer,
-        make_mm_train_step,
-    )
+    """XLA temp buffer bytes of the mm GRADIENT computation compiled
+    single-chip at the per-chip batch (AOT: no data allocated).
 
-    model, cfg, tcfg = build_model(layers, vis_layers, seq_len, remat,
-                                   image_size)
+    Grad-only, not the full optimizer step, on purpose: the v5e AOT
+    compiler enforces whole-program HBM residency INCLUDING arguments,
+    and a single-chip compile holds the full UNSHARDED params + f32 Adam
+    state as arguments (21.4 GB at 4 decoder layers — measured refusal,
+    2026-08-19). Those arguments are exactly what the static term prices
+    with the real shard factors, so the compiler is only consulted for
+    what it alone knows: the activation/backward temp buffers, which
+    under batch-sharded fsdp live per chip exactly like a single-chip
+    run at the local batch. The optimizer update adds elementwise temps
+    only (negligible); its states are in the static term.
+
+    Returns (temp_bytes, None) or (None, oom_message) when even the
+    grad program's params+batch+grads exceed HBM — itself a
+    measurement, recorded in the output row.
+    """
+    model, cfg, _ = build_model(layers, vis_layers, seq_len, remat,
+                                image_size)
     params = param_shapes(model, cfg)
-    optimizer = make_mm_optimizer(tcfg, params)
-    opt_state = jax.eval_shape(optimizer.init, params)
-    state = TrainState(params=params, opt_state=opt_state,
-                       step=jax.ShapeDtypeStruct((), jnp.int32))
     B = per_chip
     batch = {
         "input_ids": jax.ShapeDtypeStruct((B, seq_len), jnp.int32),
@@ -144,9 +175,26 @@ def temp_bytes_single_chip(layers, vis_layers, seq_len, per_chip, remat,
             (B, cfg.vision.image_size, cfg.vision.image_size, 3),
             jnp.float32),
     }
-    step = make_mm_train_step(model, optimizer, donate=True)
-    compiled = step.lower(state, batch).compile()
-    return int(compiled.memory_analysis().temp_size_in_bytes)
+
+    def loss_fn(p, batch, step):
+        out = model.apply({"params": p}, batch["input_ids"],
+                          batch.get("images"), labels=batch["labels"],
+                          attention_mask=batch["attention_mask"],
+                          step=step, train=True)
+        return out.loss
+
+    grad = jax.jit(jax.grad(loss_fn))
+    try:
+        compiled = grad.lower(params, batch,
+                              jax.ShapeDtypeStruct((), jnp.int32)
+                              ).compile()
+    except Exception as e:  # noqa: BLE001 — AOT HBM refusal is data
+        msg = str(e)
+        if "Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg:
+            head = msg.split("\n")[0][:300]
+            return None, head
+        raise
+    return int(compiled.memory_analysis().temp_size_in_bytes), None
 
 
 def main(argv=None):
@@ -169,41 +217,57 @@ def main(argv=None):
     a = ap.parse_args(argv)
 
     platform = jax.devices()[0].platform
-    # static term: exact, from the full-depth geometry
+    # static term: exact, from the full-depth geometry, at the
+    # TRAINING dtype (bf16), for both candidate v5e-8 mesh layouts
     model, cfg, _ = build_model(a.extrapolate_to, a.vis_layers, a.seq_len,
                                 True, a.image_size)
     params = param_shapes(model, cfg)
-    static_b, ag_b = static_bytes_per_chip(params, a.data_size,
-                                           a.expert_size)
+    static_b, param_b, ag_b = static_bytes_per_chip(
+        params, a.data_size, a.expert_size)
+    static8, param8, ag8 = static_bytes_per_chip(params, 8, 1)
     n_params = sum(l.size for l in jax.tree_util.tree_leaves(params))
-    print(json.dumps({"params_b": round(n_params / 1e9, 3),
-                      "static_gb_per_chip": round(static_b / 1e9, 2),
-                      "allgather_transient_gb": round(ag_b / 1e9, 2)}),
-          flush=True)
+    print(json.dumps({
+        "params_b": round(n_params / 1e9, 3),
+        "static_gb_per_chip": round(static_b / 1e9, 2),
+        "grad_buffer_gb": round(param_b / 1e9, 2),
+        "allgather_transient_gb": round(ag_b / 1e9, 2),
+        "mesh": f"data={a.data_size} expert={a.expert_size}",
+        "alt_mesh_d8e1": {"static_gb_per_chip": round(static8 / 1e9, 2),
+                          "grad_buffer_gb": round(param8 / 1e9, 2),
+                          "allgather_transient_gb": round(ag8 / 1e9, 2)},
+    }), flush=True)
 
     rows = []
     for per_chip in [int(b) for b in a.batches.split(",")]:
         for remat in ([True] if a.no_remat_ab else [True, False]):
-            lo = temp_bytes_single_chip(a.layers // 2, a.vis_layers,
-                                        a.seq_len, per_chip, remat,
-                                        a.image_size)
-            hi = temp_bytes_single_chip(a.layers, a.vis_layers,
-                                        a.seq_len, per_chip, remat,
-                                        a.image_size)
-            slope = (hi - lo) / (a.layers - a.layers // 2)
-            temp = hi + slope * (a.extrapolate_to - a.layers)
-            peak = (static_b + ag_b + temp) / 1e9
-            rows.append({
-                "per_chip_batch": per_chip, "remat": remat,
-                "layers": a.extrapolate_to,
-                "static_gb": round(static_b / 1e9, 2),
-                "pred_temp_gb": round(temp / 1e9, 2),
-                "pred_peak_gb": round(peak, 2),
-                "fits_v5e": peak < a.mem_gb,
-                "compiled_at_layers": [a.layers // 2, a.layers],
-                "temp_gb_at_compiled": [round(lo / 1e9, 2),
-                                        round(hi / 1e9, 2)],
-            })
+            lo, oom_lo = temp_bytes_single_chip(
+                a.layers // 2, a.vis_layers, a.seq_len, per_chip, remat,
+                a.image_size)
+            hi, oom_hi = (temp_bytes_single_chip(
+                a.layers, a.vis_layers, a.seq_len, per_chip, remat,
+                a.image_size) if oom_lo is None else (None, "skipped: "
+                                                      "half-depth OOM"))
+            row = {"per_chip_batch": per_chip, "remat": remat,
+                   "layers": a.extrapolate_to,
+                   "static_gb": round(static_b / 1e9, 2)}
+            if lo is None or hi is None:
+                # the AOT compiler refused even the grad probe: the
+                # unsharded-args artifact at this batch — record it
+                row.update({"fits_v5e": False,
+                            "compile_oom": oom_lo or oom_hi})
+            else:
+                slope = (hi - lo) / (a.layers - a.layers // 2)
+                temp = hi + slope * (a.extrapolate_to - a.layers)
+                peak = (static_b + param_b + ag_b + temp) / 1e9
+                row.update({
+                    "pred_temp_gb": round(temp / 1e9, 2),
+                    "pred_peak_gb": round(peak, 2),
+                    "fits_v5e": peak < a.mem_gb,
+                    "compiled_at_layers": [a.layers // 2, a.layers],
+                    "temp_gb_at_compiled": [round(lo / 1e9, 2),
+                                            round(hi / 1e9, 2)],
+                })
+            rows.append(row)
             print(json.dumps({"progress": rows[-1]}), flush=True)
 
     print(json.dumps({
@@ -215,9 +279,11 @@ def main(argv=None):
             "rows": rows, "seq_len": a.seq_len,
             "mesh": f"data={a.data_size} expert={a.expert_size}",
             "mem_gb": a.mem_gb, "platform": platform,
-            "method": "static = exact sharded params+Adam arithmetic; "
-                      "transient = single-chip AOT buffer assignment at "
-                      "the per-chip batch, linear layer extrapolation"
+            "method": "static = exact sharded bf16 params+Adam "
+                      "arithmetic (+1 grad copy, +2x largest-leaf AG "
+                      "buffer); transient = single-chip AOT buffer "
+                      "assignment of the GRAD program at the per-chip "
+                      "batch, linear layer extrapolation"
                       + (" [CPU-compiled: temps are ~3-6x UPPER BOUNDS "
                          "(f32 upcasts, fewer fusions); re-run on the "
                          "chip]" if platform == "cpu" else ""),

@@ -44,7 +44,14 @@ run /tmp/spec_step_int4.json \
 run /tmp/moe_decode_bf16.json \
   python tools/bench_decode.py --layers 8 --moe-experts 8 --kv-quant int8
 
-# 3. engine aggregate: perfect-draft ceiling, then realistic lookup hits
+# 3. engine aggregate: plain baseline, perfect-draft ceiling, then
+#    realistic lookup hits. The 2026-08-19 first pass of these five
+#    engine items was compile-polluted (burst-prefill shapes compiled
+#    inside the timed window: 241 s TTFT medians) — DecodeEngine.warmup()
+#    now precompiles every steady-state program before the clock starts.
+run /tmp/engine_plain_baseline.json \
+  python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
+  --steps-per-call 8
 run /tmp/engine_spec_oracle.json \
   python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
   --spec 4 --spec-oracle --steps-per-call 8
@@ -60,13 +67,17 @@ run /tmp/engine_longprompt_chunked.json \
   python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
   --prompt-len 400 --max-len 1024 --steps-per-call 1 --prefill-chunk 128
 
-# 5. prefix cache: multi-turn TTFT
+# 5. prefix cache: multi-turn TTFT. Park slots must cover the 16
+#    concurrent conversations: the 2026-08-19 first pass used
+#    --prefix-cache 4 and got prefix_cache_hits: 0 — every parked row
+#    was evicted by later retirements before its turn-2 arrived, so the
+#    run measured a warm cold-path, not reuse.
 run /tmp/engine_multiturn_cold.json \
   python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
   --multi-turn --steps-per-call 8 --max-len 1024
 run /tmp/engine_multiturn_parked.json \
   python tools/bench_engine.py --layers 32 --quant int8 --kv-quant int8 \
-  --multi-turn --prefix-cache 4 --steps-per-call 8 --max-len 1024
+  --multi-turn --prefix-cache 16 --steps-per-call 8 --max-len 1024
 
 # 6. remat memory A/B on the real backend: predicted HBM peak of a
 #    sharded-free 4-layer train step with/without --remat
