@@ -912,10 +912,16 @@ class DecodeEngine:
         span = max(2, self.cfg.decoder.vocab_size - 12)
         p_img = int(getattr(self.cfg, "num_image_tokens", 0) or 0)
         if burst_sizes is None:
+            cap = max(1, min(self.max_prefill_batch, self.n_slots))
             burst_sizes, s = [], 1
-            while s <= max(1, min(self.max_prefill_batch, self.n_slots)):
+            while s <= cap:
                 burst_sizes.append(s)
                 s *= 2
+            if burst_sizes[-1] != cap:
+                # a non-pow-2 cap (e.g. 3 slots) still pads to the NEXT
+                # pow-2 row count in _admit_group — admit one cap-sized
+                # burst so that program compiles too
+                burst_sizes.append(cap)
         buckets = sorted({_bucket(int(b)) for b in prompt_buckets})
         programs: List[str] = []
         old_draft = self._draft_fn
@@ -927,14 +933,23 @@ class DecodeEngine:
             return (11 + (salt * 7919 + np.arange(length)) % span
                     ).astype(np.int32)
 
-        def _burst(bucket, size, temp, topp, max_new=2, img_shape=None):
+        def _wlen(bucket):
+            # chunking routes on RAW length (> chunk), bucketing rounds
+            # up to pow-2 ≥ 32: a bucket can exceed the chunk while raw
+            # lengths inside it still admit via bursts. Warm prompts use
+            # the longest burst-reachable length of the bucket.
+            if self._pf_chunk_n and bucket > self._pf_chunk_n:
+                return self._pf_chunk_n
+            return bucket
+
+        def _burst(length, size, temp, topp, max_new=2, img_shape=None):
             self._hold_admission = True
             reqs = []
             for i in range(size):
-                ids = _ids(bucket, bucket * 131 + i)
+                ids = _ids(length, length * 131 + i)
                 px = None
                 if img_shape is not None:
-                    ids[min(1, bucket - 1)] = IMAGE_TOKEN_INDEX
+                    ids[min(1, length - 1)] = IMAGE_TOKEN_INDEX
                     px = np.zeros(img_shape, np.float32)
                 reqs.append(self._make_request(
                     ids, pixel_values=px, max_new_tokens=max_new,
@@ -954,13 +969,17 @@ class DecodeEngine:
                 for bucket in buckets:
                     if bucket + 2 + self._spec_k > self.max_len:
                         continue
-                    if not (self._pf_chunk_n
-                            and bucket > self._pf_chunk_n):
+                    wl = _wlen(bucket)
+                    if _bucket(wl) == bucket:
+                        # burst path reachable in this bucket (a bucket
+                        # fully above the chunk length only ever admits
+                        # via chunked prefill — warmed below)
                         for size in burst_sizes:
-                            _burst(bucket, size, temp, topp)
+                            _burst(wl, size, temp, topp)
                             programs.append(
                                 f"prefill[b{bucket} x{size}]+step:{tag}")
                     for shape in image_shapes:
+                        # image prompts never chunk: full bucket length
                         if (bucket + max(p_img - 1, 0) + 2
                                 + self._spec_k > self.max_len):
                             continue
@@ -973,7 +992,7 @@ class DecodeEngine:
                 if self._spec_k:
                     self._draft_fn = (
                         lambda history, k: np.full((k,), 11, np.int32))
-                    _burst(buckets[0], 1, temp, topp,
+                    _burst(_wlen(buckets[0]), 1, temp, topp,
                            max_new=self._spec_k + 2)
                     programs.append(f"spec_verify:{tag}")
             self._draft_fn = lambda history, k: None
@@ -986,7 +1005,8 @@ class DecodeEngine:
                     programs.append(
                         f"chunked_prefill[{self._pf_chunk_n}]")
             if self._park_n:
-                first = _burst(buckets[0], 1, 0.0, 1.0, max_new=4)[0]
+                first = _burst(_wlen(buckets[0]), 1, 0.0, 1.0,
+                               max_new=4)[0]
                 follow = np.concatenate(
                     [first.ids, np.asarray(first.emitted, np.int32),
                      _ids(8, 499)])

@@ -46,7 +46,16 @@ def test_engine_fuzz_wide_band(tiny_model, seed):
     _run_fuzz(tiny_model, seed)
 
 
-def _run_fuzz(tiny_model, seed):
+@pytest.mark.parametrize("seed", [7, 8])
+def test_engine_fuzz_warmup_leaves_nothing_to_compile(tiny_model, seed):
+    """Same random workloads, but warmup() runs first and the invariant
+    tightens: NO engine program may compile during traffic — catches
+    any steady-state shape the warmup enumeration misses (e.g. the
+    non-pow-2 slot-count burst that pads to the next pow-2 rows)."""
+    _run_fuzz(tiny_model, seed, warm=True)
+
+
+def _run_fuzz(tiny_model, seed, warm=False):
     model, params = tiny_model
     rng = np.random.default_rng(seed)
 
@@ -70,6 +79,7 @@ def _run_fuzz(tiny_model, seed):
             "ids": ids,
             "max_new": int(rng.integers(2, 9)),
             "temperature": float(rng.choice([0.0, 0.0, 0.8])),
+            "top_p": float(rng.choice([1.0, 0.9])),
             "tick_offset": int(rng.integers(0, 8)),
         })
     oracles = [(_solo(model, params, r["ids"], r["max_new"])
@@ -77,13 +87,19 @@ def _run_fuzz(tiny_model, seed):
 
     engine = DecodeEngine(model, params, max_len=128, run_thread=False,
                           **feats)
+    before = None
+    if warm:
+        from test_engine import _program_counts
+        engine.warmup(prompt_buckets=(32,), sampled=True)
+        before = _program_counts(engine)
     outs = [[] for _ in reqs]
     done = [threading.Event() for _ in reqs]
 
     def consume(i):
         r = reqs[i]
         for tok in engine.submit(r["ids"], max_new_tokens=r["max_new"],
-                                 temperature=r["temperature"]):
+                                 temperature=r["temperature"],
+                                 top_p=r["top_p"]):
             outs[i].append(tok)
         done[i].set()
 
@@ -111,5 +127,10 @@ def _run_fuzz(tiny_model, seed):
                     f"{out} != {want}")
             else:
                 assert len(out) == reqs[i]["max_new"]
+        if warm:
+            from test_engine import _program_counts
+            assert _program_counts(engine) == before, (
+                f"traffic compiled a new program after warmup "
+                f"(feats={feats})")
     finally:
         engine.shutdown()
