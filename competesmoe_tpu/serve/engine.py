@@ -105,7 +105,10 @@ class DecodeEngine:
                  rng_seed: int = 0, run_thread: bool = True,
                  max_prefill_batch: int = 4, mesh=None,
                  prefix_cache_slots: int = 0, spec_k: int = 0,
-                 draft_fn=None, prefill_chunk: int = 0):
+                 draft_fn=None, prefill_chunk: int = 0,
+                 spec_adaptive: bool = False,
+                 spec_probe_interval: int = 32,
+                 clock=time.monotonic):
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -127,6 +130,30 @@ class DecodeEngine:
         self._spec_calls = 0
         self._spec_accepted = 0
         self._spec_tokens = 0   # emitted by verify ticks only
+        # Throughput-adaptive speculation (a two-armed bandit over tick
+        # modes). A verify tick is ONE device call for at most 1+k
+        # tokens/slot, while the plain fallback scans steps_per_call
+        # tokens/slot per call — so speculation can LOSE aggregate
+        # throughput even at 100% per-draft acceptance when only some
+        # slots find drafts (measured 2026-08-19 on v5e-1, 32L
+        # int8+kv8, slots=8, steps_per_call=8: loop prompts draft ~half
+        # the slots at 100% acceptance yet net 237.6 tok/s vs 482.6
+        # plain; oracle-on-every-slot drafts 379.3). Acceptance rate is
+        # therefore the WRONG gate signal; spec_adaptive=True instead
+        # measures realized tokens/sec of each arm directly (EWMA over
+        # tick wall time incl. host draft collection), runs the faster
+        # arm, and probes the losing arm every spec_probe_interval
+        # ticks so a workload shift is picked up. clock is injectable
+        # for deterministic tests. False = always speculate (the
+        # reference serves eagerly and has no speculation at all,
+        # moe_model/serve/model_worker.py:125-180).
+        self._spec_adaptive = bool(spec_adaptive)
+        self._spec_probe_interval = int(spec_probe_interval)
+        self._clock = clock
+        self._arm_tps = {"verify": None, "plain": None}
+        self._arm_streak = ("verify", 0)   # (last chosen arm, run length)
+        self._spec_suppressed_ticks = 0
+        self._spec_drafted_slots = 0   # slots drafted in the last collect
         # chunked prefill: long TEXT prompts prefill prefill_chunk
         # tokens per engine tick into a 1-row staging cache, with a
         # decode step for live slots between chunks — a 2048-token
@@ -737,20 +764,27 @@ class DecodeEngine:
                 self._woken.wait(timeout=0.05)
                 self._woken.clear()
             return
-        if self._spec_k:
+        t0 = self._clock() if self._spec_k else 0.0
+        tried_verify = False
+        if self._spec_k and self._spec_gate():
             # both greedy (argmax-verify) and sampled (rejection-scheme)
             # slots can accept drafts. Ticks where NO slot found a draft
             # fall through to the plain step — a verify would pay its
             # extra positions for nothing.
+            tried_verify = True
             drafts = self._collect_drafts()
             if drafts is not None:
+                before = self._tokens_emitted
                 self._tick_spec(drafts)
+                self._spec_record("verify", self._tokens_emitted - before,
+                                  t0)
                 return
         self._rng, sub = jax.random.split(self._rng)
         step = (self._step_nucleus
                 if any(self._topps[r.slot] < 1.0 and self._temps[r.slot] > 0
                        for r in self._live.values())
                 else self._step_plain)
+        before = self._tokens_emitted
         toks, self._cur, self._cache = step(
             self.params, self._cur, self._cache, sub,
             jnp.asarray(self._temps), jnp.asarray(self._topps))
@@ -758,6 +792,54 @@ class DecodeEngine:
         for k in range(toks.shape[1]):
             for slot, req in list(self._live.items()):
                 self._emit(req, int(toks[slot, k]))
+        if self._spec_k:
+            # a verify-chosen tick that found no drafts charges the
+            # wasted scan to the verify arm — that IS the realized
+            # value of choosing verify on this workload
+            self._spec_record("verify" if tried_verify else "plain",
+                              self._tokens_emitted - before, t0)
+
+    def _spec_gate(self) -> bool:
+        """Bandit arm choice: True when a verify tick should run. Pure
+        host-side bookkeeping (no device work); always True when
+        spec_adaptive is off. Prefers the arm with the higher measured
+        tokens/sec EWMA; unmeasured arms get measured first (verify
+        before plain, so serving starts optimistic); every
+        spec_probe_interval consecutive same-arm ticks the other arm is
+        probed once, which is what lets a parked speculator come back
+        when the workload turns repetitive again."""
+        if not self._spec_adaptive:
+            return True
+        v, p = self._arm_tps["verify"], self._arm_tps["plain"]
+        if v is None:
+            choice = True
+        elif p is None:
+            choice = False
+        else:
+            choice = v >= p
+        arm = "verify" if choice else "plain"
+        last, run = self._arm_streak
+        if arm == last and run >= self._spec_probe_interval:
+            choice = not choice
+            arm = "verify" if choice else "plain"
+        if not choice:
+            self._spec_suppressed_ticks += 1
+        return choice
+
+    def _spec_record(self, arm: str, tokens: int, t0: float) -> None:
+        """Feed one tick's realized throughput into the bandit."""
+        if not self._spec_adaptive:
+            return
+        dt = max(self._clock() - t0, 1e-9)
+        tps = tokens / dt
+        cur = self._arm_tps[arm]
+        # asymmetric EWMA: instant up (one good probe re-enables a
+        # parked arm), smooth decay down (one slow tick doesn't park a
+        # healthy one)
+        self._arm_tps[arm] = (tps if cur is None
+                              else max(tps, 0.8 * cur + 0.2 * tps))
+        last, run = self._arm_streak
+        self._arm_streak = (arm, run + 1 if arm == last else 1)
 
     def _collect_drafts(self) -> Optional[np.ndarray]:
         """Prompt-lookup draft per live slot (host side) — greedy slots
@@ -769,12 +851,13 @@ class DecodeEngine:
         k = self._spec_k
         draft = self._draft_fn or ngram_draft
         drafts = np.zeros((self.n_slots, k), np.int32)
-        found = False
+        found = 0
         for slot, req in self._live.items():
             d = draft(list(int(t) for t in req.ids) + req.emitted, k)
             if d is not None:
                 drafts[slot] = d
-                found = True
+                found += 1
+        self._spec_drafted_slots = found
         return drafts if found else None
 
     def _tick_spec(self, drafts: np.ndarray):
@@ -793,10 +876,12 @@ class DecodeEngine:
         n_acc = np.asarray(n_acc)
         self._spec_calls += 1
         before = self._tokens_emitted
+        accepted_this_call = 0
         for slot, req in list(self._live.items()):
-            self._spec_accepted += int(n_acc[slot])
+            accepted_this_call += int(n_acc[slot])
             for i in range(int(n_acc[slot]) + 1):
                 self._emit(req, int(toks[slot, i]))
+        self._spec_accepted += accepted_this_call
         self._spec_tokens += self._tokens_emitted - before
 
     # -- public API --------------------------------------------------------
@@ -1022,6 +1107,12 @@ class DecodeEngine:
             self._park_clock = 0
             self._prefix_hits = 0
             self._spec_calls = self._spec_accepted = self._spec_tokens = 0
+            # warmup's forced drafts are synthetic and its ticks carry
+            # compile time — reset the bandit so live serving starts
+            # optimistic with clean throughput estimates
+            self._arm_tps = {"verify": None, "plain": None}
+            self._arm_streak = ("verify", 0)
+            self._spec_suppressed_ticks = 0
             self._tokens_emitted = 0
             self._started = time.monotonic()
         return {"programs": programs,
@@ -1048,7 +1139,16 @@ class DecodeEngine:
                 # over verify-tick emissions only (plain-step fallback
                 # ticks and admission first-tokens excluded)
                 "engine_spec_tokens_per_step": round(
-                    self._spec_tokens / max(self._spec_calls, 1), 2)}
+                    self._spec_tokens / max(self._spec_calls, 1), 2),
+                **({"engine_spec_tps_verify":
+                        (round(self._arm_tps["verify"], 1)
+                         if self._arm_tps["verify"] is not None else None),
+                    "engine_spec_tps_plain":
+                        (round(self._arm_tps["plain"], 1)
+                         if self._arm_tps["plain"] is not None else None),
+                    "engine_spec_suppressed_ticks":
+                        self._spec_suppressed_ticks}
+                   if self._spec_adaptive else {})}
                if self._spec_k else {}),
         }
 

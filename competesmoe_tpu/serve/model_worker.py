@@ -329,6 +329,13 @@ def main(argv=None):
                          "scheme). Applies to the solo path and, with "
                          "--engine-slots, to the batched engine "
                          "(spec_k)")
+    ap.add_argument("--spec-adaptive", action="store_true",
+                    help="with --engine-slots + --speculative: measure "
+                         "realized tokens/sec of verify ticks vs the "
+                         "plain multi-step scan and run whichever is "
+                         "faster, probing the loser periodically — "
+                         "keeps low-repetition traffic at full batched "
+                         "throughput (default: always speculate)")
     ap.add_argument("--engine-warmup", default="",
                     help="comma-separated prompt-length buckets (e.g. "
                          "'64,512,1024') to precompile before serving "
@@ -367,6 +374,7 @@ def main(argv=None):
                               if a.mesh else None,
                               prefix_cache_slots=a.engine_prefix_cache,
                               spec_k=a.speculative,
+                              spec_adaptive=a.spec_adaptive,
                               prefill_chunk=a.engine_prefill_chunk)
         if a.engine_warmup:
             buckets = [int(x) for x in a.engine_warmup.split(",") if x]

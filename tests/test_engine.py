@@ -7,6 +7,7 @@ Reference role: the reference serves one HF generate per request
 headroom over it, so the correctness oracle is our own stream_generate.
 """
 
+import itertools
 import threading
 
 import jax
@@ -587,6 +588,150 @@ def test_engine_speculative_mixed_with_sampled_slot(tiny_model):
         assert g[0] == want
         assert len(s[0]) == 8
         assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def _tick_clock():
+    """Deterministic clock for the spec bandit: +1 per call. Each
+    spec-enabled tick reads it exactly twice (t0 + record), so dt == 1
+    and the per-arm tokens/sec EWMA reduces to tokens-per-tick — the
+    bandit's decisions become pure arithmetic, no wall-time flake."""
+    c = itertools.count()
+    return lambda: float(next(c))
+
+
+def test_engine_adaptive_spec_parks_bad_drafts(tiny_model):
+    """spec_adaptive: a draft source that never matches the model's
+    argmax makes a verify tick worth 1 token vs steps_per_call for the
+    plain scan; the throughput bandit must park speculation, with
+    output still exactly the solo greedy tokens. Measured basis (v5e-1,
+    2026-08-19, 32L int8+kv8, slots=8, steps_per_call=8): lookup drafts
+    on loop prompts hit 100% per-draft acceptance yet net 237.6 tok/s
+    vs 482.6 plain — acceptance rate is the wrong gate signal, realized
+    tokens/sec is the right one."""
+    model, params = tiny_model
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(1, 60, 7).astype(np.int32)
+    want = _solo(model, params, prompt, max_new=12)
+
+    def garbage_draft(hist, k):
+        # vocab-edge tokens: essentially never the tiny model's argmax
+        return np.full(k, 61, np.int32)
+
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          spec_k=3, draft_fn=garbage_draft,
+                          steps_per_call=4, spec_adaptive=True,
+                          spec_probe_interval=6, clock=_tick_clock(),
+                          run_thread=False)
+    try:
+        out, done = _collect(engine, prompt, max_new=12)
+        ticks = 0
+        for _ in range(80):
+            engine._tick()
+            ticks += 1
+            if done.is_set():
+                break
+        assert done.is_set()
+        assert out == want
+        st = engine.stats()
+        assert st["engine_spec_suppressed_ticks"] > 0, \
+            "bandit never parked a 1-token-per-tick verify arm"
+        assert st["engine_spec_verify_calls"] < ticks
+        # measured arms: verify 1 tok/tick, plain steps_per_call=4
+        assert st["engine_spec_tps_plain"] > st["engine_spec_tps_verify"]
+    finally:
+        engine.shutdown()
+
+
+def test_engine_adaptive_spec_keeps_good_drafts(tiny_model):
+    """spec_adaptive with an oracle drafter (drafts = the model's own
+    greedy continuation) and 1+k > steps_per_call: the verify arm
+    measures faster, the bandit keeps speculating (one plain measuring
+    tick aside), and output is exact."""
+    model, params = tiny_model
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(1, 60, 7).astype(np.int32)
+    want = _solo(model, params, prompt, max_new=12)
+    plen = len(prompt)
+
+    def oracle_draft(hist, k):
+        n_emitted = len(hist) - plen
+        d = want[n_emitted:n_emitted + k]
+        return np.asarray(d, np.int32) if len(d) == k else None
+
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          spec_k=3, draft_fn=oracle_draft,
+                          steps_per_call=2, spec_adaptive=True,
+                          spec_probe_interval=8, clock=_tick_clock(),
+                          run_thread=False)
+    try:
+        out, done = _collect(engine, prompt, max_new=12)
+        for _ in range(40):
+            engine._tick()
+            if done.is_set():
+                break
+        assert done.is_set()
+        assert out == want
+        st = engine.stats()
+        # exactly one plain tick to measure that arm, then verify wins
+        # (4 tok/tick vs 2)
+        assert st["engine_spec_suppressed_ticks"] <= 2
+        assert st["engine_spec_tps_verify"] > st["engine_spec_tps_plain"]
+        assert engine._spec_accepted > 0
+    finally:
+        engine.shutdown()
+
+
+def test_engine_adaptive_spec_reprobes_and_recovers(tiny_model):
+    """After parking, the bandit probes the verify arm every
+    spec_probe_interval same-arm ticks; a good probe (drafter turned
+    oracle) re-enables speculation instantly via the asymmetric EWMA
+    (instant up, smooth decay down)."""
+    model, params = tiny_model
+    rng = np.random.default_rng(19)
+    prompt = rng.integers(1, 60, 7).astype(np.int32)
+    want = _solo(model, params, prompt, max_new=24)
+    plen = len(prompt)
+    phase = {"bad": True}
+
+    def flaky_draft(hist, k):
+        if phase["bad"]:
+            return np.full(k, 61, np.int32)
+        n_emitted = len(hist) - plen
+        d = want[n_emitted:n_emitted + k]
+        return np.asarray(d, np.int32) if len(d) == k else None
+
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          spec_k=3, draft_fn=flaky_draft,
+                          steps_per_call=4, spec_adaptive=True,
+                          spec_probe_interval=3, clock=_tick_clock(),
+                          run_thread=False)
+    try:
+        out, done = _collect(engine, prompt, max_new=24)
+        # drive until the bandit parks speculation, then flip the
+        # drafter good
+        for _ in range(20):
+            engine._tick()
+            if engine._spec_suppressed_ticks >= 2 or done.is_set():
+                break
+        assert engine._spec_suppressed_ticks >= 2, "never parked"
+        phase["bad"] = False
+        # recovery = two consecutive verify ticks after the probe (one
+        # good probe re-raises the estimate instantly; the NEXT tick
+        # choosing verify again proves the arm flipped back). Checked
+        # mid-stream because the final partial tick (fewer tokens left
+        # than 1+k) legitimately decays the verify estimate again.
+        recovered = False
+        for _ in range(60):
+            engine._tick()
+            arm, run = engine._arm_streak
+            recovered = recovered or (arm == "verify" and run >= 2)
+            if done.is_set():
+                break
+        assert done.is_set()
+        assert out == want
+        assert recovered, "bandit never resumed speculating after probe"
     finally:
         engine.shutdown()
 

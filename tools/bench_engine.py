@@ -97,6 +97,13 @@ def main():
     ap.add_argument("--spec", type=int, default=0,
                     help="prompt-lookup speculative decoding: verify K "
                          "drafts per engine step (greedy, bit-exact)")
+    ap.add_argument("--spec-adaptive", action="store_true",
+                    help="throughput-adaptive speculation: run verify "
+                         "ticks or the plain multi-step scan, whichever "
+                         "measures faster (tokens/sec EWMA), probing "
+                         "the losing arm every --spec-probe-interval "
+                         "ticks (default: always speculate)")
+    ap.add_argument("--spec-probe-interval", type=int, default=32)
     ap.add_argument("--prompt-mode", default="random",
                     choices=["random", "loop"],
                     help="'loop' tiles a short block so n-gram drafting "
@@ -144,6 +151,8 @@ def main():
                           max_len=a.max_len,
                           steps_per_call=a.steps_per_call,
                           spec_k=a.spec,
+                          spec_adaptive=a.spec_adaptive,
+                          spec_probe_interval=a.spec_probe_interval,
                           prefill_chunk=a.prefill_chunk,
                           prefix_cache_slots=a.prefix_cache)
     # warmup: DecodeEngine.warmup() compiles every program the timed
@@ -264,7 +273,13 @@ def main():
             "spec_k": a.spec, "prompt_mode": a.prompt_mode,
             "spec_oracle": bool(a.spec and a.spec_oracle),
             **({"spec_verify_calls": engine._spec_calls,
-                "spec_accepted_drafts": engine._spec_accepted}
+                "spec_accepted_drafts": engine._spec_accepted,
+                **({"spec_adaptive": True,
+                    "spec_tps_verify": engine._arm_tps["verify"],
+                    "spec_tps_plain": engine._arm_tps["plain"],
+                    "spec_suppressed_ticks":
+                        engine._spec_suppressed_ticks}
+                   if a.spec_adaptive else {})}
                if a.spec else {}),
             "ttft_s_median": round(float(np.median(
                 [r["ttft_s"] for r in results])), 3),
