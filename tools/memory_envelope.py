@@ -258,6 +258,16 @@ def main(argv=None):
             else:
                 slope = (hi - lo) / (a.layers - a.layers // 2)
                 temp = hi + slope * (a.extrapolate_to - a.layers)
+                # a NEGATIVE slope (seen on-chip 2026-08-19 at batch 5:
+                # 6.33 GB @4L -> 5.16 GB @8L) means the probe peak is
+                # dominated by a depth-independent phase (vision tower +
+                # splice at large batch), so a linear extrapolation goes
+                # non-physical (-1.85 GB and a false "fits"). Clamp to
+                # the worst measured temp — depth can't shrink the
+                # depth-independent peak — and flag the row.
+                clamped = temp < max(lo, hi)
+                if clamped:
+                    temp = max(lo, hi)
                 peak = (static_b + param_b + ag_b + temp) / 1e9
                 row.update({
                     "pred_temp_gb": round(temp / 1e9, 2),
@@ -266,6 +276,7 @@ def main(argv=None):
                     "compiled_at_layers": [a.layers // 2, a.layers],
                     "temp_gb_at_compiled": [round(lo / 1e9, 2),
                                             round(hi / 1e9, 2)],
+                    **({"slope_clamped": True} if clamped else {}),
                 })
             rows.append(row)
             print(json.dumps({"progress": rows[-1]}), flush=True)
