@@ -338,6 +338,11 @@ class DecodeEngine:
             writes position qpos before reading it).
             First-token sampling always runs the nucleus form: one vocab
             sort per admitted request is negligible (unlike per-step)."""
+            return _splice_sample(cache, rows, slots, cur, last,
+                                  temps, topps, rng)
+
+        def _splice_sample(cache, rows, slots, cur, last, temps, topps,
+                           rng):
             def put(buf, upd):
                 if isinstance(buf, (list, tuple)):  # per_layer layout
                     return type(buf)(
@@ -402,24 +407,38 @@ class DecodeEngine:
 
         self._park_put = park_put
 
-        @jax.jit
-        def unpark_prefill(params, park: KVCache, park_slot, pos0,
-                           ids, mask):
-            """Continue-prefill a prompt suffix on top of a parked row:
-            extract the row, reset pos to the parked length (junk writes
-            from the slot's dead ride-along steps sit beyond it and are
-            never attended), run the model over the suffix. Retraces
-            once per suffix bucket."""
-            row = KVCache(
-                k=_take_row(park.k, park_slot, 1),
-                v=_take_row(park.v, park_slot, 1),
-                pos=jnp.full((1,), pos0, jnp.int32),
-                k_scale=(_take_row(park.k_scale, park_slot, 1)
+        def _take_rows(buf, idxs, batch_axis):
+            if isinstance(buf, (list, tuple)):  # per_layer layout
+                return type(buf)(jnp.take(b, idxs, axis=0) for b in buf)
+            return jnp.take(buf, idxs, axis=batch_axis)
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def unpark_admit(params, park: KVCache, cache: KVCache, cur,
+                         park_slots, pos0, ids, mask, slots, temps,
+                         topps, rng):
+            """Reuse admission, FUSED and BATCHED in one device call:
+            gather the [B] parked rows, reset pos to each parked length
+            (junk writes from the slots' dead ride-along steps sit
+            beyond it and are never attended), continue-prefill the
+            padded suffix batch, splice the rows into the engine cache,
+            and sample each first token. One program per (pow-2 batch
+            rows, suffix bucket). Both halves of the fusion are
+            measured: sequential per-hit admission made parked turn-2
+            TTFT 1.788 s vs 1.307 s cold, and batched-but-2-call was
+            still 1.397 s (2026-08-19, v5e-1 32L int8+kv8, each device
+            call paying the ~30 ms tunnel RPC) — fusing removes the
+            second call AND the intermediate [B, max_len] row cache
+            materialization between the two programs."""
+            rows = KVCache(
+                k=_take_rows(park.k, park_slots, 1),
+                v=_take_rows(park.v, park_slots, 1),
+                pos=pos0.astype(jnp.int32),
+                k_scale=(_take_rows(park.k_scale, park_slots, 1)
                          if park.k_scale is not None else None),
-                v_scale=(_take_row(park.v_scale, park_slot, 1)
+                v_scale=(_take_rows(park.v_scale, park_slots, 1)
                          if park.v_scale is not None else None))
             out = model.apply(params, ids, None, attention_mask=mask,
-                              cache=row)
+                              cache=rows)
             # logits index by position WITHIN the suffix input (unlike
             # cold prefill where cache.pos == input length): the last
             # real token sits at sum(mask)-1
@@ -427,14 +446,15 @@ class DecodeEngine:
             last = jnp.take_along_axis(
                 out.logits, (n_real - 1)[:, None, None].astype(jnp.int32),
                 axis=1)[:, 0]
-            return last, out.cache
+            return _splice_sample(cache, out.cache, slots, cur, last,
+                                  temps, topps, rng)
 
-        self._unpark_prefill = unpark_prefill
+        self._unpark_admit = unpark_admit
 
         @partial(jax.jit, donate_argnums=(1,))
         def chunk_prefill(params, stage: KVCache, ids, mask):
             """Continue-prefill one chunk into the staging row. Same
-            continue-prefill semantics as unpark_prefill (pos carries
+            continue-prefill semantics as unpark_admit (pos carries
             across chunks; pad writes land in the dump slot); returns
             the last REAL position's logits so the final chunk can seed
             first-token sampling."""
@@ -442,7 +462,7 @@ class DecodeEngine:
                               cache=stage)
             n_real = jnp.sum(mask.astype(jnp.int32), axis=-1)
             # logits index by position WITHIN the chunk input (same
-            # convention as unpark_prefill)
+            # convention as unpark_admit)
             last = jnp.take_along_axis(
                 out.logits, (n_real - 1)[:, None, None].astype(jnp.int32),
                 axis=1)[:, 0]
@@ -543,32 +563,53 @@ class DecodeEngine:
             best, best_n = idx, n
         return best
 
-    def _admit_reused(self, req: _Request, pidx: int):
-        """Admit by continue-prefilling only the prompt suffix on top of
-        the parked row (one unpark_prefill + one insert_many call)."""
-        meta = self._park_meta[pidx]
-        suffix = np.asarray(req.ids[len(meta["ids"]):], np.int32)
-        b = _bucket(len(suffix))
-        ids = np.zeros((1, b), np.int32)
-        ids[0, :len(suffix)] = suffix
-        mask = np.zeros((1, b), np.int32)
-        mask[0, :len(suffix)] = 1
-        last, row = self._unpark_prefill(
-            self.params, self._park, jnp.int32(pidx),
-            jnp.int32(meta["len"]), jnp.asarray(ids), jnp.asarray(mask))
-        slot = self._free.pop()
+    def _admit_reused_group(self, bucket: int, hits: List[tuple]):
+        """Admit prefix-cache hits (same suffix bucket) as ONE batched
+        fused unpark_admit call (gather parked rows + suffix prefill +
+        splice + first-token sample in one program) — mirrors
+        _admit_group's
+        pow-2 row padding (pad rows repeat row 0 with slot == n_slots,
+        which the scatter drops). `hits` is [(req, park_idx), ...]."""
+        nb = len(hits)
+        nbp = _bucket(nb, lo=1)
+        ids = np.zeros((nbp, bucket), np.int32)
+        mask = np.zeros((nbp, bucket), np.int32)
+        pos0 = np.zeros((nbp,), np.int32)
+        pslots = np.zeros((nbp,), np.int32)
+        for i, (req, pidx) in enumerate(hits):
+            meta = self._park_meta[pidx]
+            suffix = np.asarray(req.ids[len(meta["ids"]):], np.int32)
+            ids[i, :len(suffix)] = suffix
+            mask[i, :len(suffix)] = 1
+            pos0[i] = meta["len"]
+            pslots[i] = pidx
+        ids[nb:] = ids[0]
+        mask[nb:] = mask[0]
+        pos0[nb:] = pos0[0]
+        pslots[nb:] = pslots[0]
+        slots = np.full((nbp,), self.n_slots, np.int32)
+        temps = np.zeros((nbp,), np.float32)
+        topps = np.ones((nbp,), np.float32)
+        for i, (req, _) in enumerate(hits):
+            slots[i] = self._free.pop()
+            temps[i] = req.temperature
+            topps[i] = req.top_p
         self._rng, sub = jax.random.split(self._rng)
-        self._cache, self._cur, toks = self._insert_many(
-            self._cache, row, jnp.asarray([slot], np.int32), self._cur,
-            last, jnp.asarray([req.temperature], np.float32),
-            jnp.asarray([req.top_p], np.float32), sub)
-        req.slot = slot
-        req.base_len = meta["len"] + len(suffix)
-        self._temps[slot] = req.temperature
-        self._topps[slot] = req.top_p
-        self._live[slot] = req
-        self._prefix_hits += 1
-        self._emit(req, int(np.asarray(toks)[0]))
+        self._cache, self._cur, toks = self._unpark_admit(
+            self.params, self._park, self._cache, self._cur,
+            jnp.asarray(pslots), jnp.asarray(pos0), jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(slots),
+            jnp.asarray(temps), jnp.asarray(topps), sub)
+        toks = np.asarray(toks)
+        for i, (req, pidx) in enumerate(hits):
+            meta = self._park_meta[pidx]
+            req.slot = int(slots[i])
+            req.base_len = meta["len"] + len(req.ids) - len(meta["ids"])
+            self._temps[req.slot] = req.temperature
+            self._topps[req.slot] = req.top_p
+            self._live[req.slot] = req
+            self._prefix_hits += 1
+            self._emit(req, int(toks[i]))
 
     def _park_row(self, req: _Request):
         """Snapshot a retiring slot's row for later prefix reuse. The
@@ -612,12 +653,19 @@ class DecodeEngine:
             pending = live
             if self._park_n:
                 cold = []
+                reuse: Dict[int, List[tuple]] = {}
                 for req in pending:
                     pidx = self._find_park(req)
                     if pidx is not None:
-                        self._admit_reused(req, pidx)
+                        n = len(self._park_meta[pidx]["ids"])
+                        b = _bucket(len(req.ids) - n)
+                        reuse.setdefault(b, []).append((req, pidx))
                     else:
                         cold.append(req)
+                cap = self.max_prefill_batch
+                for b, hits in reuse.items():
+                    for i in range(0, len(hits), cap):
+                        self._admit_reused_group(b, hits[i:i + cap])
                 pending = cold
             if self._pf_chunk_n:
                 # long text prompts prefill chunk-at-a-time between
@@ -1090,15 +1138,36 @@ class DecodeEngine:
                     programs.append(
                         f"chunked_prefill[{self._pf_chunk_n}]")
             if self._park_n:
-                first = _burst(_wlen(buckets[0]), 1, 0.0, 1.0,
-                               max_new=4)[0]
-                follow = np.concatenate(
-                    [first.ids, np.asarray(first.emitted, np.int32),
-                     _ids(8, 499)])
-                if (len(follow) + 2 + self._spec_k <= self.max_len):
-                    req = self._make_request(follow, max_new_tokens=2)
-                    self._warm_drain([req])
-                    programs.append("park+unpark")
+                # grouped reuse admission compiles one program per
+                # (pow-2 batch rows, suffix bucket) — warm each
+                # reachable burst size (bounded by park capacity: a
+                # group of s hits needs s parked conversations)
+                for size in [s for s in burst_sizes
+                             if s <= self._park_n]:
+                    # scrub between passes: _ids is deterministic per
+                    # (bucket, row), so a previous pass's parked rows
+                    # would otherwise prefix-hit THIS pass's firsts and
+                    # reroute them off the burst path
+                    self._park_meta = [None] * self._park_n
+                    firsts = _burst(_wlen(buckets[0]), size, 0.0, 1.0,
+                                    max_new=4)
+                    self._hold_admission = True
+                    follows = []
+                    for j, first in enumerate(firsts):
+                        follow = np.concatenate(
+                            [first.ids,
+                             np.asarray(first.emitted, np.int32),
+                             _ids(8, 499 + 13 * j)])
+                        if (len(follow) + 2 + self._spec_k
+                                > self.max_len):
+                            continue
+                        follows.append(self._make_request(
+                            follow, max_new_tokens=2))
+                    self._hold_admission = False
+                    self._woken.set()
+                    if follows:
+                        self._warm_drain(follows)
+                        programs.append(f"park+unpark x{len(follows)}")
         finally:
             self._draft_fn = old_draft
             self._hold_admission = False

@@ -445,18 +445,18 @@ def test_engine_prefix_cache_multiturn_token_exact(tiny_model):
                              np.asarray([30, 31, 32], np.int32)])
 
         calls = []
-        orig_unpark = engine._unpark_prefill
+        orig_unpark = engine._unpark_admit
         orig_prefill = engine._run_prefill
 
-        def spy_unpark(params, park, pidx, pos0, ids, mask):
-            calls.append(("unpark", int(ids.shape[1])))
-            return orig_unpark(params, park, pidx, pos0, ids, mask)
+        def spy_unpark(*args):
+            calls.append(("unpark", int(args[6].shape[1])))
+            return orig_unpark(*args)
 
         def spy_prefill(bucket, ids, px, mask):
             calls.append(("cold", int(ids.shape[1])))
             return orig_prefill(bucket, ids, px, mask)
 
-        engine._unpark_prefill = spy_unpark
+        engine._unpark_admit = spy_unpark
         engine._run_prefill = spy_prefill
         reply2 = run(p2, 6)
         assert engine.stats()["engine_prefix_cache_hits"] == 1
@@ -472,6 +472,65 @@ def test_engine_prefix_cache_multiturn_token_exact(tiny_model):
     finally:
         cold.shutdown()
     assert reply2 == want, f"reused {reply2} != cold {want}"
+
+
+def test_engine_prefix_cache_grouped_reuse_token_exact(tiny_model):
+    """Three simultaneous turn-2 arrivals with parked prefixes must
+    admit as ONE fused unpark_admit call (pow-2 padded to 4 rows), each
+    stream token-exact vs a cold engine. Sequential per-hit admission
+    was the measured regression of the first on-chip multi-turn run
+    (turn-2 TTFT 1.788 s parked vs 1.307 s cold, v5e-1 2026-08-19)."""
+    model, params = tiny_model
+    prompts = [np.arange(1 + 7 * i, 9 + 7 * i, dtype=np.int32) % 60 + 1
+               for i in range(3)]
+    engine = DecodeEngine(model, params, n_slots=4, max_len=64,
+                          run_thread=False, prefix_cache_slots=4)
+    try:
+        import time
+
+        def drain(dones, n_queued):
+            deadline = time.time() + 120
+            while (engine._requests.qsize() < n_queued
+                   and time.time() < deadline):
+                time.sleep(0.01)
+            while (not all(d.is_set() for d in dones)
+                   and time.time() < deadline):
+                engine._tick()
+            assert all(d.is_set() for d in dones), "engine stalled"
+
+        outs, dones = zip(*[_collect(engine, p, max_new=5)
+                            for p in prompts])
+        drain(dones, 3)
+        assert engine.stats()["engine_prefix_cache_hits"] == 0
+        followups = [np.concatenate([p, np.asarray(o, np.int32),
+                                     np.asarray([40 + i, 41], np.int32)])
+                     for i, (p, o) in enumerate(zip(prompts, outs))]
+
+        calls = []
+        orig_unpark = engine._unpark_admit
+
+        def spy_unpark(*args):
+            calls.append(tuple(args[6].shape))
+            return orig_unpark(*args)
+
+        engine._unpark_admit = spy_unpark
+        outs2, dones2 = zip(*[_collect(engine, f, max_new=5)
+                              for f in followups])
+        drain(dones2, 3)
+        assert engine.stats()["engine_prefix_cache_hits"] == 3
+        # one grouped call: 3 hits pad to 4 rows, suffix bucket 32
+        assert calls == [(4, 32)], calls
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+    for f, got in zip(followups, outs2):
+        cold = DecodeEngine(model, params, n_slots=2, max_len=64)
+        try:
+            want = list(cold.submit(f, max_new_tokens=5))
+        finally:
+            cold.shutdown()
+        assert got == want, f"reused {got} != cold {want}"
 
 
 def test_engine_prefix_cache_image_conversation(tiny_model):
@@ -995,7 +1054,7 @@ def _program_counts(engine):
 
     fns = [engine._step_plain, engine._step_nucleus,
            engine._insert_many, engine._park_put,
-           engine._unpark_prefill, engine._chunk_prefill]
+           engine._unpark_admit, engine._chunk_prefill]
     if engine._spec_k:
         fns += [engine._spec_plain, engine._spec_nucleus]
     n = sum(f._cache_size() for f in fns)
