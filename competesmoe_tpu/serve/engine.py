@@ -108,7 +108,8 @@ class DecodeEngine:
                  draft_fn=None, prefill_chunk: int = 0,
                  spec_adaptive: bool = False,
                  spec_probe_interval: int = 32,
-                 clock=time.monotonic):
+                 clock=time.monotonic,
+                 pipeline_depth: int = 1):
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -154,6 +155,30 @@ class DecodeEngine:
         self._arm_streak = ("verify", 0)   # (last chosen arm, run length)
         self._spec_suppressed_ticks = 0
         self._spec_drafted_slots = 0   # slots drafted in the last collect
+        # Pipelined tick dispatch (pipeline_depth > 1): issue decode
+        # call N+1 BEFORE reading call N's tokens, so per-call dispatch
+        # latency (the ~30 ms tunnel RPC; host bookkeeping on a local
+        # chip) overlaps device execution instead of serializing with
+        # it. JAX's async dispatch chains the donated cache/cur futures
+        # in program order, so device state is exact; the host merely
+        # OBSERVES tokens one call late. Correctness hinges on two
+        # existing properties: (a) emission uses a slot→request
+        # snapshot taken at ISSUE time, so a slot retired-and-reused
+        # between issue and drain can't misattribute the old
+        # sequence's tokens to the new request; (b) a retired slot's
+        # ride-along writes from an already-issued call land before
+        # the reusing insert in program order and are overwritten
+        # (same dead-slot clamp contract the sync engine relies on).
+        # Mutually exclusive with speculation: verify ticks need the
+        # freshest emitted history for drafting, which lag-1
+        # observation breaks.
+        self._pipeline_depth = max(1, int(pipeline_depth))
+        if self._pipeline_depth > 1 and self._spec_k:
+            raise ValueError(
+                "pipeline_depth > 1 requires spec_k == 0: drafts are "
+                "built from emitted history, which pipelining observes "
+                "one call late")
+        self._inflight: List[tuple] = []   # [(toks_future, snapshot)]
         # chunked prefill: long TEXT prompts prefill prefill_chunk
         # tokens per engine tick into a 1-row staging cache, with a
         # decode step for live slots between chunks — a 2048-token
@@ -776,6 +801,7 @@ class DecodeEngine:
         in-flight/queued) — without this, a client of a request parked
         in _pf_queue would block on out.get() forever after an engine
         error or shutdown."""
+        self._inflight.clear()   # undelivered pipelined tokens are moot
         for req in list(self._live.values()):
             req.done = True
             req.out.put(None)
@@ -797,6 +823,7 @@ class DecodeEngine:
     def _run(self):
         while not self._stop.is_set():
             self._tick()
+        self._drain_all()   # deliver in-flight tokens before shutdown
 
     def _tick(self):
         """One engine iteration: admit pending requests, then one batched
@@ -808,6 +835,10 @@ class DecodeEngine:
             if self._pf_state is not None:
                 self._pf_step()      # one chunk per tick
         if not self._live:
+            # pipelined calls issued before the last retirement may
+            # still hold undelivered tokens — flush before idling
+            # (draining only ever retires, it can't make slots live)
+            self._drain_all()
             if self._pf_state is None and not self._pf_queue:
                 self._woken.wait(timeout=0.05)
                 self._woken.clear()
@@ -836,16 +867,31 @@ class DecodeEngine:
         toks, self._cur, self._cache = step(
             self.params, self._cur, self._cache, sub,
             jnp.asarray(self._temps), jnp.asarray(self._topps))
-        toks = np.asarray(toks)                  # [n_slots, k]
-        for k in range(toks.shape[1]):
-            for slot, req in list(self._live.items()):
-                self._emit(req, int(toks[slot, k]))
+        self._inflight.append((toks, dict(self._live)))
+        if len(self._inflight) >= self._pipeline_depth:
+            self._drain_one()
         if self._spec_k:
             # a verify-chosen tick that found no drafts charges the
             # wasted scan to the verify arm — that IS the realized
-            # value of choosing verify on this workload
+            # value of choosing verify on this workload (depth 1 here:
+            # spec_k excludes pipelining, so the drain above ran)
             self._spec_record("verify" if tried_verify else "plain",
                               self._tokens_emitted - before, t0)
+
+    def _drain_one(self):
+        """Read the oldest in-flight step call and emit its tokens to
+        the requests that were live when it was ISSUED (retired-then-
+        reused slots must not leak the old sequence's tokens into the
+        new request — _emit's done-guard drops the retirees)."""
+        toks, snap = self._inflight.pop(0)
+        toks = np.asarray(toks)                  # [n_slots, k]
+        for k in range(toks.shape[1]):
+            for slot, req in snap.items():
+                self._emit(req, int(toks[slot, k]))
+
+    def _drain_all(self):
+        while self._inflight:
+            self._drain_one()
 
     def _spec_gate(self) -> bool:
         """Bandit arm choice: True when a verify tick should run. Pure

@@ -1123,3 +1123,95 @@ def test_engine_warmup_precompiles_everything(tiny_model):
             "steady-state traffic compiled a new program after warmup")
     finally:
         engine.shutdown()
+
+
+def test_engine_pipelined_matches_solo_with_slot_reuse(tiny_model):
+    """pipeline_depth=2 (issue call N+1 before reading call N) must be
+    token-exact through the hard case: more requests than slots, so
+    retirements, slot reuse, and late admissions all interleave with
+    in-flight calls. Emission snapshots (slot->request at ISSUE time)
+    are what keep a retired-then-reused slot from leaking the old
+    sequence's tokens into the new one."""
+    model, params = tiny_model
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(1, 60, n).astype(np.int32)
+               for n in (5, 9, 6, 12, 7)]
+    want = [_solo(model, params, p, max_new=7) for p in prompts]
+
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          steps_per_call=2, pipeline_depth=2)
+    try:
+        waits = [_collect(engine, p, max_new=7) for p in prompts]
+        for (out, done), w in zip(waits, want):
+            assert done.wait(timeout=120), "engine stalled"
+        for (out, _), w in zip(waits, want):
+            assert out == w, f"pipelined {out} != solo {w}"
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def test_engine_pipelined_mixed_sampling_and_images(tiny_model):
+    """Pipelining with a sampled slot and an image request live at
+    once: greedy stays exact, sampled terminates with valid tokens."""
+    model, params = tiny_model
+    rng = np.random.default_rng(29)
+    greedy_ids = rng.integers(1, 60, 9).astype(np.int32)
+    img_ids = np.array([5, IMAGE_TOKEN_INDEX, 7, 8, 9], np.int32)
+    px = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    want_g = _solo(model, params, greedy_ids, max_new=6)
+    want_i = _solo(model, params, img_ids, px, max_new=6)
+
+    engine = DecodeEngine(model, params, n_slots=3, max_len=64,
+                          pipeline_depth=2)
+    try:
+        g = _collect(engine, greedy_ids, max_new=6)
+        s = _collect(engine, rng.integers(1, 60, 5).astype(np.int32),
+                     max_new=6, temperature=0.9)
+        i = _collect(engine, img_ids, px, max_new=6)
+        for out, done in (g, s, i):
+            assert done.wait(timeout=120), "engine stalled"
+        assert g[0] == want_g
+        assert i[0] == want_i
+        assert len(s[0]) == 6
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+
+def test_engine_pipeline_excludes_speculation(tiny_model):
+    """Drafts are built from emitted history, which pipelining observes
+    one call late — the constructor must refuse the combination."""
+    model, params = tiny_model
+    with pytest.raises(ValueError):
+        DecodeEngine(model, params, n_slots=1, max_len=64,
+                     spec_k=2, pipeline_depth=2, run_thread=False)
+
+
+def test_engine_pipelined_prefix_cache_composes(tiny_model):
+    """prefix cache + pipelining: parking happens at drain-time
+    retirement while a later call is in flight — the parked row may
+    hold ride-along junk beyond the parked length, which the unpark
+    contract already ignores. Turn-2 via the cache must stay exact."""
+    model, params = tiny_model
+    p1 = np.arange(1, 9, dtype=np.int32)
+    engine = DecodeEngine(model, params, n_slots=2, max_len=64,
+                          pipeline_depth=2, prefix_cache_slots=2)
+    try:
+        out1, done1 = _collect(engine, p1, max_new=6)
+        assert done1.wait(timeout=120)
+        p2 = np.concatenate([p1, np.asarray(out1, np.int32),
+                             np.asarray([30, 31, 32], np.int32)])
+        out2, done2 = _collect(engine, p2, max_new=6)
+        assert done2.wait(timeout=120)
+        assert engine.stats()["engine_prefix_cache_hits"] == 1
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+    cold = DecodeEngine(model, params, n_slots=2, max_len=64)
+    try:
+        want = list(cold.submit(p2, max_new_tokens=6))
+    finally:
+        cold.shutdown()
+    assert out2 == want

@@ -104,6 +104,12 @@ def main():
                          "the losing arm every --spec-probe-interval "
                          "ticks (default: always speculate)")
     ap.add_argument("--spec-probe-interval", type=int, default=32)
+    ap.add_argument("--pipeline", type=int, default=1,
+                    help="pipelined tick dispatch depth: issue call N+1 "
+                         "before reading call N's tokens so per-call "
+                         "dispatch latency overlaps device execution "
+                         "(exact output; emission observes one call "
+                         "late). Requires --spec 0")
     ap.add_argument("--prompt-mode", default="random",
                     choices=["random", "loop"],
                     help="'loop' tiles a short block so n-gram drafting "
@@ -153,6 +159,7 @@ def main():
                           spec_k=a.spec,
                           spec_adaptive=a.spec_adaptive,
                           spec_probe_interval=a.spec_probe_interval,
+                          pipeline_depth=a.pipeline,
                           prefill_chunk=a.prefill_chunk,
                           prefix_cache_slots=a.prefix_cache)
     # warmup: DecodeEngine.warmup() compiles every program the timed
