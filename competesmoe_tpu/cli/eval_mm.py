@@ -71,6 +71,11 @@ def main(argv=None):
                          "ONE batched decode step (token-exact vs the "
                          "solo path; ignored for --return-id-experts "
                          "runs, which need prefill telemetry)")
+    ap.add_argument("--engine-pipeline", type=int, default=1,
+                    help="with --engine-slots: pipelined tick dispatch "
+                         "depth (decode call N+1 issued before call N "
+                         "is read; token-exact). Ignored when "
+                         "--speculative is set")
     ap.add_argument("--engine-max-len", type=int, default=0,
                     help="engine KV length (default: the model's "
                          "tokenizer_model_max_length)")
@@ -140,7 +145,9 @@ def main(argv=None):
                               speculative=getattr(run, "speculative", 0),
                               engine_slots=getattr(run, "engine_slots", 0),
                               engine_max_len=getattr(run, "engine_max_len",
-                                                     0))
+                                                     0),
+                              engine_pipeline=getattr(
+                                  run, "engine_pipeline", 1))
         results = harness.simple_evaluate(
             lm, run.tasks.split(","), limit=run.limit, rank=run.rank,
             world_size=run.world_size,

@@ -64,7 +64,8 @@ class JaxLlava:
                  max_new_tokens: int = 128,
                  stop_token_ids: Optional[List[int]] = None,
                  speculative: int = 0,
-                 engine_slots: int = 0, engine_max_len: int = 0):
+                 engine_slots: int = 0, engine_max_len: int = 0,
+                 engine_pipeline: int = 1):
         self.model = model
         # accept either raw params or the full variables dict
         self.params = params if "params" in params else {"params": params}
@@ -87,6 +88,10 @@ class JaxLlava:
         # the serving engine win.
         self.engine_slots = engine_slots
         self.engine_max_len = engine_max_len
+        # pipelined tick dispatch (serve/engine.py): hides per-call
+        # dispatch latency during batched eval generation; excluded
+        # when speculating (the engine guard raises)
+        self.engine_pipeline = engine_pipeline
         self._engine = None
         self.time_inference: List[float] = []
         self._ll_fns: Dict[Tuple[int, bool], Any] = {}
@@ -130,7 +135,9 @@ class JaxLlava:
                        or 2048)
             self._engine = DecodeEngine(
                 self.model, self.params, n_slots=self.engine_slots,
-                max_len=max_len, spec_k=self.speculative)
+                max_len=max_len, spec_k=self.speculative,
+                pipeline_depth=(1 if self.speculative
+                                else self.engine_pipeline))
         return self._engine
 
     def _generate_until_engine(self,

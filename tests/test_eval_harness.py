@@ -387,6 +387,19 @@ def test_engine_backed_generate_until_matches_solo(jax_llava):
             eng_lm._engine.shutdown()
     assert got == want, f"{got} != {want}"
 
+    # pipelined dispatch (--engine-pipeline 2) must not change a byte
+    pipe_lm = JaxLlava(jax_llava.model, jax_llava.params,
+                       jax_llava.tokenizer, jax_llava.image_processor,
+                       batch_size=2, max_new_tokens=3,
+                       engine_slots=2, engine_max_len=96,
+                       engine_pipeline=2)
+    try:
+        got_pipe = pipe_lm.generate_until(mk())
+    finally:
+        if pipe_lm._engine is not None:
+            pipe_lm._engine.shutdown()
+    assert got_pipe == want, f"{got_pipe} != {want}"
+
 
 def test_cross_rank_merge_equals_single_rank(jax_llava, tmp_path):
     """Two ranks with a shared merge_dir: rank 0's merged metrics equal
