@@ -546,15 +546,36 @@ class DecodeEngine:
         self._cache, self._cur, toks = self._insert_many(
             self._cache, out.cache, jnp.asarray(slots), self._cur,
             last, jnp.asarray(temps), jnp.asarray(topps), sub)
-        toks = np.asarray(toks)
-        lens = (np.asarray(out.cache.pos) if self._park_n else None)
+        from ..constants import IMAGE_TOKEN_INDEX
+        p_img = int(getattr(self.cfg, "num_image_tokens", 0) or 0)
         for i, req in enumerate(reqs):
             req.slot = int(slots[i])
-            if lens is not None:
-                req.base_len = int(lens[i])
+            # spliced length, host-side (same formula as the capacity
+            # check and stream_generate's prompt_len): reading
+            # out.cache.pos here would force a device sync per
+            # admission group
+            n_img = int(np.sum(req.ids == IMAGE_TOKEN_INDEX))
+            req.base_len = len(req.ids) + n_img * max(p_img - 1, 0)
             self._temps[req.slot] = req.temperature
             self._topps[req.slot] = req.top_p
             self._live[req.slot] = req
+        self._emit_admission(toks, reqs)
+
+    def _emit_admission(self, toks, reqs: List[_Request]):
+        """First-token delivery for an admission group. Synchronous at
+        pipeline depth 1; under pipelining the [B] token vector joins
+        the in-flight queue (snapshot keyed by row index, same contract
+        as step snapshots keyed by slot) so admission doesn't force a
+        device sync either — FIFO order guarantees the first token
+        drains before the same request's step tokens."""
+        if self._pipeline_depth > 1:
+            self._inflight.append((toks[:, None],
+                                   dict(enumerate(reqs))))
+            if len(self._inflight) >= self._pipeline_depth:
+                self._drain_one()
+            return
+        toks = np.asarray(toks)
+        for i, req in enumerate(reqs):
             self._emit(req, int(toks[i]))
 
     # -- prefix cache -------------------------------------------------------
@@ -625,7 +646,6 @@ class DecodeEngine:
             jnp.asarray(pslots), jnp.asarray(pos0), jnp.asarray(ids),
             jnp.asarray(mask), jnp.asarray(slots),
             jnp.asarray(temps), jnp.asarray(topps), sub)
-        toks = np.asarray(toks)
         for i, (req, pidx) in enumerate(hits):
             meta = self._park_meta[pidx]
             req.slot = int(slots[i])
@@ -634,7 +654,7 @@ class DecodeEngine:
             self._topps[req.slot] = req.top_p
             self._live[req.slot] = req
             self._prefix_hits += 1
-            self._emit(req, int(toks[i]))
+        self._emit_admission(toks, [req for req, _ in hits])
 
     def _park_row(self, req: _Request):
         """Snapshot a retiring slot's row for later prefix reuse. The
@@ -765,7 +785,7 @@ class DecodeEngine:
         self._topps[slot] = req.top_p
         self._live[slot] = req
         self._pf_state = None
-        self._emit(req, int(np.asarray(toks)[0]))
+        self._emit_admission(toks, [req])
 
     def _emit(self, req: _Request, token: int):
         if req.done:
