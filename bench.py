@@ -350,6 +350,17 @@ def main():
             # full reply first, TTFT == total). Measured on the 5.09B
             # int8+kv8 pipeline 2026-08-17: 76 ms vs 250 ms total.
             "streaming_ttft_s_5p1b_int8_kv8": 0.076,
+            # continuous-batching engine aggregate (32L int8+kv8, 16
+            # requests over 8 slots, steps_per_call=8, warmed), v5e-1
+            # 2026-08-19: 482.6 tok/s sync; pipelined tick dispatch
+            # (--engine-pipeline 2: call N+1 issued before call N is
+            # read; token-exact) hides the per-call dispatch latency:
+            # 615.4 tok/s, TTFT median 0.358 -> 0.242 s. Full round-4
+            # serving A/B record (adaptive speculation bandit, chunked
+            # prefill stall bound, prefix-cache verdict, Mixtral-FFN
+            # decode 1503.8 tok/s) in docs/perf.md + results/r4/.
+            "engine_aggregate_tok_s_5p1b_int8_kv8": 482.6,
+            "engine_aggregate_tok_s_5p1b_int8_kv8_pipeline2": 615.4,
         },
     }))
 
