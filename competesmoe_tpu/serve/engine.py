@@ -34,11 +34,18 @@ re-designed for XLA's static shapes):
   steps_per_call=1 minimizes admission latency;
 - optional PREFIX CACHE (`prefix_cache_slots`): retiring conversations
   park their cache row in a side buffer keyed by (token prefix, pixel
-  hash); a follow-up prompt extending a parked conversation splices the
-  row back in and prefills only the new suffix, so multi-turn TTFT
-  stops scaling with history length (vLLM's automatic prefix caching,
-  restricted to whole-conversation prefixes so positions stay exact
-  under image-token expansion).
+  hash); a follow-up prompt extending a parked conversation is
+  re-admitted by ONE fused device call (gather parked rows + suffix
+  continue-prefill + splice + first-token sample, simultaneous hits
+  batched by suffix bucket), so multi-turn TTFT stops scaling with
+  history length (vLLM's automatic prefix caching, restricted to
+  whole-conversation prefixes so positions stay exact under
+  image-token expansion);
+- optional PIPELINED DISPATCH (`pipeline_depth=2`): issue decode call
+  N+1 before reading call N's tokens, overlapping per-call dispatch
+  latency with device execution — token-exact, emission one call late
+  (measured on-chip: +27% aggregate / TTFT halved at steps_per_call=8,
+  +44% at steps_per_call=1; docs/perf.md round 4).
 
 Everything device-side is jitted and shape-stable: the step program
 compiles once per engine, prefill once per (bucket, image-shape) pair,

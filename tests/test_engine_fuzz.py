@@ -66,6 +66,10 @@ def _run_fuzz(tiny_model, seed, warm=False):
         prefix_cache_slots=int(rng.choice([0, 2])),
         steps_per_call=int(rng.choice([1, 2])),
     )
+    # pipelined dispatch fuzzes only spec-free engines (the
+    # constructor rejects the combination by design)
+    feats["pipeline_depth"] = (int(rng.choice([1, 2, 3]))
+                               if feats["spec_k"] == 0 else 1)
     n_req = 6
     reqs = []
     for _ in range(n_req):
