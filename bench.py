@@ -344,6 +344,9 @@ def main():
             # (tools/bench_e2e_mm.py --quant int8 --kv-quant int8,
             # remeasured 2026-08-17 post r3): 0.250 s (127.9 tok/s/seq)
             "e2e_5p1b_prefill_plus_32tok_s_int8_kv8": 0.250,
+            # int4 weights (w4a16 Pallas packed) + int8 KV, measured
+            # 2026-08-19: 0.206 s (155.1 tok/s/seq), TTFT 73 ms
+            "e2e_5p1b_prefill_plus_32tok_s_int4_kv8": 0.206,
             # time-to-first-token through the serving path
             # (stream_generate: prefill + ONE decode step before the
             # first chunk hits the wire — round 2's worker generated the
