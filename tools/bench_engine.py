@@ -110,6 +110,12 @@ def main():
                          "dispatch latency overlaps device execution "
                          "(exact output; emission observes one call "
                          "late). Requires --spec 0")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="per-request sampling temperature (>0 with "
+                         "--top-p <1 routes every step through the "
+                         "nucleus program — measures the per-step "
+                         "vocab-sort cost under load)")
+    ap.add_argument("--top-p", type=float, default=1.0)
     ap.add_argument("--prompt-mode", default="random",
                     choices=["random", "loop"],
                     help="'loop' tiles a short block so n-gram drafting "
@@ -172,7 +178,8 @@ def main():
     warm_buckets = [a.prompt_len]
     if a.multi_turn:
         warm_buckets.append(a.prompt_len + a.max_new + 12)
-    w = engine.warmup(prompt_buckets=warm_buckets, sampled=False)
+    w = engine.warmup(prompt_buckets=warm_buckets,
+                      sampled=(a.temperature > 0))
     print(f"warmup: {len(w['programs'])} programs in {w['seconds']} s",
           flush=True)
 
@@ -213,7 +220,9 @@ def main():
         last = t_submit
         max_gap = 0.0
         toks1 = []
-        for tok in engine.submit(prompts[i], max_new_tokens=a.max_new):
+        for tok in engine.submit(prompts[i], max_new_tokens=a.max_new,
+                                 temperature=a.temperature,
+                                 top_p=a.top_p):
             now = time.perf_counter()
             if first is None:
                 first = now
@@ -238,7 +247,9 @@ def main():
                     "--max-len or lower --max-new/--prompt-len")
             t2 = time.perf_counter()
             first2 = None
-            for tok in engine.submit(p2, max_new_tokens=a.max_new):
+            for tok in engine.submit(p2, max_new_tokens=a.max_new,
+                                     temperature=a.temperature,
+                                     top_p=a.top_p):
                 if first2 is None:
                     first2 = time.perf_counter()
                 n += 1
@@ -278,6 +289,7 @@ def main():
             "max_new": a.max_new, "prompt_len": a.prompt_len,
             "steps_per_call": a.steps_per_call,
             "spec_k": a.spec, "prompt_mode": a.prompt_mode,
+            "temperature": a.temperature, "top_p": a.top_p,
             "spec_oracle": bool(a.spec and a.spec_oracle),
             **({"spec_verify_calls": engine._spec_calls,
                 "spec_accepted_drafts": engine._spec_accepted,
