@@ -1215,3 +1215,31 @@ def test_engine_pipelined_prefix_cache_composes(tiny_model):
     finally:
         cold.shutdown()
     assert out2 == want
+
+
+def test_engine_pipelined_cancellation_retires_and_reuses(tiny_model):
+    """Abandoning a stream while calls are in flight (pipeline_depth=2)
+    must still retire the slot at a drain boundary, and the freed slot
+    must serve a new request token-exactly — the in-flight calls issued
+    before cancellation ride along on the retired row and are
+    overwritten by the reusing admission."""
+    model, params = tiny_model
+    ids = np.arange(1, 7, dtype=np.int32)
+    engine = DecodeEngine(model, params, n_slots=1, max_len=64,
+                          pipeline_depth=2)
+    try:
+        it = engine.submit(ids, max_new_tokens=40)
+        first = [next(it) for _ in range(2)]
+        assert len(first) == 2
+        it.close()  # abandon -> cancelled flag -> retires at drain
+        import time
+        deadline = time.time() + 30
+        while engine._free != [0] and time.time() < deadline:
+            time.sleep(0.02)
+        assert engine._free == [0], "slot not retired after cancel"
+        want = _solo(model, params, ids, max_new=4)
+        out = list(engine.submit(ids, max_new_tokens=4))
+        assert out == want
+        assert engine.error is None
+    finally:
+        engine.shutdown()
