@@ -336,12 +336,15 @@ def main(argv=None):
                          "faster, probing the loser periodically — "
                          "keeps low-repetition traffic at full batched "
                          "throughput (default: always speculate)")
-    ap.add_argument("--engine-pipeline", type=int, default=1,
+    ap.add_argument("--engine-pipeline", type=int, default=2,
                     help="with --engine-slots: pipelined tick dispatch "
                          "depth (issue decode call N+1 before reading "
                          "call N — hides per-call dispatch latency; "
                          "token-exact, emission one call late). "
-                         "Incompatible with --speculative")
+                         "Default 2 (measured: +27-44%% aggregate, "
+                         "TTFT halved, never lost an A/B); "
+                         "auto-downgrades to 1 under --speculative "
+                         "(drafts need fresh emitted history)")
     ap.add_argument("--engine-warmup", default="",
                     help="comma-separated prompt-length buckets (e.g. "
                          "'64,512,1024') to precompile before serving "
@@ -381,7 +384,8 @@ def main(argv=None):
                               prefix_cache_slots=a.engine_prefix_cache,
                               spec_k=a.speculative,
                               spec_adaptive=a.spec_adaptive,
-                              pipeline_depth=a.engine_pipeline,
+                              pipeline_depth=(1 if a.speculative
+                                              else a.engine_pipeline),
                               prefill_chunk=a.engine_prefill_chunk)
         if a.engine_warmup:
             buckets = [int(x) for x in a.engine_warmup.split(",") if x]
