@@ -136,6 +136,67 @@ class SyntheticLMDataset:
         return np.stack([self[int(i)] for i in indices])
 
 
+class SyntheticMixtureLMDataset:
+    """Latent-mode Markov language: a synthetic corpus where ROUTING
+    QUALITY matters, built for the CompeteSMoE-vs-SMoE algorithm A/B
+    (docs/science.md).
+
+    Each window draws a latent mode m ~ Uniform(K); tokens then follow
+    mode m's successor rule: with prob `coherence` the next token is
+    `perm_m[cur]` (a mode-specific random permutation of the vocab),
+    else an iid Zipf(alpha) sample. Every mode shares the same Zipfian
+    marginal, so the mode is identifiable ONLY from transition context —
+    an MoE FFN minimizes loss by devoting expert capacity per mode, which
+    makes expert selection (the thing CompeteSMoE claims to improve)
+    causally tied to achievable perplexity. Windows are deterministic in
+    (seed, index) and never repeat across indices: no epoch effects, both
+    A/B arms see byte-identical data at the same step.
+
+    `mode_of(i)` exposes the latent mode for per-mode validation splits.
+    """
+
+    def __init__(self, vocab_size: int, unroll_len: int,
+                 n_windows: int = 1 << 16, seed: int = 0,
+                 n_modes: int = 16, coherence: float = 0.85,
+                 zipf_alpha: float = 1.2):
+        self.vocab_size = vocab_size
+        self.unroll_len = unroll_len
+        self.n_windows = n_windows
+        self.seed = seed
+        self.n_modes = n_modes
+        self.coherence = coherence
+        master = np.random.default_rng(seed ^ 0x5EED)
+        self.perms = np.stack([master.permutation(vocab_size)
+                               for _ in range(n_modes)])
+        # shared Zipfian marginal (ranks fixed across modes)
+        ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+        p = ranks ** -zipf_alpha
+        self.marginal = p / p.sum()
+
+    def __len__(self) -> int:
+        return self.n_windows
+
+    def mode_of(self, i: int) -> int:
+        return int(np.random.default_rng(
+            self.seed * 1_000_003 + i).integers(self.n_modes))
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 1_000_003 + i)
+        mode = int(rng.integers(self.n_modes))
+        perm = self.perms[mode]
+        n = self.unroll_len + 1
+        noise = rng.choice(self.vocab_size, size=n, p=self.marginal)
+        coherent = rng.random(n) < self.coherence
+        seq = np.empty(n, np.int64)
+        seq[0] = noise[0]
+        for t in range(1, n):
+            seq[t] = perm[seq[t - 1]] if coherent[t] else noise[t]
+        return seq.astype(np.int32)
+
+    def batch(self, indices: np.ndarray) -> np.ndarray:
+        return np.stack([self[int(i)] for i in indices])
+
+
 @dataclasses.dataclass
 class SequentialMultibatchSampler:
     """Checkpointable sequential sampler: batch lane b walks its own

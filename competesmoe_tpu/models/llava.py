@@ -165,7 +165,8 @@ class LlavaModel(nn.Module):
         else:
             self.vision_tower = SiglipSMoEVisionTower(
                 self.cfg.vision, flip_schedule=self.vision_flip_schedule)
-        self.mm_projector = VisionProjector(self.cfg.projector)
+        self.mm_projector = VisionProjector(
+            self.cfg.projector, flip_schedule=self.projector_flip_schedule)
         self.language_model = DecoderLM(self.cfg.decoder)
 
     def encode_images(self, pixel_values, *, step=None, train=False,

@@ -281,6 +281,10 @@ class MoETransformerBlock(nn.Module):
     (relative_moe_transformer.py:17-167)."""
 
     cfg: LMConfig
+    # warm-up prefix of the flip schedule: layers must not compete while
+    # step < step_warm (competesmoe.py:528's `current_steps >= step_warm`);
+    # the flips row the model passes per call covers post-warm steps only
+    step_warm: int = 0
 
     def setup(self):
         cfg = self.cfg
@@ -291,10 +295,13 @@ class MoETransformerBlock(nn.Module):
             self.attn = FastRopeAttention(cfg)
         std_scale = math.sqrt(cfg.layer_std_constant / cfg.n_layers)
         moe_cls = get_pretrain_moe(cfg.moe_name)
+        kw = {}
+        if "step_warm" in getattr(moe_cls, "__dataclass_fields__", {}):
+            kw["step_warm"] = self.step_warm
         self.moe = moe_cls(dmodel=cfg.d_model, n_experts=cfg.n_experts,
                            expert_size=cfg.expert_size, n_heads=cfg.moe_topk,
                            args=cfg.moe_args, weight_scale=std_scale,
-                           impl=cfg.moe_impl)
+                           impl=cfg.moe_impl, **kw)
         self.norm1 = nn.LayerNorm(dtype=cfg.dtype)
         self.norm2 = nn.LayerNorm(dtype=cfg.dtype)
 
@@ -349,7 +356,9 @@ class MoELanguageModel(nn.Module):
             # prev_state5 pos_offset6 return_id_experts7
             block_cls = nn.remat(MoETransformerBlock,
                                  static_argnums=(3, 6, 7))
-        blocks = [block_cls(cfg)
+        step_warm = (self.flip_schedule.step_warm
+                     if self.flip_schedule is not None else 0)
+        blocks = [block_cls(cfg, step_warm=step_warm)
                   for _ in range(cfg.n_unique_layers)]
         if cfg.act_max_steps > 0:
             from .act import ACTBlock

@@ -38,17 +38,33 @@ class ProjectorConfig:
         return self.mm_hidden_size * self.n_scales
 
 
+def _moe_schedule_kwargs(moe_cls, flip_schedule):
+    """Constructor kwargs wiring a FlipSchedule into a registry layer
+    that supports competition (CompeteSMoELayer: flip_schedule row 0 +
+    step_warm; competesmoe.py:347's `current_steps >= step_warm and
+    prob_flips[current_steps - step_warm]`). Other layers get nothing."""
+    fields = getattr(moe_cls, "__dataclass_fields__", {})
+    if flip_schedule is None or "step_warm" not in fields:
+        return {}
+    return {"flip_schedule": flip_schedule.flips[0],
+            "step_warm": flip_schedule.step_warm}
+
+
 class MLPMoE(nn.Module):
     """MoE projector (builder.py:47-77)."""
 
     cfg: ProjectorConfig
+    flip_schedule: Any = dataclasses.field(
+        default=None, compare=False, hash=False)
 
     def setup(self):
         cfg = self.cfg
-        self.moelayer = get_moe(cfg.moe_name)(
+        moe_cls = get_moe(cfg.moe_name)
+        self.moelayer = moe_cls(
             in_dim=cfg.mm_channels, out_dim=cfg.hidden_size,
             n_experts=cfg.num_experts, n_selected=cfg.num_selected,
-            args=cfg.moe_args)
+            args=cfg.moe_args,
+            **_moe_schedule_kwargs(moe_cls, self.flip_schedule))
 
     def __call__(self, x, *, step=None, train=False,
                  return_id_experts=False):
@@ -60,6 +76,8 @@ class VisionProjector(nn.Module):
     """Dispatch on projector_type (builder.py:79-99). Returns (y, MoEAux)."""
 
     cfg: ProjectorConfig
+    flip_schedule: Any = dataclasses.field(
+        default=None, compare=False, hash=False)
 
     def setup(self):
         cfg = self.cfg
@@ -67,10 +85,12 @@ class VisionProjector(nn.Module):
         if t == "moe":
             # named `moelayer` to match the released checkpoints' param
             # paths (mm_projector.moelayer.*)
-            self.moelayer = get_moe(cfg.moe_name)(
+            moe_cls = get_moe(cfg.moe_name)
+            self.moelayer = moe_cls(
                 in_dim=cfg.mm_channels, out_dim=cfg.hidden_size,
                 n_experts=cfg.num_experts, n_selected=cfg.num_selected,
-                args=cfg.moe_args)
+                args=cfg.moe_args,
+                **_moe_schedule_kwargs(moe_cls, self.flip_schedule))
         elif t == "linear":
             self.fc = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc")
         elif t == "identity":

@@ -117,6 +117,9 @@ class VisionEncoderLayer(nn.Module):
     (siglip_smoe.py:99-160)."""
 
     cfg: VisionConfig
+    # flip-schedule warm-up prefix: no competition while step < step_warm
+    # (competesmoe.py:347) — the per-call flips row covers post-warm only
+    step_warm: int = 0
 
     def setup(self):
         cfg = self.cfg
@@ -127,6 +130,9 @@ class VisionEncoderLayer(nn.Module):
                                         dtype=cfg.dtype)
         if cfg.moe_name is not None:
             moe_cls = get_moe(cfg.moe_name)
+            kw = {}
+            if "step_warm" in getattr(moe_cls, "__dataclass_fields__", {}):
+                kw["step_warm"] = self.step_warm
             self.moelayer = moe_cls(
                 in_dim=cfg.hidden_size, out_dim=cfg.hidden_size,
                 n_experts=cfg.num_experts, n_selected=cfg.num_selected,
@@ -134,7 +140,7 @@ class VisionEncoderLayer(nn.Module):
                 expert_hidden_dim=cfg.intermediate_size,
                 expert_act="gelu_tanh" if "tanh" in cfg.hidden_act
                 else ("quick_gelu" if cfg.hidden_act == "quick_gelu"
-                      else "gelu"))
+                      else "gelu"), **kw)
         else:
             self.mlp = VisionMLP(cfg)
 
@@ -195,7 +201,9 @@ class SiglipSMoEVisionTower(nn.Module):
 
     def setup(self):
         self.embeddings = SiglipVisionEmbeddings(self.cfg)
-        self.layers = [VisionEncoderLayer(self.cfg)
+        warm = (self.flip_schedule.step_warm
+                if self.flip_schedule is not None else 0)
+        self.layers = [VisionEncoderLayer(self.cfg, step_warm=warm)
                        for _ in range(self.cfg.num_hidden_layers)]
 
     def __call__(self, pixel_values, *, step=None, train=False,
@@ -253,7 +261,9 @@ class CLIPSMoEVisionTower(nn.Module):
         self.embeddings = CLIPVisionEmbeddings(self.cfg)
         self.pre_layrnorm = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
                                          dtype=self.cfg.dtype)
-        self.layers = [VisionEncoderLayer(self.cfg)
+        warm = (self.flip_schedule.step_warm
+                if self.flip_schedule is not None else 0)
+        self.layers = [VisionEncoderLayer(self.cfg, step_warm=warm)
                        for _ in range(self.cfg.num_hidden_layers)]
 
     def __call__(self, pixel_values, *, step=None, train=False,

@@ -441,6 +441,8 @@ class CompeteSMoELayer(MoeLayerBase):
                 "router_z_loss": jax.lax.stop_gradient(zl),
                 "routerloss": jnp.zeros((), jnp.float32),
                 "diversity_loss": jnp.zeros((), jnp.float32),
+                "router_agreement": jnp.zeros((), jnp.float32),
+                "is_comp": jnp.zeros((), jnp.float32),
             }
             return out, MoEAux(aux_loss=total, losses=losses,
                                gate_softmax=jax.lax.stop_gradient(gate_softmax),
@@ -454,6 +456,10 @@ class CompeteSMoELayer(MoeLayerBase):
                 "router_z_loss": jnp.zeros((), jnp.float32),
                 "routerloss": comp["routerloss"],
                 "diversity_loss": comp["diversity_loss"],
+                # distillation health: router top-k vs competition top-k
+                # on this flip step (condition downstream on is_comp)
+                "router_agreement": comp["router_agreement"],
+                "is_comp": jnp.ones((), jnp.float32),
             }
             return out, MoEAux(aux_loss=total, losses=losses,
                                gate_softmax=comp["affinity_softmax"],
@@ -524,6 +530,8 @@ class CompeteSMoELayer(MoeLayerBase):
             "balance_loss": jax.lax.stop_gradient(balance),
             "routerloss": jax.lax.stop_gradient(routerloss),
             "diversity_loss": jax.lax.stop_gradient(div),
+            "router_agreement": jax.lax.stop_gradient(
+                L.topk_agreement(gate_sel, sel)),
             "affinity_softmax": aff_sg,
             "selected_experts": sel,
         }

@@ -340,6 +340,8 @@ class PretrainCompeteSMoE(MoEUTBase):
                 "mlp_router_loss": jnp.zeros((), jnp.float32),
                 "mlp_comp_diver_loss": jnp.zeros((), jnp.float32),
                 "mlp_comp_ebalance": jnp.zeros((), jnp.float32),
+                "mlp_router_agreement": jnp.zeros((), jnp.float32),
+                "mlp_is_comp": jnp.zeros((), jnp.float32),
             }
             return out, MoEAux(aux_loss=bal, losses=losses,
                                gate_softmax=jax.lax.stop_gradient(gate_softmax),
@@ -399,6 +401,13 @@ class PretrainCompeteSMoE(MoEUTBase):
                 "mlp_comp_diver_loss": jax.lax.stop_gradient(
                     div_loss * self.args.balance_loss_coef_comp / 2),
                 "mlp_comp_ebalance": jax.lax.stop_gradient(comp_ebal),
+                # distillation health: does the router's top-k match the
+                # competition outcome on this flip step? (summed with
+                # mlp_is_comp downstream: agreement_sum / is_comp_sum
+                # conditions the mean on layers that actually flipped)
+                "mlp_router_agreement": jax.lax.stop_gradient(
+                    L.topk_agreement(gate_sel, sel)),
+                "mlp_is_comp": jnp.ones((), jnp.float32),
             }
             return out, MoEAux(aux_loss=total, losses=losses,
                                gate_softmax=aff_sg, selected_experts=sel)

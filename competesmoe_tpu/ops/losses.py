@@ -103,6 +103,23 @@ def router_mse_loss(gate_softmax: jax.Array, affinity_softmax: jax.Array) -> jax
     return jnp.mean(jnp.square(a - b))
 
 
+def topk_agreement(sel_router: jax.Array, sel_affinity: jax.Array) -> jax.Array:
+    """Mean per-token overlap |router top-k ∩ affinity top-k| / k.
+
+    The CompeteSMoE distillation-health metric: the router loss distills
+    the affinity distribution into the gate
+    (moe_model/model/moe/competesmoe.py:322-335), so if distillation is
+    working, the router's own top-k should increasingly match the
+    competition outcome on flip steps. The reference logs router-loss
+    magnitudes but never this agreement; emitted here on every flip step
+    (telemetry only, stop-gradient at the call site).
+
+    sel_*: [..., K] int expert indices. Returns a scalar in [0, 1].
+    """
+    m = (sel_router[..., :, None] == sel_affinity[..., None, :]).any(axis=-1)
+    return jnp.mean(m.astype(jnp.float32))
+
+
 def relative_perplexity(probs: jax.Array) -> jax.Array:
     """exp(entropy(p)) / E. ref: framework/utils/entropy.py:13-18"""
     return jnp.exp(entropy(probs)) / probs.shape[-1]

@@ -252,6 +252,17 @@ class DecodeEngine:
         self._build_fns()
         self._stop = threading.Event()
         self._woken = threading.Event()
+        # Set by the engine thread each time a _tick finds nothing to
+        # do (no live slots, in-flight drained, no prefill work) — i.e.
+        # the thread is PAST the end of any token-emitting tick. Done
+        # events fire inside _emit mid-tick, so "all requests done" is
+        # NOT quiescence: the tick that delivered the final token still
+        # has bandit bookkeeping (_spec_record) ahead of it, and a
+        # caller mutating counters in that window corrupts the record
+        # (observed: warmup's finally scrubbing _tokens_emitted raced
+        # the last spec tick's record and charged -19 tokens into the
+        # verify arm, parking speculation). _warm_drain waits on this.
+        self._idle = threading.Event()
         # run_thread=False leaves stepping to the caller via _tick() —
         # used by tests to drive burst admission deterministically.
         self._thread = None
@@ -867,6 +878,7 @@ class DecodeEngine:
             # (draining only ever retires, it can't make slots live)
             self._drain_all()
             if self._pf_state is None and not self._pf_queue:
+                self._idle.set()
                 self._woken.wait(timeout=0.05)
                 self._woken.clear()
             return
@@ -901,9 +913,15 @@ class DecodeEngine:
             # a verify-chosen tick that found no drafts charges the
             # wasted scan to the verify arm — that IS the realized
             # value of choosing verify on this workload (depth 1 here:
-            # spec_k excludes pipelining, so the drain above ran)
+            # spec_k excludes pipelining, so the drain above ran).
+            # instant_up=False: this tick ran the PLAIN scan at full
+            # steps_per_call throughput; letting its max() pin the
+            # verify estimate at plain level on draft-sparse traffic
+            # would latch verify-chosen mode and eat several slow
+            # verify ticks per decay cycle when drafts reappear.
             self._spec_record("verify" if tried_verify else "plain",
-                              self._tokens_emitted - before, t0)
+                              self._tokens_emitted - before, t0,
+                              instant_up=not tried_verify)
 
     def _drain_one(self):
         """Read the oldest in-flight step call and emit its tokens to
@@ -947,7 +965,8 @@ class DecodeEngine:
             self._spec_suppressed_ticks += 1
         return choice
 
-    def _spec_record(self, arm: str, tokens: int, t0: float) -> None:
+    def _spec_record(self, arm: str, tokens: int, t0: float,
+                     instant_up: bool = True) -> None:
         """Feed one tick's realized throughput into the bandit."""
         if not self._spec_adaptive:
             return
@@ -956,9 +975,15 @@ class DecodeEngine:
         cur = self._arm_tps[arm]
         # asymmetric EWMA: instant up (one good probe re-enables a
         # parked arm), smooth decay down (one slow tick doesn't park a
-        # healthy one)
-        self._arm_tps[arm] = (tps if cur is None
-                              else max(tps, 0.8 * cur + 0.2 * tps))
+        # healthy one). instant_up=False when the recorded tick didn't
+        # actually execute the charged arm's step (draftless verify-
+        # gated ticks run the plain scan).
+        if cur is None:
+            self._arm_tps[arm] = tps
+        elif instant_up:
+            self._arm_tps[arm] = max(tps, 0.8 * cur + 0.2 * tps)
+        else:
+            self._arm_tps[arm] = 0.8 * cur + 0.2 * tps
         last, run = self._arm_streak
         self._arm_streak = (arm, run + 1 if arm == last else 1)
 
@@ -1075,6 +1100,15 @@ class DecodeEngine:
             for r in reqs:
                 while r.out.get() is not None:
                     pass
+            # done events fire inside _emit MID-tick: the engine thread
+            # still has bandit/telemetry bookkeeping ahead of it in the
+            # tick that delivered the final token. Wait until it parks
+            # in the idle branch so the caller may mutate engine state
+            # (the quiescence _quiescent() asserts and warmup's finally
+            # scrub rely on).
+            self._idle.clear()
+            while self.error is None and not self._idle.wait(timeout=1.0):
+                pass
         if self.error is not None:
             raise RuntimeError("engine failed during warmup") from self.error
 
@@ -1131,6 +1165,14 @@ class DecodeEngine:
         buckets = sorted({_bucket(int(b)) for b in prompt_buckets})
         programs: List[str] = []
         old_draft = self._draft_fn
+        # the bandit must not gate warmup: its first tick carries the
+        # jit-compile stall, and charging that to an arm could make
+        # _spec_gate pick plain during the forced-draft spec pass —
+        # leaving the verify program uncompiled, the exact pathology
+        # warmup exists to prevent. The finally block resets the arm
+        # estimates anyway, so nothing is lost by disabling it here.
+        old_adaptive = self._spec_adaptive
+        self._spec_adaptive = False
 
         def _ids(length: int, salt: int) -> np.ndarray:
             # distinct per (bucket, row): accidental prefix-cache hits
@@ -1148,7 +1190,17 @@ class DecodeEngine:
                 return self._pf_chunk_n
             return bucket
 
+        def _quiescent():
+            # warmup mutates engine-thread state (_draft_fn, _park_meta,
+            # _hold_admission) from the CALLER thread. That is safe only
+            # because _warm_drain quiesces the engine between phases:
+            # nothing live, nothing queued, so the engine thread is
+            # parked in _woken.wait and cannot race the mutation.
+            assert not self._live and self._requests.empty(), \
+                "warmup mutated engine state while the engine was active"
+
         def _burst(length, size, temp, topp, max_new=2, img_shape=None):
+            _quiescent()
             self._hold_admission = True
             reqs = []
             for i in range(size):
@@ -1171,6 +1223,7 @@ class DecodeEngine:
                 variants.append((0.7, 0.9, "nucleus"))
             for temp, topp, tag in variants:
                 # plain/nucleus-step ticks must not become spec ticks
+                _quiescent()
                 self._draft_fn = lambda history, k: None
                 for bucket in buckets:
                     if bucket + 2 + self._spec_k > self.max_len:
@@ -1196,6 +1249,7 @@ class DecodeEngine:
                                 f"img_prefill[b{bucket} x{size} "
                                 f"{tuple(shape)}]:{tag}")
                 if self._spec_k:
+                    _quiescent()
                     self._draft_fn = (
                         lambda history, k: np.full((k,), 11, np.int32))
                     _burst(_wlen(buckets[0]), 1, temp, topp,
@@ -1242,6 +1296,7 @@ class DecodeEngine:
                         self._warm_drain(follows)
                         programs.append(f"park+unpark x{len(follows)}")
         finally:
+            self._spec_adaptive = old_adaptive
             self._draft_fn = old_draft
             self._hold_admission = False
             # scrub: telemetry + prefix cache reflect real traffic only

@@ -137,6 +137,11 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-lm.tokenizer_n_files", default="none",
                         parser=parser.int_or_none_parser)
     parser.add_argument("-lm.thestack_languages", default="python")
+    # mixture_transformer (latent-mode Markov corpus for the A/B study,
+    # docs/science.md)
+    parser.add_argument("-lm.mixture.n_modes", default=16)
+    parser.add_argument("-lm.mixture.coherence", default=0.85)
+    parser.add_argument("-lm.mixture.zipf_alpha", default=1.2)
     # preemption auto-resume (training_helper.py:159-182 job records)
     parser.add_argument("-job_record_dir", default="jobs")
     # downstream zero-shot QA battery (reference lm_eval_mixin.py:16-39)

@@ -110,7 +110,20 @@ def make_train_step(model: MoELanguageModel,
                                       step=step, train=True)
             ce, n_tok = lm_loss_fn(logits, targets, ignore_index)
             total = ce + aux["total_aux_loss"]
-            return total, (ce, aux["total_aux_loss"], n_tok)
+            # distillation-health telemetry: router-vs-competition top-k
+            # agreement, summed over layers that flipped this step
+            # (layer channels are zero off-flip, so sums are exact).
+            # Mirrors the reference's reg-loss scrape points
+            # (framework/task/simple_task.py:341-352) with the one metric
+            # it never logged.
+            agree = jnp.zeros((), jnp.float32)
+            ncomp = jnp.zeros((), jnp.float32)
+            for k, v in aux.items():
+                if k.endswith("router_agreement"):
+                    agree = agree + v
+                elif k.endswith("is_comp"):
+                    ncomp = ncomp + v
+            return total, (ce, aux["total_aux_loss"], n_tok, agree, ncomp)
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
@@ -125,25 +138,26 @@ def make_train_step(model: MoELanguageModel,
 
             def scan_body(carry, mb):
                 acc_grads, acc = carry
-                (total, (ce, reg, n_tok)), grads = loss_for(
+                (total, (ce, reg, n_tok, agree, ncomp)), grads = loss_for(
                     state.params, state.step, mb)
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
                 acc = (acc[0] + total, acc[1] + ce, acc[2] + reg,
-                       acc[3] + n_tok)
+                       acc[3] + n_tok, acc[4] + agree, acc[5] + ncomp)
                 return (acc_grads, acc), None
 
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
             zeros = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
-                     jnp.zeros((), jnp.int32))
+                     jnp.zeros((), jnp.int32), jnp.zeros(()), jnp.zeros(()))
             (grads, acc), _ = jax.lax.scan(scan_body, (zero_grads, zeros),
                                            micro)
             inv = 1.0 / n_microbatch
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             total, ce, reg, n_tok = (acc[0] * inv, acc[1] * inv,
                                      acc[2] * inv, acc[3])
+            agree, ncomp = acc[4], acc[5]
         else:
-            (total, (ce, reg, n_tok)), grads = loss_for(
+            (total, (ce, reg, n_tok, agree, ncomp)), grads = loss_for(
                 state.params, state.step, tokens)
 
         updates, new_opt = optimizer.update(grads, state.opt_state,
@@ -155,6 +169,12 @@ def make_train_step(model: MoELanguageModel,
             "loss/reg": reg,
             "n_tokens": n_tok,
             "grad_norm": optax.global_norm(grads),
+            # mean router-vs-competition top-k agreement over the layers
+            # that flipped this step; -1 on non-flip steps (no layer
+            # competed) so consumers can mask instead of seeing a fake 0
+            "competesmoe/router_agreement": jnp.where(
+                ncomp > 0, agree / jnp.maximum(ncomp, 1.0), -1.0),
+            "competesmoe/n_flip_layers": ncomp,
         }
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                step=state.step + 1)

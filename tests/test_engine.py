@@ -1125,6 +1125,74 @@ def test_engine_warmup_precompiles_everything(tiny_model):
         engine.shutdown()
 
 
+def test_engine_warmup_with_adaptive_bandit(tiny_model):
+    """--speculative --spec-adaptive --engine-warmup: the bandit must
+    not gate warmup's forced-draft spec pass (the first tick's
+    jit-compile stall would otherwise be charged to an arm, _spec_gate
+    could pick plain, and the verify program would stay uncompiled —
+    the exact stall warmup exists to prevent). After warmup the bandit
+    is re-enabled with fresh arm estimates and live speculative traffic
+    compiles nothing new."""
+    model, params = tiny_model
+    rng = np.random.default_rng(29)
+    prompt = rng.integers(1, 60, 12).astype(np.int32)
+    want = _solo(model, params, prompt, max_new=8)
+    plen = len(prompt)
+
+    def oracle_draft(hist, k):
+        n = len(hist) - plen
+        d = want[n:n + k]
+        return np.asarray(d, np.int32) if len(d) == k else None
+
+    engine = DecodeEngine(model, params, n_slots=2, max_len=128,
+                          spec_k=2, draft_fn=oracle_draft,
+                          steps_per_call=1, spec_adaptive=True)
+    try:
+        rec = engine.warmup(prompt_buckets=(16,))
+        assert any("spec" in p for p in rec["programs"]), (
+            "warmup skipped the forced-draft spec pass under the bandit")
+        # bandit restored, estimates scrubbed (warmup ticks carry
+        # compile stalls that must not seed the arms)
+        assert engine._spec_adaptive is True
+        assert engine._arm_tps == {"verify": None, "plain": None}
+        before = _program_counts(engine)
+        out, done = _collect(engine, prompt, max_new=8)
+        assert done.wait(timeout=120), "engine stalled"
+        assert out == want
+        assert engine.stats()["engine_spec_verify_calls"] > 0
+        assert _program_counts(engine) == before, (
+            "live spec traffic compiled a new program after warmup")
+    finally:
+        engine.shutdown()
+
+
+def test_spec_record_draftless_tick_decays_not_pins(tiny_model):
+    """A verify-gated tick that found no drafts executes the PLAIN scan
+    at full steps_per_call throughput; charging that (fast) tick into
+    the verify arm must take the smooth-decay path, not the instant-up
+    max() — otherwise draft-sparse traffic pins the verify estimate at
+    plain level and the bandit latches verify-chosen mode, eating slow
+    verify ticks when drafts reappear on a verify-losing workload."""
+    model, params = tiny_model
+    engine = DecodeEngine(model, params, n_slots=1, max_len=32,
+                          spec_k=2, draft_fn=lambda h, k: None,
+                          spec_adaptive=True, clock=_tick_clock(),
+                          run_thread=False)
+    try:
+        engine._arm_tps = {"verify": 2.0, "plain": None}
+        t0 = engine._clock()
+        engine._spec_record("verify", 10, t0, instant_up=False)
+        assert engine._arm_tps["verify"] == pytest.approx(
+            0.8 * 2.0 + 0.2 * 10.0)
+        # a tick that actually ran a verify step keeps instant-up (one
+        # good probe re-enables a parked arm)
+        t0 = engine._clock()
+        engine._spec_record("verify", 10, t0)
+        assert engine._arm_tps["verify"] == pytest.approx(10.0)
+    finally:
+        engine.shutdown()
+
+
 def test_engine_pipelined_matches_solo_with_slot_reuse(tiny_model):
     """pipeline_depth=2 (issue call N+1 before reading call N) must be
     token-exact through the hard case: more requests than slots, so

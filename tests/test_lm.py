@@ -88,6 +88,40 @@ def test_competesmoe_lm_train_step_on_mesh():
     assert spec[0] == "expert", spec
 
 
+def test_train_step_router_agreement_channel():
+    """The distillation-health metric: on steps where at least one layer
+    flips, `competesmoe/router_agreement` is the mean router-vs-
+    competition top-k overlap in [0, 1] and `n_flip_layers` counts the
+    flipped layers; on non-flip steps it is the -1 mask sentinel. This
+    is the channel the reference never logged (simple_task.py:341-352
+    scrapes loss magnitudes only) and the A/B study reads."""
+    cfg = tiny_cfg(moe_name="competesmoe", n_experts=8, moe_topk=2)
+    sched = build_flip_schedule(cfg.n_layers, 12, warm_up=0.5,
+                                rate_flip=1.0, max_compete_in_iter=2,
+                                seed=3)
+    model = MoELanguageModel(cfg, flip_schedule=sched)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        1, 128, (4, 9)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens[:, :-1])["params"]
+    optimizer = make_optimizer(OptConfig(total_steps=12))
+    state = TrainState.create(params, optimizer)
+    train_step = make_train_step(model, optimizer, donate=False)
+    saw_flip = saw_noflip = False
+    for step in range(8):
+        n_expected = sum(sched.is_flip(li, step)
+                         for li in range(cfg.n_layers))
+        state, m = train_step(state, tokens)
+        assert int(m["competesmoe/n_flip_layers"]) == n_expected
+        agree = float(m["competesmoe/router_agreement"])
+        if n_expected:
+            assert 0.0 <= agree <= 1.0
+            saw_flip = True
+        else:
+            assert agree == -1.0
+            saw_noflip = True
+    assert saw_flip and saw_noflip, "schedule never exercised both arms"
+
+
 def test_expert_sharding_rules():
     mesh = make_mesh(n_expert=2)
     cfg = tiny_cfg()

@@ -1,5 +1,6 @@
 """Multimodal data pipeline + 3-stage training tests."""
 
+import dataclasses
 import json
 
 import jax
@@ -143,6 +144,51 @@ def test_length_grouped_sampler_separates_modalities():
     for b in batches:
         signs = {lengths[i] > 0 for i in b}
         assert len(signs) == 1, f"mixed modalities in batch {b}"
+
+
+def test_mm_flip_alignment_respects_warmup():
+    """No competition while step < step_warm, competition exactly on the
+    scheduled post-warm steps — for BOTH the vision tower layers and the
+    projector (competesmoe.py:347's
+    `current_steps >= step_warm and prob_flips[current_steps - step_warm]`).
+    Round-5 regression test: step_warm was never wired into the model
+    constructors, so warm_up > 0 shifted the whole flip window, and the
+    projector never saw its schedule at all."""
+    cfg = tiny_llava_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(cfg.vision, moe_name="competesmoe"),
+        projector=dataclasses.replace(cfg.projector,
+                                      moe_name="competesmoe"))
+    tcfg = MMTrainConfig(total_steps=12, rate_flip=1.0, warm_up=0.5,
+                         max_compete_in_iter=3)
+    vis_sched, proj_sched = build_mm_schedules(cfg, tcfg)
+    assert vis_sched is not None and proj_sched is not None
+    assert vis_sched.step_warm == 6
+
+    from competesmoe_tpu.models.projector import VisionProjector
+    from competesmoe_tpu.models.vision import SiglipSMoEVisionTower
+    tower = SiglipSMoEVisionTower(cfg.vision, flip_schedule=vis_sched)
+    proj = VisionProjector(cfg.projector, flip_schedule=proj_sched)
+    rng = np.random.default_rng(1)
+    px = jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    tp = tower.init(jax.random.PRNGKey(0), px, train=False)
+    pp = proj.init(jax.random.PRNGKey(1), feats, train=False)
+
+    t_apply = jax.jit(lambda s: tower.apply(tp, px, step=s, train=True),
+                      static_argnums=())
+    p_apply = jax.jit(lambda s: proj.apply(pp, feats, step=s, train=True))
+    n_layers = cfg.vision.num_hidden_layers
+    for step in (0, 3, 6, 7, 9, 11):
+        _, _, auxes = t_apply(jnp.int32(step))
+        for li in range(n_layers):
+            want = vis_sched.is_flip(li, step)
+            got = bool(float(auxes[li].losses["is_comp"]))
+            assert got == want, (step, li, want, got)
+        _, aux = p_apply(jnp.int32(step))
+        want = proj_sched.is_flip(0, step)
+        assert bool(float(aux.losses["is_comp"])) == want, (step, want)
 
 
 @pytest.mark.parametrize("stage", ["pretrain", "sft"])

@@ -135,8 +135,9 @@ def static_bytes_per_chip(params, data_size: int, expert_size: int):
 
     jax.tree_util.tree_map_with_path(visit, params)
     # params + Adam mu/nu (optax keeps states in the params' own dtype,
-    # so the 3x prices whatever dtype the caller's tree holds — f32
-    # master params by default, matching cli/train_mm.py); the grad
+    # so the 3x prices whatever dtype the caller's tree holds — bf16 by
+    # default here, matching cli/train_mm.py's --bf16 default; pricing
+    # an f32 master tree instead would double the estimate); the grad
     # buffer (one more sharded param-sized copy, live between backward
     # and the update) is returned separately; 2x largest dense leaf is
     # the fsdp all-gather + prefetch transient.
