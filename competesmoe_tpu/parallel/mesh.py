@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 EXPERT_PARAM_NAMES = (
     "keys", "values", "bias",
     "experts_w1", "experts_b1", "experts_w2", "experts_b2",
+    "experts_w3",  # Mixtral SwiGLU gate bank (MixtralMoELayer)
 )
 
 
@@ -184,6 +185,32 @@ def llava_param_shardings(mesh: Mesh, params):
                  for p in path]
         if names and names[0] == "language_model":
             return NamedSharding(mesh, decoder_param_spec(names, leaf))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(to_spec, params)
+
+
+def ep_param_shardings(mesh: Mesh, params):
+    """Expert-parallel INFERENCE shardings for a full model tree: every
+    stacked expert bank ([E, ...] leading dim) shards over the mesh's
+    'expert' axis, everything else replicates. Pair with
+    `parallel.ep_context.use_expert_parallel(mesh)` around the jit trace
+    so MoE dispatch runs the explicit all-to-all path — this is
+    BASELINE.json config #5's "expert-parallel over ICI" serving/eval
+    layout, the sharded upgrade of the reference's replicated-expert
+    eval role (evaluate/lmms_eval/models/llava.py:139-169).
+
+    ndim >= 2 guards the walk: 1-D params named 'bias' (layernorms,
+    gates) are never expert banks."""
+    n_ep = mesh.shape["expert"]
+
+    def to_spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        name = names[-1] if names else ""
+        if (name in EXPERT_PARAM_NAMES and leaf.ndim >= 2
+                and leaf.shape[0] % n_ep == 0):
+            return NamedSharding(
+                mesh, P("expert", *([None] * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map_with_path(to_spec, params)
 

@@ -220,8 +220,12 @@ class DecodeEngine:
             from ..parallel.mesh import kv_cache_sharding
             rep = NamedSharding(mesh, PartitionSpec())
             hk = self.cfg.decoder.num_key_value_heads
+            # expert-parallel meshes (('data','expert'), --ep-shards)
+            # have no 'model' axis: KV replicates, only expert banks
+            # shard (parallel.mesh.ep_param_shardings)
             kv_sh = (kv_cache_sharding(mesh)
-                     if hk % mesh.shape.get("model", 1) == 0 else rep)
+                     if "model" in mesh.shape
+                     and hk % mesh.shape["model"] == 0 else rep)
             self._cache = KVCache(
                 k=jax.device_put(self._cache.k, kv_sh),
                 v=jax.device_put(self._cache.v, kv_sh),

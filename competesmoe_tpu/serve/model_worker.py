@@ -308,6 +308,17 @@ def main(argv=None):
                          "decoder Megatron-style over M chips "
                          "(parallel.mesh.llava_param_shardings) so the "
                          "5.1B serves across a v5e-8 slice")
+    ap.add_argument("--ep-shards", type=int, default=0,
+                    help="expert-parallel serving: shard every MoE "
+                         "expert bank over an ('data','expert') mesh "
+                         "with this expert-axis size and dispatch "
+                         "tokens with lax.all_to_all over ICI "
+                         "(parallel.mesh.ep_param_shardings + "
+                         "ep_context). For MoE-decoder backbones "
+                         "(mixtral) the all-to-all runs every decode "
+                         "step; for the 5.1B (dense Phi decoder) it "
+                         "engages at prefill in the vision tower/"
+                         "projector. Mutually exclusive with --mesh")
     ap.add_argument("--engine-slots", type=int, default=0,
                     help="enable the continuous-batching DecodeEngine "
                          "with this many sequence slots (serve/engine.py)"
@@ -363,8 +374,24 @@ def main(argv=None):
     tokenizer, model, params, image_processor, _ = load_pretrained_model(
         a.model_path, load_8bit=a.load_8bit, load_4bit=a.load_4bit,
         kv_quant=a.kv_quant or None, dtype=jnp.bfloat16)
+    ep_mesh = None
+    if a.mesh and a.ep_shards:
+        raise SystemExit("--mesh (tensor parallel) and --ep-shards "
+                         "(expert parallel) are mutually exclusive")
     if a.mesh:
         params = shard_llava_params(params, a.mesh)
+    elif a.ep_shards:
+        import jax
+
+        from ..parallel.ep_context import set_ep_mesh
+        from ..parallel.mesh import ep_param_shardings, make_mesh
+        ep_mesh = make_mesh(n_expert=a.ep_shards)
+        inner = params.get("params", params)
+        sharded = jax.device_put(inner, ep_param_shardings(ep_mesh, inner))
+        params = {"params": sharded} if "params" in params else sharded
+        # process-global: every jit trace from here (solo generate fns,
+        # engine programs) routes MoE dispatch through the all-to-all path
+        set_ep_mesh(ep_mesh)
     if tokenizer is None or a.tokenizer:
         from transformers import AutoTokenizer
         tokenizer = AutoTokenizer.from_pretrained(
@@ -379,8 +406,8 @@ def main(argv=None):
         engine = DecodeEngine(model, adapter.params,
                               n_slots=a.engine_slots,
                               max_len=a.engine_max_len,
-                              mesh=tp_mesh_from_str(a.mesh)
-                              if a.mesh else None,
+                              mesh=(tp_mesh_from_str(a.mesh)
+                                    if a.mesh else ep_mesh),
                               prefix_cache_slots=a.engine_prefix_cache,
                               spec_k=a.speculative,
                               spec_adaptive=a.spec_adaptive,

@@ -674,6 +674,37 @@ class TheStackTransformerTask(_StreamingTransformerTask):
         return {"languages": self.a.lm.thestack_languages}
 
 
+@task("mixture_transformer")
+class MixtureTransformerTask(SyntheticTransformerTask):
+    """LM pretraining on the latent-mode Markov mixture corpus
+    (data/lm_data.py:SyntheticMixtureLMDataset) — the offline arena for
+    the CompeteSMoE-vs-SMoE algorithm A/B (docs/science.md). Routing
+    quality is causally tied to loss here: each window's successor rule
+    depends on a hidden mode, so expert specialization per mode is the
+    loss-minimizing policy. Replaces the reference's SlimPajama arena
+    (sweeps/slimpajama_moe_no_attmoe_154M_competesmoe.yaml) which needs
+    network egress this environment does not have."""
+
+    def create_datasets(self):
+        from ..data.lm_data import SyntheticMixtureLMDataset
+        a = self.a
+        kw = dict(n_modes=a.lm.mixture.n_modes,
+                  coherence=a.lm.mixture.coherence,
+                  zipf_alpha=a.lm.mixture.zipf_alpha)
+        train = SyntheticMixtureLMDataset(
+            a.lm.vocab_size, a.lm.unroll, n_windows=1 << 20,
+            seed=a.seed, **kw)
+        # valid split: same modes/permutations (seed governs window
+        # draws only through the per-index rng; the perms must match so
+        # valid measures the same language) — disjoint window indices
+        # via a distinct seed offset.
+        valid = SyntheticMixtureLMDataset(
+            a.lm.vocab_size, a.lm.unroll, n_windows=1 << 10,
+            seed=a.seed + 7919, **kw)
+        valid.perms = train.perms  # same language, held-out windows
+        return train, valid
+
+
 @task("chunked_transformer")
 class ChunkedTransformerTask(SyntheticTransformerTask):
     """LM pretraining over pre-tokenized uint16 mmap chunk dirs
