@@ -93,6 +93,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="capture a jax.profiler trace (TensorBoard) for "
                          "steps [N, N + --profile-n-steps)")
     ap.add_argument("--profile-n-steps", type=int, default=5)
+    ap.add_argument("--opt-state-8bit", action="store_true",
+                    help="hold Adam mu/nu blockwise-int8 "
+                         "(train/quant_opt.py) — saves ~1.56 GB/chip at "
+                         "5.1B, fitting the reference's seq-2048 sft "
+                         "recipe on v5e-8 (docs/sharding.md)")
     ap.add_argument("--remat", action="store_true",
                     help="per-decoder-layer rematerialization "
                          "(jax.checkpoint): trade recompute FLOPs for "
@@ -161,7 +166,7 @@ def main(argv=None):
         mm_projector_lr=a.mm_projector_lr, warmup_ratio=a.warmup_ratio,
         total_steps=a.num_train_steps, rate_flip=a.rate_flip,
         warm_up=a.warm_up, max_compete_in_iter=a.max_compete_in_iter,
-        schedule_seed=a.seed)
+        schedule_seed=a.seed, opt_state_8bit=a.opt_state_8bit)
     vis_sched, proj_sched = build_mm_schedules(cfg, tcfg)
     model = LlavaModel(cfg, vision_flip_schedule=vis_sched,
                        projector_flip_schedule=proj_sched)

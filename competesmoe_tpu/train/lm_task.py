@@ -90,6 +90,9 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-lr_warmup", default=0)
     parser.add_argument("-grad_clip", default=0.25)
     parser.add_argument("-wd", default=0.0)
+    parser.add_argument("-opt.state_8bit", default=False,
+                        help="blockwise-int8 Adam mu/nu "
+                             "(train/quant_opt.py)")
     parser.add_argument("-amp", default=True)  # bf16 activations
     parser.add_argument("-save_interval", default=1000)
     parser.add_argument("-keep_last", default=2)
@@ -303,7 +306,7 @@ class SyntheticTransformerTask:
         self.optimizer = make_optimizer(OptConfig(
             lr=a.lr, lr_sched=a.lr_sched.type, warmup_steps=a.lr_warmup,
             total_steps=a.stop_after, grad_clip=a.grad_clip,
-            weight_decay=a.wd))
+            weight_decay=a.wd, state_8bit=a.opt.state_8bit))
 
         with self.mesh, self._ep_scope():
             tokens0 = jnp.zeros((a.batch_size, a.lm.unroll + 1), jnp.int32)

@@ -42,6 +42,9 @@ class OptConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
     weight_decay: float = 0.0
+    # hold Adam mu/nu blockwise-int8 (train/quant_opt.py); the 154M LM
+    # fits a chip easily, but the flag keeps the two trainers symmetric
+    state_8bit: bool = False
 
 
 def make_lr_schedule(cfg: OptConfig) -> optax.Schedule:
@@ -64,7 +67,12 @@ def make_optimizer(cfg: OptConfig) -> optax.GradientTransformation:
     chain = []
     if cfg.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
-    if cfg.weight_decay > 0:
+    if cfg.state_8bit:
+        from .quant_opt import quantized_adamw
+        chain.append(quantized_adamw(sched, b1=cfg.adam_b1,
+                                     b2=cfg.adam_b2, eps=cfg.adam_eps,
+                                     weight_decay=cfg.weight_decay))
+    elif cfg.weight_decay > 0:
         chain.append(optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
                                  eps=cfg.adam_eps,
                                  weight_decay=cfg.weight_decay))

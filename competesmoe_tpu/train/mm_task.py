@@ -42,6 +42,9 @@ class MMTrainConfig:
     grad_clip: float = 1.0
     weight_decay: float = 0.0
     lr_sched: str = "cos"
+    # hold Adam mu/nu blockwise-int8 (train/quant_opt.py) — the lever
+    # that fits the reference's seq-2048 sft on v5e-8 (docs/sharding.md)
+    opt_state_8bit: bool = False
     # CompeteSMoE schedule
     rate_flip: float = 0.05
     warm_up: float = 0.0
@@ -107,10 +110,17 @@ def make_mm_optimizer(tcfg: MMTrainConfig, params) -> optax.GradientTransformati
         return base
 
     def adamw(lr):
+        if tcfg.opt_state_8bit:
+            from .quant_opt import quantized_adamw
+            inner = quantized_adamw(sched_for(lr), b1=0.9, b2=0.999,
+                                    eps=1e-8,
+                                    weight_decay=tcfg.weight_decay)
+        else:
+            inner = optax.adamw(sched_for(lr), b1=0.9, b2=0.999,
+                                eps=1e-8,
+                                weight_decay=tcfg.weight_decay)
         return optax.chain(
-            optax.clip_by_global_norm(tcfg.grad_clip),
-            optax.adamw(sched_for(lr), b1=0.9, b2=0.999, eps=1e-8,
-                        weight_decay=tcfg.weight_decay))
+            optax.clip_by_global_norm(tcfg.grad_clip), inner)
 
     base_lr = tcfg.learning_rate
     proj_lr = tcfg.mm_projector_lr or base_lr

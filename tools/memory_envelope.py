@@ -108,17 +108,24 @@ def param_shapes(model, cfg, dtype=jnp.bfloat16):
         tree)
 
 
-def static_bytes_per_chip(params, data_size: int, expert_size: int):
+def static_bytes_per_chip(params, data_size: int, expert_size: int,
+                          opt_8bit: bool = False):
     """Exact per-chip bytes of params + Adam mu/nu under the
     param_spec fsdp/expert rules (largest dense leaf also returned —
-    the all-gather transient term)."""
+    the all-gather transient term).
+
+    opt_8bit prices mu/nu per train/quant_opt.py's rules exactly:
+    leaves with size>=4096 store 1 byte/element + a 4-byte f32 scale
+    per 256-element block of the last dim; smaller leaves stay at the
+    param dtype."""
     from competesmoe_tpu.parallel.mesh import param_spec
 
     total = 0
+    moment = 0  # one moment tree (mu == nu in bytes)
     largest_dense = 0
 
     def visit(path, leaf):
-        nonlocal total, largest_dense
+        nonlocal total, moment, largest_dense
         names = [getattr(p, "key", getattr(p, "name", str(p)))
                  for p in path]
         spec = param_spec(names, leaf, data_size)
@@ -132,16 +139,24 @@ def static_bytes_per_chip(params, data_size: int, expert_size: int):
         if "data" in tuple(spec):
             largest_dense = max(largest_dense, nbytes)
         total += -(-nbytes // factor)
+        if opt_8bit and leaf.size >= 4096 and len(leaf.shape) >= 1:
+            d = leaf.shape[-1]
+            scales = (leaf.size // max(d, 1)) * (-(-d // 256))
+            mbytes = leaf.size + 4 * scales  # int8 codes + f32 scales
+        else:
+            mbytes = nbytes
+        moment += -(-mbytes // factor)
 
     jax.tree_util.tree_map_with_path(visit, params)
     # params + Adam mu/nu (optax keeps states in the params' own dtype,
-    # so the 3x prices whatever dtype the caller's tree holds — bf16 by
-    # default here, matching cli/train_mm.py's --bf16 default; pricing
-    # an f32 master tree instead would double the estimate); the grad
-    # buffer (one more sharded param-sized copy, live between backward
-    # and the update) is returned separately; 2x largest dense leaf is
-    # the fsdp all-gather + prefetch transient.
-    return 3 * total, total, 2 * largest_dense
+    # so by default this prices whatever dtype the caller's tree holds —
+    # bf16, matching cli/train_mm.py's --bf16 default; pricing an f32
+    # master tree instead would double the estimate). With opt_8bit the
+    # moments follow quant_opt's exact layout instead. The grad buffer
+    # (one more sharded param-sized copy, live between backward and the
+    # update) is returned separately; 2x largest dense leaf is the fsdp
+    # all-gather + prefetch transient.
+    return total + 2 * moment, total, 2 * largest_dense
 
 
 def temp_bytes_single_chip(layers, vis_layers, seq_len, per_chip, remat,
@@ -215,6 +230,10 @@ def main(argv=None):
                     help="per-chip HBM (v5e)")
     ap.add_argument("--no-remat-ab", action="store_true",
                     help="skip the remat-off comparison point")
+    ap.add_argument("--opt-8bit", action="store_true",
+                    help="price Adam mu/nu at train/quant_opt.py's "
+                         "blockwise-int8 layout (--opt-state-8bit in "
+                         "cli/train_mm.py)")
     a = ap.parse_args(argv)
 
     platform = jax.devices()[0].platform
@@ -224,8 +243,9 @@ def main(argv=None):
                                 True, a.image_size)
     params = param_shapes(model, cfg)
     static_b, param_b, ag_b = static_bytes_per_chip(
-        params, a.data_size, a.expert_size)
-    static8, param8, ag8 = static_bytes_per_chip(params, 8, 1)
+        params, a.data_size, a.expert_size, opt_8bit=a.opt_8bit)
+    static8, param8, ag8 = static_bytes_per_chip(
+        params, 8, 1, opt_8bit=a.opt_8bit)
     n_params = sum(l.size for l in jax.tree_util.tree_leaves(params))
     print(json.dumps({
         "params_b": round(n_params / 1e9, 3),
@@ -233,6 +253,7 @@ def main(argv=None):
         "grad_buffer_gb": round(param_b / 1e9, 2),
         "allgather_transient_gb": round(ag_b / 1e9, 2),
         "mesh": f"data={a.data_size} expert={a.expert_size}",
+        "opt_state_8bit": a.opt_8bit,
         "alt_mesh_d8e1": {"static_gb_per_chip": round(static8 / 1e9, 2),
                           "grad_buffer_gb": round(param8 / 1e9, 2),
                           "allgather_transient_gb": round(ag8 / 1e9, 2)},
@@ -289,6 +310,7 @@ def main(argv=None):
         "unit": "max_per_chip_batch_fitting",
         "detail": {
             "rows": rows, "seq_len": a.seq_len,
+            "opt_state_8bit": a.opt_8bit,
             "mesh": f"data={a.data_size} expert={a.expert_size}",
             "mem_gb": a.mem_gb, "platform": platform,
             "method": "static = exact sharded bf16 params+Adam "
