@@ -1,0 +1,313 @@
+#!/usr/bin/env python
+"""Train-step roofline for the 154M LM geometry: stage split, MFU, HBM
+speed-of-light, and the flip-step premium.
+
+Round 4 left the training perf story at one sentence ("~214k tok/s/chip,
+~37 ms/step"); this tool gives it the same floor framing the dispatch
+and decode stories have (reference throughput channels:
+/root/reference/moe_pretrain_model/framework/task/task.py:360-373).
+
+What it measures (all on the current backend, each timed with
+block_until_ready over --iters calls, minus a measured per-call RPC
+floor so tunnel dispatch doesn't pollute 37 ms-scale numbers):
+
+* full train step (grad + Adam update) at a NON-flip step and at the
+  flip-heaviest step the real schedule produces (max_compete_in_iter
+  layers run all-experts dense under lax.cond) -> the flip premium, and
+  whether lax.cond keeps non-flip steps at sparse speed (compared
+  against an smoe model of identical geometry, which has no cond at
+  all).
+* forward-only and optimizer-only programs -> fwd / backward(residual) /
+  optimizer stage split.
+* XLA cost analysis of the compiled step (flops, bytes accessed) ->
+  MFU vs v5e bf16 peak (197 TFLOP/s) and HBM utilization vs 819 GB/s
+  (constants: jax-ml.github.io/scaling-book TPU v5e table). The
+  compute/HBM floor = max(flops/peak, bytes/BW) is the step's
+  speed-of-light; measured/floor is the efficiency headline.
+
+Writes results/r5/train_roofline.json and prints one JSON line.
+Usage: python tools/profile_train_step.py            # 154M on the chip
+       COMPETESMOE_PLATFORM=cpu python tools/profile_train_step.py --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if os.environ.get("COMPETESMOE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["COMPETESMOE_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_PEAK = 197e12   # FLOP/s  (scaling-book v5e)
+V5E_HBM_BW = 819e9       # B/s
+
+
+def build(moe_name: str, a) -> tuple:
+    from competesmoe_tpu.models.lm import LMConfig, MoELanguageModel
+    from competesmoe_tpu.moe.schedule import build_flip_schedule
+
+    cfg = LMConfig(
+        vocab_size=a.vocab, d_model=a.d_model, n_layers=a.layers,
+        n_heads=a.heads, head_dim=a.head_dim, dropout=0.0,
+        moe_name=moe_name, n_experts=a.experts, expert_size=a.expert_size,
+        moe_topk=a.topk, dtype=jnp.bfloat16)
+    schedule = None
+    if moe_name == "competesmoe":
+        schedule = build_flip_schedule(
+            a.layers, a.total_steps, warm_up=0.0, rate_flip=a.rate_flip,
+            max_compete_in_iter=a.max_compete, seed=0)
+    model = MoELanguageModel(cfg, flip_schedule=schedule)
+    return model, cfg, schedule
+
+
+def timed(fn, args, iters: int, rpc_floor: float) -> float:
+    """Median per-call seconds minus the RPC floor."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return max(float(np.median(ts)) - rpc_floor, 0.0)
+
+
+def timed_state(step_fn, state, tokens, iters, rpc_floor):
+    """Like timed() but threads the donated TrainState through."""
+    state, m = step_fn(state, tokens)  # warm (compile)
+    jax.block_until_ready(m)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, tokens)
+        jax.block_until_ready(m)
+        ts.append(time.perf_counter() - t0)
+    return max(float(np.median(ts)) - rpc_floor, 0.0), state
+
+
+def cost_of(compiled) -> dict:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception as e:  # noqa: BLE001 — backend may not expose it
+        return {"flops": 0.0, "bytes": 0.0, "error": str(e)[:120]}
+
+
+def analytic_flops_fwd_per_token(a) -> dict:
+    """Per-token forward FLOPs by stage, from the geometry (2*m*n per
+    matmul element; causal attention at T/2 average context)."""
+    p = a.heads * a.head_dim
+    attn_proj = 2 * a.d_model * p * 4
+    attn_scores = 2 * 2 * (a.seq / 2) * p
+    router = 2 * a.d_model * a.experts
+    moe = a.topk * 2 * (2 * a.d_model * a.expert_size)
+    per_layer = attn_proj + attn_scores + router + moe
+    head = 2 * a.d_model * a.vocab
+    return {"attention": a.layers * (attn_proj + attn_scores),
+            "router": a.layers * router, "moe_gemm": a.layers * moe,
+            "lm_head": head, "total": a.layers * per_layer + head}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--vocab", type=int, default=8000)
+    ap.add_argument("--d-model", dest="d_model", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--head-dim", dest="head_dim", type=int, default=82)
+    ap.add_argument("--experts", type=int, default=64)
+    ap.add_argument("--expert-size", dest="expert_size", type=int,
+                    default=128)
+    ap.add_argument("--topk", type=int, default=8)
+    ap.add_argument("--rate-flip", dest="rate_flip", type=float,
+                    default=0.07)
+    ap.add_argument("--max-compete", dest="max_compete", type=int,
+                    default=3)
+    ap.add_argument("--total-steps", dest="total_steps", type=int,
+                    default=1000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--lr", type=float, default=2.5e-4)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", default="results/r5/train_roofline.json")
+    args = ap.parse_args()
+    if args.tiny:
+        for k, v in dict(batch=2, seq=64, vocab=512, d_model=64, layers=2,
+                         heads=2, head_dim=32, experts=8, expert_size=32,
+                         topk=2, iters=3).items():
+            setattr(args, k, v)
+
+    from competesmoe_tpu.train.lm_trainer import (
+        OptConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    dev = jax.devices()[0]
+    # per-call RPC floor: a trivial jitted op, same dispatch path
+    noop = jax.jit(lambda x: x + 1)
+    x0 = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(noop(x0))
+    rpc = float(np.median([(
+        lambda t0: (jax.block_until_ready(noop(x0)),
+                    time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(30)]))
+
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, args.vocab, size=(args.batch, args.seq + 1), dtype=np.int32))
+
+    results = {"geometry": {k: getattr(args, k) for k in (
+        "batch", "seq", "vocab", "d_model", "layers", "heads", "head_dim",
+        "experts", "expert_size", "topk")},
+        "platform": dev.platform, "rpc_floor_ms": round(rpc * 1e3, 3),
+        "iters": args.iters}
+    tok_per_step = args.batch * args.seq
+
+    opt = make_optimizer(OptConfig(lr=args.lr, total_steps=args.total_steps,
+                                   warmup_steps=0))
+    arms = {}
+    for moe_name in ("competesmoe", "smoe"):
+        model, cfg, sched = build(moe_name, args)
+        params = jax.jit(
+            lambda k: model.init(k, tokens[:, :-1], step=0, train=True)
+        )(jax.random.PRNGKey(0))["params"]
+        n_params = sum(l.size for l in jax.tree_util.tree_leaves(params))
+        state = TrainState.create(params, opt)
+        step_fn = make_train_step(model, opt)
+
+        # step indices: the flip-heaviest step and a flip-free step
+        if sched is not None:
+            per_step = sched.flips.sum(0)
+            flip_step = int(sched.step_warm + per_step.argmax())
+            plain_candidates = np.where(per_step == 0)[0]
+            plain_step = int(sched.step_warm + plain_candidates[0])
+            n_flip_layers = int(per_step.max())
+        else:
+            flip_step = plain_step = 0
+            n_flip_layers = 0
+
+        arm = {"n_params": n_params, "n_flip_layers_at_max": n_flip_layers}
+        state = state.replace(step=jnp.asarray(plain_step, jnp.int32))
+        # NOTE: each timed call advances state.step; re-pin it per call
+        # would add a host round-trip, so instead time at a fixed step by
+        # resetting AFTER compile: the step value only matters through
+        # the flip lookup, and we hold it fixed by rebuilding the state.
+        pin = jax.jit(lambda s, v: s.replace(step=v))
+
+        def run_at(step_val):
+            nonlocal state
+            ts = []
+            state = pin(state, jnp.asarray(step_val, jnp.int32))
+            s2, m = step_fn(state, tokens)  # compile + warm
+            jax.block_until_ready(m)
+            state = pin(s2, jnp.asarray(step_val, jnp.int32))
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                s2, m = step_fn(state, tokens)
+                jax.block_until_ready(m)
+                ts.append(time.perf_counter() - t0)
+                state = pin(s2, jnp.asarray(step_val, jnp.int32))
+            # the pin call rides inside the timed region only via the
+            # NEXT iteration's dispatch; subtract the rpc floor once
+            return max(float(np.median(ts)) - rpc, 0.0)
+
+        t_plain = run_at(plain_step)
+        arm["step_ms_plain"] = round(t_plain * 1e3, 2)
+        arm["tok_per_s_plain"] = round(tok_per_step / t_plain)
+        if sched is not None:
+            t_flip = run_at(flip_step)
+            arm["step_ms_flip"] = round(t_flip * 1e3, 2)
+            arm["flip_premium_x"] = round(t_flip / t_plain, 3)
+            # expected average step time over the whole schedule
+            per_step = sched.flips.sum(0)
+            frac = np.bincount(per_step, minlength=n_flip_layers + 1)
+            frac = frac / frac.sum()
+            # linear in flipped layers between the two measured points
+            per_layer_extra = ((t_flip - t_plain) / max(n_flip_layers, 1))
+            t_avg = t_plain + float(
+                (np.arange(len(frac)) * frac).sum()) * per_layer_extra
+            arm["step_ms_schedule_avg"] = round(t_avg * 1e3, 2)
+            arm["schedule_overhead_pct"] = round(
+                100 * (t_avg / t_plain - 1), 2)
+
+        # stage split: fwd-only and opt-only programs
+        def fwd_loss(p, tok, step):
+            logits, aux = model.apply({"params": p}, tok[:, :-1],
+                                      step=step, train=True)
+            from competesmoe_tpu.train.lm_trainer import lm_loss_fn
+            ce, _ = lm_loss_fn(logits, tok[:, 1:], -100)
+            return ce + aux["total_aux_loss"]
+
+        fwd = jax.jit(fwd_loss)
+        t_fwd = timed(fwd, (state.params, tokens,
+                            jnp.asarray(plain_step, jnp.int32)),
+                      args.iters, rpc)
+        grads = jax.jit(jax.grad(fwd_loss))(
+            state.params, tokens, jnp.asarray(plain_step, jnp.int32))
+        jax.block_until_ready(grads)
+
+        def opt_only(g, os_, p):
+            upd, os2 = opt.update(g, os_, p)
+            import optax
+            return optax.apply_updates(p, upd), os2
+
+        t_opt = timed(jax.jit(opt_only),
+                      (grads, state.opt_state, state.params),
+                      args.iters, rpc)
+        arm["stage_ms"] = {
+            "forward": round(t_fwd * 1e3, 2),
+            "backward_residual": round((t_plain - t_fwd - t_opt) * 1e3, 2),
+            "optimizer": round(t_opt * 1e3, 2)}
+
+        # roofline from the compiled full step
+        lowered = step_fn.lower(state, tokens)
+        cost = cost_of(lowered.compile())
+        ana = analytic_flops_fwd_per_token(args)
+        flops = cost["flops"] or 3 * ana["total"] * tok_per_step
+        arm["cost_analysis"] = cost
+        arm["analytic_fwd_flops_per_token"] = {
+            k: round(v) for k, v in ana.items()}
+        arm["mfu_pct"] = round(100 * flops / t_plain / V5E_BF16_PEAK, 2)
+        if cost["bytes"]:
+            arm["hbm_util_pct"] = round(
+                100 * cost["bytes"] / t_plain / V5E_HBM_BW, 2)
+            floor = max(flops / V5E_BF16_PEAK, cost["bytes"] / V5E_HBM_BW)
+            arm["sol_floor_ms"] = round(floor * 1e3, 2)
+            arm["pct_of_floor"] = round(100 * floor / t_plain, 1)
+        arms[moe_name] = arm
+        print(json.dumps({moe_name: arm}), flush=True)
+
+    if "competesmoe" in arms and "smoe" in arms:
+        results["cond_overhead_vs_smoe_pct"] = round(
+            100 * (arms["competesmoe"]["step_ms_plain"]
+                   / max(arms["smoe"]["step_ms_plain"], 1e-9) - 1), 2)
+    results["arms"] = arms
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    print(json.dumps({"metric": "train_step_ms_plain",
+                      "value": arms["competesmoe"]["step_ms_plain"],
+                      "unit": "ms",
+                      "detail": results}))
+
+
+if __name__ == "__main__":
+    main()
