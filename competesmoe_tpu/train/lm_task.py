@@ -90,9 +90,8 @@ def _task_args(parser: ArgumentParser):
     parser.add_argument("-lr_warmup", default=0)
     parser.add_argument("-grad_clip", default=0.25)
     parser.add_argument("-wd", default=0.0)
-    parser.add_argument("-opt.state_8bit", default=False,
-                        help="blockwise-int8 Adam mu/nu "
-                             "(train/quant_opt.py)")
+    # blockwise-int8 Adam mu/nu (train/quant_opt.py)
+    parser.add_argument("-opt.state_8bit", default=False)
     parser.add_argument("-amp", default=True)  # bf16 activations
     parser.add_argument("-save_interval", default=1000)
     parser.add_argument("-keep_last", default=2)
@@ -492,50 +491,129 @@ class SyntheticTransformerTask:
 
     def train(self) -> None:
         a = self.a
-        iter_meter = ElapsedTimeMeter()
-        load_meter = ElapsedTimeMeter()
+        import copy
+        import queue
+        import threading
+
+        iter_meter = ElapsedTimeMeter()   # async dispatch cost only
+        load_meter = ElapsedTimeMeter()   # queue wait (0 when prefetched)
         prof_start = a.profile.start_step
         prof_end = prof_start + a.profile.n_steps if prof_start >= 0 else -1
-        with self.mesh, self._ep_scope():
-            for step in range(self.start_step, a.stop_after):
-                if step == prof_start:
-                    jax.profiler.start_trace(str(self.run_dir / "trace"))
-                if step == prof_end:
-                    jax.profiler.stop_trace()
-                    print(f"profiler trace written to "
-                          f"{self.run_dir / 'trace'}")
-                with load_meter:
-                    batch = self.fetch_batch()
-                with iter_meter:
-                    self.state, metrics = self.train_step(self.state, batch)
+        from ..parallel import put_batch
+
+        # Background prefetch (the reference's StoppingParallelProducer,
+        # simple_task.py:175-180): window generation + device upload
+        # overlap the device step. The producer walks its OWN sampler
+        # copy; the checkpointed sampler is re-pinned to the consumed
+        # step before every saver tick, so a resume replays nothing and
+        # skips nothing regardless of queue depth.
+        q: queue.Queue = queue.Queue(maxsize=2)
+        stop_evt = threading.Event()
+        prod_sampler = copy.copy(self.sampler)
+
+        def produce():
+            try:
+                while not stop_evt.is_set():
+                    idx = next(prod_sampler)
+                    b = put_batch(self.dataset.batch(idx), self.mesh)
+                    while not stop_evt.is_set():
+                        try:
+                            q.put(b, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except Exception as e:  # noqa: BLE001 — surfaced at q.get
+                q.put(e)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+
+        def check_finite(step_metrics):
+            step_i, m = step_metrics
+            loss = float(m["loss/total"])
+            if not math.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss at step {step_i}: "
+                    f"{ {k: float(v) for k, v in m.items()} }")
+            return loss
+
+        prev = None          # (step, device-metrics) — one-step NaN lag
+        wall_t0 = time.perf_counter()
+        wall_steps = 0
+        try:
+            with self.mesh, self._ep_scope():
+                for step in range(self.start_step, a.stop_after):
+                    if step == prof_start:
+                        jax.profiler.start_trace(str(self.run_dir / "trace"))
+                    if step == prof_end:
+                        jax.profiler.stop_trace()
+                        print(f"profiler trace written to "
+                              f"{self.run_dir / 'trace'}")
+                    with load_meter:
+                        batch = q.get()
+                        if isinstance(batch, Exception):
+                            raise batch
+                    with iter_meter:
+                        self.state, metrics = self.train_step(self.state,
+                                                              batch)
+                    # Deferred NaN guard: fetching the PREVIOUS step's
+                    # loss blocks only until step-1 finishes while this
+                    # step is already queued on the device — the loop
+                    # pipelines instead of hard-syncing every step (the
+                    # reference checks in-step, simple_task.py:314-324;
+                    # the abort here lags one step).
+                    if prev is not None:
+                        check_finite(prev)
+                    prev = (step, metrics)
+                    wall_steps += 1
                     if step % a.log_interval == 0 or step == a.stop_after - 1:
-                        metrics = {k: float(v) for k, v in metrics.items()}
-                if not math.isfinite(metrics.get("loss/total", 0.0)):
-                    raise FloatingPointError(
-                        f"non-finite loss at step {step}: {metrics}")
-                if step % a.log_interval == 0 or step == a.stop_after - 1:
-                    from .logger import device_memory_stats
-                    tokens = a.batch_size * a.lm.unroll
-                    ms = iter_meter.mean_ms
-                    metrics.update({
-                        "timing/ms_per_iter": ms,
-                        "timing/ms_per_load": load_meter.mean_ms,
-                        "timing/ms_per_token": ms / tokens,
-                        "step_tokens_per_second": tokens / (ms / 1000.0)
-                        if ms else 0.0,
-                    })
-                    metrics.update(device_memory_stats())
-                    self.logger.log(step, metrics)
-                    iter_meter.reset()
-                    load_meter.reset()
-                if a.valid_interval and step and step % a.valid_interval == 0:
-                    ppl = self.validate()
-                    self.logger.log(step, {"valid/perplexity": ppl},
-                                    to_stdout=True)
+                        from .logger import device_memory_stats
+                        logm = {k: float(v) for k, v in metrics.items()}
+                        prev = None
+                        if not math.isfinite(logm.get("loss/total", 0.0)):
+                            raise FloatingPointError(
+                                f"non-finite loss at step {step}: {logm}")
+                        tokens = a.batch_size * a.lm.unroll
+                        # honest per-step wall time (device-synced by the
+                        # float conversions above): the r4 ms_per_iter
+                        # channel timed only async dispatch and
+                        # overstated throughput ~4.5x (214k vs a measured
+                        # 47k tok/s at batch 8 — tools/profile_train_step)
+                        wall_ms = 1e3 * (time.perf_counter() - wall_t0) \
+                            / max(wall_steps, 1)
+                        logm.update({
+                            "timing/ms_per_step_wall": wall_ms,
+                            "timing/ms_per_iter": iter_meter.mean_ms,
+                            "timing/ms_per_load": load_meter.mean_ms,
+                            "timing/ms_per_token": wall_ms / tokens,
+                            "step_tokens_per_second":
+                                tokens / (wall_ms / 1000.0),
+                        })
+                        logm.update(device_memory_stats())
+                        self.logger.log(step, logm)
+                        iter_meter.reset()
+                        load_meter.reset()
+                        wall_t0 = time.perf_counter()
+                        wall_steps = 0
+                    if (a.valid_interval and step
+                            and step % a.valid_interval == 0):
+                        ppl = self.validate()
+                        self.logger.log(step, {"valid/perplexity": ppl},
+                                        to_stdout=True)
+                        wall_t0 = time.perf_counter()
+                        wall_steps = 0
+                    # re-pin the checkpointed sampler to the CONSUMED
+                    # position (the producer's copy runs ahead by the
+                    # queue depth)
+                    self.sampler.pos = step + 1
+                    self.saver["state"] = self.state
+                    self.saver.tick(step + 1)
+                if prev is not None:
+                    check_finite(prev)
                 self.saver["state"] = self.state
-                self.saver.tick(step + 1)
-            self.saver["state"] = self.state
-            self.saver.save(a.stop_after)
+                self.saver.save(a.stop_after)
+        finally:
+            stop_evt.set()
 
     def test(self) -> Dict[str, float]:
         res = {"valid/perplexity": self.validate()}

@@ -163,7 +163,10 @@ def make_train_step(model: MoELanguageModel,
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             total, ce, reg, n_tok = (acc[0] * inv, acc[1] * inv,
                                      acc[2] * inv, acc[3])
-            agree, ncomp = acc[4], acc[5]
+            # every microbatch sees the same step, hence the same flips:
+            # un-sum so n_flip_layers reports true layer counts (the
+            # agreement ratio is scale-invariant either way)
+            agree, ncomp = acc[4] * inv, acc[5] * inv
         else:
             (total, (ce, reg, n_tok, agree, ncomp)), grads = loss_for(
                 state.params, state.step, tokens)

@@ -8,7 +8,7 @@ and decode stories have (reference throughput channels:
 /root/reference/moe_pretrain_model/framework/task/task.py:360-373).
 
 What it measures (all on the current backend, each timed with
-block_until_ready over --iters calls, minus a measured per-call RPC
+a scalar device->host fetch over --iters calls, minus a measured per-call RPC
 floor so tunnel dispatch doesn't pollute 37 ms-scale numbers):
 
 * full train step (grad + Adam update) at a NON-flip step and at the
@@ -71,30 +71,25 @@ def build(moe_name: str, a) -> tuple:
     return model, cfg, schedule
 
 
+def sync(out) -> float:
+    """Force completion by FETCHING a scalar. On the axon remote backend
+    block_until_ready returns as soon as the RPC is issued (measured
+    2026-08-19: a 154M train step 'completed' in 1.66 ms by
+    block_until_ready while scalar fetches showed ~1.8 s of device
+    work) — only a device->host read is an honest barrier."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def timed(fn, args, iters: int, rpc_floor: float) -> float:
-    """Median per-call seconds minus the RPC floor."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Median per-call seconds (scalar-fetch synced) minus the floor."""
+    sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return max(float(np.median(ts)) - rpc_floor, 0.0)
-
-
-def timed_state(step_fn, state, tokens, iters, rpc_floor):
-    """Like timed() but threads the donated TrainState through."""
-    state, m = step_fn(state, tokens)  # warm (compile)
-    jax.block_until_ready(m)
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        state, m = step_fn(state, tokens)
-        jax.block_until_ready(m)
-        ts.append(time.perf_counter() - t0)
-    return max(float(np.median(ts)) - rpc_floor, 0.0), state
 
 
 def cost_of(compiled) -> dict:
@@ -164,11 +159,13 @@ def main() -> None:
     # per-call RPC floor: a trivial jitted op, same dispatch path
     noop = jax.jit(lambda x: x + 1)
     x0 = jnp.zeros((8,), jnp.float32)
-    jax.block_until_ready(noop(x0))
-    rpc = float(np.median([(
-        lambda t0: (jax.block_until_ready(noop(x0)),
-                    time.perf_counter() - t0)[1])(time.perf_counter())
-        for _ in range(30)]))
+    sync(noop(x0))
+    floors = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        sync(noop(x0))
+        floors.append(time.perf_counter() - t0)
+    rpc = float(np.median(floors))
 
     tokens = jnp.asarray(np.random.default_rng(0).integers(
         0, args.vocab, size=(args.batch, args.seq + 1), dtype=np.int32))
@@ -216,12 +213,12 @@ def main() -> None:
             ts = []
             state = pin(state, jnp.asarray(step_val, jnp.int32))
             s2, m = step_fn(state, tokens)  # compile + warm
-            jax.block_until_ready(m)
+            sync(m["loss/total"])
             state = pin(s2, jnp.asarray(step_val, jnp.int32))
             for _ in range(args.iters):
                 t0 = time.perf_counter()
                 s2, m = step_fn(state, tokens)
-                jax.block_until_ready(m)
+                sync(m["loss/total"])
                 ts.append(time.perf_counter() - t0)
                 state = pin(s2, jnp.asarray(step_val, jnp.int32))
             # the pin call rides inside the timed region only via the
@@ -261,7 +258,7 @@ def main() -> None:
                       args.iters, rpc)
         grads = jax.jit(jax.grad(fwd_loss))(
             state.params, tokens, jnp.asarray(plain_step, jnp.int32))
-        jax.block_until_ready(grads)
+        sync(grads)
 
         def opt_only(g, os_, p):
             upd, os2 = opt.update(g, os_, p)
