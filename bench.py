@@ -352,11 +352,29 @@ def main():
             # remaining headroom is actually claimed.
             "decode_pct_of_v5e_composite_sol_weights_plus_kv": 82.2,
             # 154M CompeteSMoE LM train throughput (16 layers, E=64,
-            # es=128, k=8, bf16, batch 16 x 512 tokens, flip schedule
-            # active, v5e-1, 2026-08-16 after the composite-key dispatch
-            # rewrite): ~214k tokens/sec/chip (~37 ms/step) via cli.main
-            # synthetic_transformer — up from 118k (~70 ms/step) in r1.
-            "train_tok_per_sec_chip_154m": 214000.0,
+            # es=128, k=8, bf16, batch 8 x 1024 tokens, v5e-1).
+            # CORRECTED 2026-08-19: rounds 1-4 quoted ~214k tok/s from
+            # the step_tokens_per_second channel, which timed only ASYNC
+            # DISPATCH (block_until_ready returns at RPC-issue on this
+            # backend). tools/profile_train_step.py with honest
+            # scalar-fetch syncs measures 47.4k tok/s plain (172.8
+            # ms/step), flip step 230.4 ms (1.333x), schedule average
+            # 194.8 ms (+12.75%), lax.cond overhead on non-flip steps
+            # vs an smoe arm +10%; smoe runs at 81.3% of its XLA-bytes
+            # HBM floor (the step is bandwidth-bound, not MXU-bound).
+            # Raw: results/r5/train_roofline.json; docs/perf.md Training.
+            "train_tok_per_sec_chip_154m": 47404.0,
+            "train_tok_per_sec_chip_154m_schedule_avg": 42054.0,
+            "train_step_mfu": {
+                "step_ms_plain": 172.81, "step_ms_flip": 230.37,
+                "flip_premium_x": 1.333, "schedule_overhead_pct": 12.75,
+                "stage_ms": {"forward": 52.48, "backward": 110.8,
+                             "optimizer": 9.54},
+                "mfu_pct_analytic": 5.4,
+                "smoe_pct_of_hbm_byte_floor": 81.3,
+                "note": "bandwidth-bound; analytic MFU = 3 x 75 MFLOP/"
+                        "token at 47.4k tok/s over 197 TFLOP/s v5e peak",
+            },
             # full 5.09B multimodal pipeline (image -> SigLIP-so400m MoE
             # tower -> MoE projector -> Phi-3.5 decoder), batch 1, v5e-1:
             # 0.42 s for image prefill + 32 greedy tokens (~76 tok/s/seq)
