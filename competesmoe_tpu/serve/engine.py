@@ -248,6 +248,12 @@ class DecodeEngine:
                       if prefix_cache_slots > 0 else None)
         self._park_meta: List[Optional[dict]] = [None] * prefix_cache_slots
         self._park_clock = 0
+        # retirements queue (park_idx, live_slot) here and flush as ONE
+        # batched device call at the top of the next tick — before
+        # _admit can reuse the source slots (round-4 measured the
+        # per-retirement park_put call canceling the cache's suffix
+        # savings at chat-scale histories)
+        self._park_pending: List[tuple] = []
         self._prefix_hits = 0
         self.error: Optional[Exception] = None
         self._tokens_emitted = 0
@@ -453,6 +459,32 @@ class DecodeEngine:
                          if park.v_scale is not None else None))
 
         self._park_put = park_put
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def park_put_group(park: KVCache, cache: KVCache, park_slots,
+                           live_slots):
+            """Snapshot MANY live cache rows into the park buffer in one
+            call (deferred-retirement flush). Rows padded with
+            park_slot == park_n are dropped by the scatter."""
+            def cp(pbuf, cbuf):
+                if isinstance(pbuf, (list, tuple)):
+                    return type(pbuf)(
+                        pb.at[park_slots].set(
+                            jnp.take(cb, live_slots, axis=0), mode="drop")
+                        for pb, cb in zip(pbuf, cbuf))
+                return pbuf.at[:, park_slots].set(
+                    jnp.take(cbuf, live_slots, axis=1), mode="drop")
+
+            return KVCache(
+                k=cp(park.k, cache.k), v=cp(park.v, cache.v),
+                pos=park.pos.at[park_slots].set(
+                    jnp.take(cache.pos, live_slots), mode="drop"),
+                k_scale=(cp(park.k_scale, cache.k_scale)
+                         if park.k_scale is not None else None),
+                v_scale=(cp(park.v_scale, cache.v_scale)
+                         if park.v_scale is not None else None))
+
+        self._park_put_group = park_put_group
 
         def _take_rows(buf, idxs, batch_axis):
             if isinstance(buf, (list, tuple)):  # per_layer layout
@@ -679,9 +711,14 @@ class DecodeEngine:
         self._emit_admission(toks, [req for req, _ in hits])
 
     def _park_row(self, req: _Request):
-        """Snapshot a retiring slot's row for later prefix reuse. The
-        last emitted token was never fed, so the row holds KV for
-        prompt + emitted[:-1]."""
+        """Queue a retiring slot's row for prefix reuse. The device copy
+        is DEFERRED to _flush_parks() at the top of the next tick —
+        before _admit can reuse the slot — so N retirements in a tick
+        cost one batched call instead of N (round 4 measured the
+        per-retirement call canceling the suffix savings). The last
+        emitted token was never fed, so the row holds KV for
+        prompt + emitted[:-1]; any junk an in-flight pipelined step
+        appends past that is masked by the unpark's pos0 = meta len."""
         fed = req.emitted[:-1]
         parked_len = req.base_len + len(fed)
         if parked_len + 1 >= self.max_len:
@@ -689,10 +726,32 @@ class DecodeEngine:
         key = tuple(int(t) for t in req.ids) + tuple(fed)
         pidx = self._park_clock % self._park_n
         self._park_clock += 1
-        self._park = self._park_put(self._park, self._cache,
-                                    jnp.int32(pidx), jnp.int32(req.slot))
         self._park_meta[pidx] = {"ids": key, "len": parked_len,
                                  "pxhash": self._px_hash(req.pixel_values)}
+        self._park_pending.append((pidx, req.slot))
+
+    def _flush_parks(self):
+        """One batched park_put_group for every retirement queued since
+        the last tick (pow-2 padded; pad rows carry park_slot == park_n,
+        dropped by the scatter). Duplicate park indices (clock wrap
+        within one flush) keep only the newest snapshot, matching the
+        meta that survived."""
+        if not self._park_pending:
+            return
+        newest = {}
+        for pidx, slot in self._park_pending:
+            newest[pidx] = slot
+        self._park_pending.clear()
+        n = len(newest)
+        np2 = _bucket(n, lo=1)
+        pidxs = np.full((np2,), self._park_n, np.int32)
+        lidxs = np.zeros((np2,), np.int32)
+        for i, (pidx, slot) in enumerate(newest.items()):
+            pidxs[i] = pidx
+            lidxs[i] = slot
+        self._park = self._park_put_group(
+            self._park, self._cache, jnp.asarray(pidxs),
+            jnp.asarray(lidxs))
 
     # -- engine thread -----------------------------------------------------
 
@@ -871,6 +930,8 @@ class DecodeEngine:
         """One engine iteration: admit pending requests, then one batched
         step call. Called only from the engine thread (or from tests with
         run_thread=False) — TPU access stays single-threaded."""
+        if self._park_n:
+            self._flush_parks()   # before _admit can reuse source slots
         self._admit()
         if self._pf_chunk_n:
             self._pf_start()
@@ -1280,6 +1341,7 @@ class DecodeEngine:
                     # would otherwise prefix-hit THIS pass's firsts and
                     # reroute them off the burst path
                     self._park_meta = [None] * self._park_n
+                    self._park_pending.clear()
                     firsts = _burst(_wlen(buckets[0]), size, 0.0, 1.0,
                                     max_new=4)
                     self._hold_admission = True
@@ -1305,6 +1367,7 @@ class DecodeEngine:
             self._hold_admission = False
             # scrub: telemetry + prefix cache reflect real traffic only
             self._park_meta = [None] * self._park_n
+            self._park_pending.clear()
             self._park_clock = 0
             self._prefix_hits = 0
             self._spec_calls = self._spec_accepted = self._spec_tokens = 0

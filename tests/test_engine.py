@@ -1311,3 +1311,66 @@ def test_engine_pipelined_cancellation_retires_and_reuses(tiny_model):
         assert engine.error is None
     finally:
         engine.shutdown()
+
+
+def test_engine_park_flush_batches_retirements(tiny_model):
+    """Retirements queue host-side and the device copy happens as ONE
+    batched park_put_group at the next tick — never the per-retirement
+    park_put call round 4 measured canceling the prefix cache's suffix
+    savings. Hits against the flushed rows stay token-exact."""
+    model, params = tiny_model
+    prompts = [np.arange(1 + 7 * i, 9 + 7 * i, dtype=np.int32) % 60 + 1
+               for i in range(3)]
+    engine = DecodeEngine(model, params, n_slots=4, max_len=64,
+                          run_thread=False, prefix_cache_slots=4)
+    try:
+        import time as _t
+
+        group_calls = []
+        orig_group = engine._park_put_group
+
+        def spy_group(park, cache, pidxs, lidxs):
+            group_calls.append(np.asarray(pidxs).shape[0])
+            return orig_group(park, cache, pidxs, lidxs)
+
+        engine._park_put_group = spy_group
+        engine._park_put = None  # the per-retirement path must be dead
+
+        def drain(dones, n_queued):
+            deadline = _t.time() + 120
+            while (engine._requests.qsize() < n_queued
+                   and _t.time() < deadline):
+                _t.sleep(0.01)
+            while (not all(d.is_set() for d in dones)
+                   and _t.time() < deadline):
+                engine._tick()
+            assert all(d.is_set() for d in dones), "engine stalled"
+
+        outs, dones = zip(*[_collect(engine, p, max_new=5)
+                            for p in prompts])
+        drain(dones, 3)
+        # the three requests retired in at most a couple of ticks; every
+        # flush was batched (pow-2 padded) and none went row-by-row
+        engine._tick()  # final flush opportunity
+        assert not engine._park_pending
+        assert group_calls, "no batched park flush happened"
+        assert sum(group_calls) >= 3  # all three rows parked (with pads)
+
+        followups = [np.concatenate([p, np.asarray(o, np.int32),
+                                     np.asarray([40 + i, 41], np.int32)])
+                     for i, (p, o) in enumerate(zip(prompts, outs))]
+        outs2, dones2 = zip(*[_collect(engine, f, max_new=5)
+                              for f in followups])
+        drain(dones2, 3)
+        assert engine.stats()["engine_prefix_cache_hits"] == 3
+        assert engine.error is None
+    finally:
+        engine.shutdown()
+
+    for f, got in zip(followups, outs2):
+        cold = DecodeEngine(model, params, n_slots=2, max_len=64)
+        try:
+            want = list(cold.submit(f, max_new_tokens=5))
+        finally:
+            cold.shutdown()
+        assert got == want, f"parked-flush {got} != cold {want}"
