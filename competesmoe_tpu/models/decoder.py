@@ -426,10 +426,15 @@ class QuantDense(nn.Module):
             m = int(np.prod(lead)) if lead else 1
             use_pallas = False
             if self.matvec_kernel and self.mode == "int8":
-                from ..ops.matvec import (quant_small_m_matmul,
+                from ..ops.matvec import (MAX_QUANT_M,
+                                          quant_small_m_matmul,
                                           small_m_viable)
+                # quantized cap (128, not 32): the fallback materializes
+                # a dequantized bf16 operand, so the kernel must also
+                # cover speculative-verify shapes (M = batch*(1+k))
                 use_pallas = (jax.default_backend() != "cpu"
-                              and small_m_viable(m, in_dim, self.features))
+                              and small_m_viable(m, in_dim, self.features,
+                                                 max_m=MAX_QUANT_M))
             if use_pallas:
                 y = quant_small_m_matmul(
                     x.reshape(m, in_dim), kernel_q,

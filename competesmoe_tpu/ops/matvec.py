@@ -39,6 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 # Max M for which the Pallas path is used; above this XLA's GEMM is
 # compute-efficient and wins.
 MAX_SMALL_M = 32
+# Quantized kernels get a higher cap: XLA has NO lowering that streams
+# int8/packed-int4 bytes at full bandwidth (the fallbacks read
+# dequantized or twice-read traffic), so the Pallas path stays the
+# bandwidth winner well past M=32. Compute stays sub-dominant up to
+# M~128 (time_compute/time_bw = M/236 at the measured 834 GB/s), which
+# is exactly the speculative-verify regime: M = batch*(1+k) = 40 at the
+# serving default, where falling back doubled the int4 weight stream
+# (the 2.13x verify premium in docs/perf.md's spec-step table).
+MAX_QUANT_M = 128
 _BLOCK_K = (512, 1024, 256, 128)
 _BLOCK_N = (1024, 512, 256, 128)   # Pallas TPU: last block dim % 128 == 0
 
@@ -50,8 +59,15 @@ def _pick(block_options, dim):
     return None
 
 
-def small_m_viable(m: int, k: int, n: int) -> bool:
-    return (m <= MAX_SMALL_M
+def _m_ok(m: int, cap: int) -> bool:
+    # above the classic small-M regime, require sublane alignment so the
+    # (m, block_k) operand tiles stay Mosaic-friendly
+    return m <= min(MAX_SMALL_M, cap) or (m % 8 == 0 and m <= cap)
+
+
+def small_m_viable(m: int, k: int, n: int,
+                   max_m: int = MAX_SMALL_M) -> bool:
+    return (_m_ok(m, max_m)
             and _pick(_BLOCK_K, k) is not None
             and _pick(_BLOCK_N, n) is not None)
 
@@ -117,8 +133,10 @@ def small_m_matmul(x: jax.Array, w: jax.Array,
 
 def small_m_viable_int4(m: int, k: int, n: int) -> bool:
     """Viability of the packed-int4 kernel: the K blocks tile the PACKED
-    rows (k//2)."""
-    return (m <= MAX_SMALL_M and k % 2 == 0
+    rows (k//2). Cap is MAX_QUANT_M (not MAX_SMALL_M): the fallback pays
+    int8-equivalent traffic, so the kernel must cover the speculative
+    verify shapes (M = batch*(1+k))."""
+    return (_m_ok(m, MAX_QUANT_M) and k % 2 == 0
             and _pick(_BLOCK_K, k // 2) is not None
             and _pick(_BLOCK_N, n) is not None)
 

@@ -44,6 +44,20 @@ def test_small_m_viable():
     assert not small_m_viable(8, 3072, 100)     # N not 128-divisible
 
 
+@pytest.mark.fast
+def test_quant_m_cap_covers_verify_shapes():
+    """Quantized kernels must fire at speculative-verify shapes
+    (M = batch*(1+k)): the fallbacks pay dequantized / int8-equivalent
+    weight traffic — the measured 2.13x int4 verify premium."""
+    from competesmoe_tpu.ops.matvec import MAX_QUANT_M, small_m_viable_int4
+    assert small_m_viable(40, 3072, 9216, max_m=MAX_QUANT_M)   # 8*(1+4)
+    assert small_m_viable_int4(40, 3072, 9216)
+    assert small_m_viable_int4(128, 3072, 9216)
+    assert not small_m_viable_int4(136, 3072, 9216)  # beyond the cap
+    assert not small_m_viable_int4(41, 3072, 9216)   # unaligned sublane
+    assert not small_m_viable(40, 3072, 9216)        # bf16 cap unchanged
+
+
 @pytest.mark.parametrize("m,k,n", [(1, 512, 1024), (8, 768, 384),
                                    (16, 1024, 128)])
 @pytest.mark.fast
@@ -200,11 +214,12 @@ def test_deferred_decode_token_exact(kv_quant):
 
 
 @pytest.mark.fast
-def test_quant_small_m_matmul_int4_matches_halves():
+@pytest.mark.parametrize("m", [8, 40, 128])   # plain / verify / cap
+def test_quant_small_m_matmul_int4_matches_halves(m):
     from competesmoe_tpu.models.decoder import pack_int4, unpack_int4
     from competesmoe_tpu.ops.matvec import (quant_small_m_matmul_int4,
                                             small_m_viable_int4)
-    m, k, n = 8, 1024, 256
+    k, n = 1024, 256
     kx, kw, ks = jax.random.split(jax.random.PRNGKey(4), 3)
     x = jax.random.normal(kx, (m, k), jnp.float32).astype(jnp.bfloat16)
     q = jax.random.randint(kw, (k, n), -7, 8, jnp.int32).astype(jnp.int8)

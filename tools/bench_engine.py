@@ -47,6 +47,39 @@ from bench_decode import random_bf16_params  # noqa: E402
 
 
 def build_model(a):
+    if a.vision == "siglip":
+        # real 5.1B multimodal geometry (SigLIP-so400m MoE tower + MoE
+        # projector): the configuration where the prefix cache's claimed
+        # win region lives — a turn-2 hit skips the 430M-param vision
+        # forward AND the 256-image-token splice prefill entirely
+        from bench_e2e_mm import HF_5P1B, random_params
+        from competesmoe_tpu.constants import IMAGE_TOKEN_INDEX
+        from competesmoe_tpu.models.builder import llava_config_from_hf
+        hf = dict(HF_5P1B)
+        hf["num_hidden_layers"] = a.layers
+        if a.tiny:  # CPU smoke: same code paths, 4 image tokens
+            hf.update(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_attention_heads=4,
+                      num_key_value_heads=4, mm_hidden_size=32,
+                      max_position_embeddings=2048,
+                      original_max_position_embeddings=2048,
+                      vision_config=dict(
+                          hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          image_size=28, patch_size=14))
+        cfg = llava_config_from_hf(hf, "llava_phi", jnp.bfloat16)
+        if a.quant or a.kv_quant:
+            cfg = dataclasses.replace(
+                cfg, decoder=dataclasses.replace(
+                    cfg.decoder, quant=a.quant or None,
+                    kv_quant=a.kv_quant or None))
+        model = LlavaModel(cfg)
+        s = cfg.vision.image_size
+        ids = np.full((1, 8), 5, np.int32)
+        ids[0, 0] = IMAGE_TOKEN_INDEX
+        px = np.zeros((1, s, s, 3), np.float32)
+        return model, random_params(model, jnp.asarray(ids),
+                                    jnp.asarray(px))
     dec = dataclasses.replace(phi35_mini_config(),
                               num_hidden_layers=a.layers,
                               quant=a.quant or None,
@@ -146,7 +179,22 @@ def main():
                          "CPU-runnable end-to-end smoke of the full "
                          "engine (admission, chunked prefill, spec, "
                          "prefix cache) — numbers are NOT perf data")
+    ap.add_argument("--vision", default="tiny",
+                    choices=["tiny", "siglip"],
+                    help="'siglip' builds the real 5.1B SigLIP-so400m "
+                         "MoE tower + MoE projector (vs the inert tiny "
+                         "tower) — required for --image-turns to mean "
+                         "anything")
+    ap.add_argument("--image-turns", action="store_true",
+                    help="multi-turn where every request carries an "
+                         "image (one <image> sentinel per prompt, the "
+                         "SAME image on turn 2): with --prefix-cache "
+                         "the turn-2 hit skips the vision forward and "
+                         "the image-token prefill — the cache's "
+                         "claimed win region")
     a = ap.parse_args()
+    if a.image_turns:
+        a.multi_turn = True
 
     model, params = build_model(a)
     rng = np.random.default_rng(0)
@@ -158,6 +206,16 @@ def main():
     else:
         prompts = [rng.integers(10, hi, a.prompt_len).astype(np.int32)
                    for _ in range(a.requests)]
+    pixels = [None] * a.requests
+    if a.image_turns:
+        from competesmoe_tpu.constants import IMAGE_TOKEN_INDEX
+        s = model.cfg.vision.image_size
+        for i in range(a.requests):
+            prompts[i][0] = IMAGE_TOKEN_INDEX
+            # distinct image per conversation: hits must come from THIS
+            # conversation's parked row (prefix AND pixel hash match)
+            pixels[i] = rng.normal(0, 0.5, (1, s, s, 3)
+                                   ).astype(np.float32)
 
     engine = DecodeEngine(model, params, n_slots=a.slots,
                           max_len=a.max_len,
@@ -178,8 +236,10 @@ def main():
     warm_buckets = [a.prompt_len]
     if a.multi_turn:
         warm_buckets.append(a.prompt_len + a.max_new + 12)
+    img_shapes = ([pixels[0].shape] if a.image_turns else ())
     w = engine.warmup(prompt_buckets=warm_buckets,
-                      sampled=(a.temperature > 0))
+                      sampled=(a.temperature > 0),
+                      image_shapes=img_shapes)
     print(f"warmup: {len(w['programs'])} programs in {w['seconds']} s",
           flush=True)
 
@@ -220,7 +280,8 @@ def main():
         last = t_submit
         max_gap = 0.0
         toks1 = []
-        for tok in engine.submit(prompts[i], max_new_tokens=a.max_new,
+        for tok in engine.submit(prompts[i], pixel_values=pixels[i],
+                                 max_new_tokens=a.max_new,
                                  temperature=a.temperature,
                                  top_p=a.top_p):
             now = time.perf_counter()
@@ -240,14 +301,17 @@ def main():
             p2 = np.concatenate([
                 prompts[i], np.asarray(toks1[:-1], np.int32),
                 turn2_qs[i]])
-            if len(p2) + a.max_new + a.spec > a.max_len:
+            p_img = int(getattr(model.cfg, "num_image_tokens", 0) or 0)
+            exp2 = len(p2) + (max(p_img - 1, 0) if a.image_turns else 0)
+            if exp2 + a.max_new + a.spec > a.max_len:
                 raise SystemExit(
-                    f"--multi-turn: turn-2 prompt {len(p2)} + max_new "
-                    f"{a.max_new} exceeds --max-len {a.max_len}; raise "
-                    "--max-len or lower --max-new/--prompt-len")
+                    f"--multi-turn: turn-2 prompt {exp2} (expanded) + "
+                    f"max_new {a.max_new} exceeds --max-len {a.max_len};"
+                    " raise --max-len or lower --max-new/--prompt-len")
             t2 = time.perf_counter()
             first2 = None
-            for tok in engine.submit(p2, max_new_tokens=a.max_new,
+            for tok in engine.submit(p2, pixel_values=pixels[i],
+                                     max_new_tokens=a.max_new,
                                      temperature=a.temperature,
                                      top_p=a.top_p):
                 if first2 is None:
@@ -315,9 +379,14 @@ def main():
             "prefix_cache": a.prefix_cache,
             **({"ttft2_s_median": round(float(np.median(
                     [r["ttft2_s"] for r in results])), 3),
+                "ttft2_s_p90": round(float(np.percentile(
+                    [r["ttft2_s"] for r in results], 90)), 3),
                 "prefix_cache_hits": engine.stats()[
                     "engine_prefix_cache_hits"]}
                if a.multi_turn else {}),
+            **({"vision": a.vision, "image_turns": True,
+                "image_tokens": int(model.cfg.num_image_tokens)}
+               if a.image_turns else {}),
             "wall_s": round(t1 - t0, 2),
             "device": str(jax.devices()[0]),
         }}))
