@@ -288,6 +288,13 @@ def main() -> None:
             floor = max(flops / V5E_BF16_PEAK, cost["bytes"] / V5E_HBM_BW)
             arm["sol_floor_ms"] = round(floor * 1e3, 2)
             arm["pct_of_floor"] = round(100 * floor / t_plain, 1)
+            if arm.get("n_flip_layers_at_max"):
+                # XLA cost analysis sums BOTH lax.cond branches plus the
+                # jax.checkpoint recompute, so a flip-capable arm's byte
+                # count is not a floor (pct_of_floor can exceed 100);
+                # anchor floors on the cond-free smoe arm instead
+                arm["cost_analysis_note"] = (
+                    "cond branches double-counted; not a floor")
         arms[moe_name] = arm
         print(json.dumps({moe_name: arm}), flush=True)
 
