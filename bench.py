@@ -89,9 +89,41 @@ def _devices_with_timeout(seconds: float = 180.0):
     return box.get("d")
 
 
+def _algo_ab_detail():
+    """Round-5 algorithm A/B headline (competesmoe vs smoe at matched
+    token budget, 154M geometry, tools/run_algo_ab.py) if the study has
+    been run — the science result alongside the perf result."""
+    import os
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "results", "r5", "algo_ab_s0.json")
+    try:
+        with open(p) as f:
+            r = json.load(f)
+        arms, delta = r["arms"], r.get("delta", {})
+        ag = arms["competesmoe"]["curves"]["agreement"]
+        return {
+            "valid_ppl_competesmoe": round(
+                arms["competesmoe"]["valid_ppl_matched"], 4),
+            "valid_ppl_smoe": round(arms["smoe"]["valid_ppl_matched"], 4),
+            "valid_ppl_delta_pct": round(delta.get(
+                "valid_ppl_rel_pct", float("nan")), 3),
+            "mode_expert_mi_bits_competesmoe": round(
+                arms["competesmoe"]["mode_expert_mi_bits_mean"], 4),
+            "mode_expert_mi_bits_smoe": round(
+                arms["smoe"]["mode_expert_mi_bits_mean"], 4),
+            "router_affinity_agreement_first_last": (
+                [round(ag[0], 3), round(ag[-1], 3)] if ag else None),
+            "tokens_per_arm": r.get("tokens_per_arm"),
+            "raw": "results/r5/algo_ab_s0.json; docs/science.md",
+        }
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def main():
     from competesmoe_tpu.ops import expert_compute as ec
 
+    algo_ab = _algo_ab_detail()
     if _devices_with_timeout() is None:
         # tunnel down: report the most recent on-chip measurement,
         # clearly flagged (docs/perf.md 2026-08-17 stage profile; the
@@ -120,7 +152,9 @@ def main():
                         "model, docs/perf.md). "
                         "Re-run when the tunnel is up for a live "
                         "number (tools/run_tpu_battery.sh runs the "
-                        "full serving measurement set)."}}), flush=True)
+                        "full serving measurement set).",
+                **({"algo_ab": algo_ab} if algo_ab else {})}}),
+              flush=True)
         # the hung backend-init thread is not a daemon the interpreter
         # can shed — exit hard after flushing the one contract line
         import os
@@ -403,6 +437,7 @@ def main():
             # decode 1503.8 tok/s) in docs/perf.md + results/r4/.
             "engine_aggregate_tok_s_5p1b_int8_kv8": 482.6,
             "engine_aggregate_tok_s_5p1b_int8_kv8_pipeline2": 615.4,
+            **({"algo_ab": algo_ab} if algo_ab else {}),
         },
     }))
 
