@@ -114,25 +114,32 @@ def train_arm(arm: str, steps: int, seed: int, out_root: Path,
 
 
 def load_curves(run: Path) -> dict:
-    """Pull the channels the study needs out of log_trainer.jsonl."""
-    out = {"step": [], "loss_ce": [], "valid_step": [], "valid_ppl": [],
-           "agree_step": [], "agreement": [], "tok_s": []}
+    """Pull the channels the study needs out of log_trainer.jsonl.
+
+    The logger appends across preemption resumes, so a replayed window
+    logs the same step twice — keep the LAST record per step (the one
+    whose optimizer state actually flowed into the final model).
+    """
+    ce, ppl, agree = {}, {}, {}
+    tok_s = []
     with open(run / "log_trainer.jsonl") as f:
         for line in f:
             m = json.loads(line)
             s = m["step"]
             if "loss/ce" in m:
-                out["step"].append(s)
-                out["loss_ce"].append(m["loss/ce"])
+                ce[s] = m["loss/ce"]
             if "valid/perplexity" in m:
-                out["valid_step"].append(s)
-                out["valid_ppl"].append(m["valid/perplexity"])
+                ppl[s] = m["valid/perplexity"]
             if m.get("competesmoe/router_agreement", -1) >= 0:
-                out["agree_step"].append(s)
-                out["agreement"].append(m["competesmoe/router_agreement"])
+                agree[s] = m["competesmoe/router_agreement"]
             if "step_tokens_per_second" in m:
-                out["tok_s"].append(m["step_tokens_per_second"])
-    return out
+                tok_s.append(m["step_tokens_per_second"])
+    return {"step": sorted(ce), "loss_ce": [ce[s] for s in sorted(ce)],
+            "valid_step": sorted(ppl),
+            "valid_ppl": [ppl[s] for s in sorted(ppl)],
+            "agree_step": sorted(agree),
+            "agreement": [agree[s] for s in sorted(agree)],
+            "tok_s": tok_s}
 
 
 def _build_task(arm: str, steps: int, seed: int, out_root: Path):
