@@ -121,7 +121,7 @@ def load_curves(run: Path) -> dict:
     whose optimizer state actually flowed into the final model).
     """
     ce, ppl, agree = {}, {}, {}
-    tok_s = []
+    tok_s, wall_ms = [], []
     with open(run / "log_trainer.jsonl") as f:
         for line in f:
             m = json.loads(line)
@@ -134,12 +134,45 @@ def load_curves(run: Path) -> dict:
                 agree[s] = m["competesmoe/router_agreement"]
             if "step_tokens_per_second" in m:
                 tok_s.append(m["step_tokens_per_second"])
+            if "timing/ms_per_step_wall" in m:
+                wall_ms.append(m["timing/ms_per_step_wall"])
     return {"step": sorted(ce), "loss_ce": [ce[s] for s in sorted(ce)],
             "valid_step": sorted(ppl),
             "valid_ppl": [ppl[s] for s in sorted(ppl)],
             "agree_step": sorted(agree),
             "agreement": [agree[s] for s in sorted(agree)],
-            "tok_s": tok_s}
+            "tok_s": tok_s, "wall_ms": wall_ms}
+
+
+def matched_wallclock_ppl(compete: dict, smoe: dict, steps: int) -> dict:
+    """The caveat check: competesmoe pays a flip-step premium per step,
+    so at matched WALL-CLOCK (not matched tokens) smoe trains further.
+    Evaluate the inverse framing that needs no extra training: the
+    competesmoe valid-ppl curve interpolated at the step count it would
+    have reached in the wall time smoe spent on all `steps` steps,
+    vs smoe's final ppl."""
+    import statistics
+    w_c = statistics.median(compete["curves"]["wall_ms"])
+    w_s = statistics.median(smoe["curves"]["wall_ms"])
+    eq_steps = min(float(steps), steps * w_s / w_c)
+    vs, vp = compete["curves"]["valid_step"], compete["curves"]["valid_ppl"]
+    ppl_c = None
+    for i in range(1, len(vs)):
+        if vs[i] >= eq_steps:
+            t = (eq_steps - vs[i - 1]) / max(vs[i] - vs[i - 1], 1e-9)
+            ppl_c = vp[i - 1] + t * (vp[i] - vp[i - 1])
+            break
+    if ppl_c is None and vp:
+        ppl_c = vp[-1]
+    return {
+        "median_wall_ms_competesmoe": round(w_c, 1),
+        "median_wall_ms_smoe": round(w_s, 1),
+        "flip_wall_premium_pct": round(100.0 * (w_c / w_s - 1.0), 2),
+        "competesmoe_equivalent_steps": round(eq_steps, 1),
+        "competesmoe_ppl_at_smoe_wallclock": ppl_c,
+        "smoe_ppl_final": smoe["curves"]["valid_ppl"][-1]
+        if smoe["curves"]["valid_ppl"] else None,
+    }
 
 
 def _build_task(arm: str, steps: int, seed: int, out_root: Path):
@@ -302,6 +335,9 @@ def main() -> None:
             "mi_bits_mean": a0["mode_expert_mi_bits_mean"]
             - a1["mode_expert_mi_bits_mean"],
         }
+        if a0["curves"]["wall_ms"] and a1["curves"]["wall_ms"]:
+            results["matched_wallclock"] = matched_wallclock_ppl(
+                a0, a1, args.steps)
 
     out_file = out_root / f"algo_ab_s{args.seed}.json"
     with open(out_file, "w") as f:
