@@ -56,6 +56,14 @@ def main() -> None:
     ax_ppl.set(xlabel="step", ylabel="valid perplexity", yscale="log",
                title="matched-window valid ppl")
     ax_ppl.legend(frameon=False)
+    # chance level for top-k of E experts: E[|router∩affinity|]/k = k/E
+    g = r.get("geometry", {})
+    k = int(g.get("-pkm.n_heads", 8))
+    n_exp = int(g.get("-moe.n_experts", 64))
+    ax_ag.axhline(k / n_exp, color="#888888", lw=0.8, ls="--")
+    ax_ag.text(0.02, k / n_exp + 0.02, f"chance = k/E = {k / n_exp:.3f}",
+               transform=ax_ag.get_yaxis_transform(), fontsize=7,
+               color="#666666")
     ax_ag.set(xlabel="step", ylabel="|router∩affinity| / k", ylim=(0, 1),
               title="router↔affinity top-k agreement (flip steps)")
     for ax in axes:
