@@ -14,12 +14,21 @@
 # Done condition: results/r5/algo_ab_s0.json exists.
 cd "$(dirname "$0")/.."
 OUT=results/r5
-STALE_SECS=${STALE_SECS:-420}
+STALE_SECS=${STALE_SECS:-270}
+STEPS=${STEPS:-5000}
+VALID_INTERVAL=${VALID_INTERVAL:-250}
 DONE="$OUT/algo_ab_s0.json"
+
+# A restart <60 s after killing a wedged client wedges again on its
+# first RPC (chip-side session still held); give the first start the
+# same courtesy as the inter-restart backoff when requested.
+[ -n "$INITIAL_SLEEP" ] && { echo "[watchdog] initial sleep $INITIAL_SLEEP"; sleep "$INITIAL_SLEEP"; }
 
 newest_mtime() {
   local t=0 f
-  for f in "$OUT"/ab_*_s0/log_trainer.jsonl /tmp/ab.log; do
+  # /tmp/jaxcache entries count as liveness: a cold compile is silent in
+  # the logs for minutes but lands cache files as sub-programs finish.
+  for f in "$OUT"/ab_*_s0/log_trainer.jsonl /tmp/ab.log /tmp/jaxcache/*; do
     [ -f "$f" ] || continue
     local m
     m=$(stat -c %Y "$f")
@@ -30,7 +39,8 @@ newest_mtime() {
 
 while [ ! -s "$DONE" ]; do
   echo "[watchdog $(date +%T)] starting run_algo_ab"
-  setsid python tools/run_algo_ab.py --steps 5000 --out "$OUT" \
+  setsid python tools/run_algo_ab.py --steps "$STEPS" \
+    --valid-interval "$VALID_INTERVAL" --out "$OUT" \
     > /tmp/ab.log 2>&1 &
   AB=$!
   echo "$AB" > /tmp/ab.pid
