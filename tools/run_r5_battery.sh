@@ -30,7 +30,9 @@ run() {  # run <output-file> <cmd...>
     echo "SKIP (done): $out"; return 0
   fi
   echo "RUN: $* -> $out"
-  "$@" | tee "$out"
+  # A tunnel wedge leaves a client futex-sleeping forever (observed
+  # 2026-08-20); bound every item so the battery always moves on.
+  timeout "${ITEM_TIMEOUT:-1200}" "$@" | tee "$out" || echo "ITEM FAILED/TIMED OUT: $out"
 }
 
 # 1. spec verify-step premium with the extended quantized kernels
@@ -68,7 +70,7 @@ run results/r5/dispatch_variance.json python tools/bench_variance.py
 
 # 5. soak (15 min mixed traffic; mm probes exercise the vision path)
 if [ -n "$BATTERY_FORCE" ] || ! grep -q '"minutes"' results/r5/soak.json 2>/dev/null; then
-  python tools/soak_engine.py --minutes 15 --out results/r5/soak.json
+  python tools/soak_engine.py --minutes "${SOAK_MINUTES:-15}" --out results/r5/soak.json
 else
   echo "SKIP (done): results/r5/soak.json"
 fi
