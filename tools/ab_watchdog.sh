@@ -62,7 +62,18 @@ while [ ! -s "$DONE" ]; do
   # succeeded. The chip-side session of the dead client apparently holds
   # the single-client tunnel until it expires. No probe here either — a
   # probe is itself a client and can steal/extend the session.
-  echo "[watchdog $(date +%T)] backoff ${BACKOFF_SECS:-300}s for chip-side session expiry"
-  sleep "${BACKOFF_SECS:-300}"
+  # Adaptive backoff: consecutive first-RPC parks mean the chip-side
+  # session outlives our wait — double it (cap 15 min). Any run that
+  # made step progress (log grew) resets to the base backoff.
+  total_log=$(stat -c %s "$OUT"/ab_*_s0/log_trainer.jsonl 2>/dev/null | awk '{s+=$1} END {print s+0}')
+  if [ "$total_log" -gt "${LAST_LOG_SIZE:-0}" ]; then
+    CUR_BACKOFF=${BACKOFF_SECS:-300}
+  else
+    CUR_BACKOFF=$(( ${CUR_BACKOFF:-${BACKOFF_SECS:-300}} * 2 ))
+    [ "$CUR_BACKOFF" -gt 900 ] && CUR_BACKOFF=900
+  fi
+  LAST_LOG_SIZE=$total_log
+  echo "[watchdog $(date +%T)] backoff ${CUR_BACKOFF}s for chip-side session expiry"
+  sleep "$CUR_BACKOFF"
 done
 echo "[watchdog $(date +%T)] DONE — $DONE exists"
