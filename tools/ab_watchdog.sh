@@ -40,7 +40,8 @@ newest_mtime() {
 while [ ! -s "$DONE" ]; do
   echo "[watchdog $(date +%T)] starting run_algo_ab"
   setsid python tools/run_algo_ab.py --steps "$STEPS" \
-    --valid-interval "$VALID_INTERVAL" --out "$OUT" \
+    --valid-interval "$VALID_INTERVAL" \
+    --save-interval "${SAVE_INTERVAL:-500}" --out "$OUT" \
     > /tmp/ab.log 2>&1 &
   AB=$!
   echo "$AB" > /tmp/ab.pid

@@ -87,7 +87,7 @@ def arm_dir(out_root: Path, arm: str, seed: int) -> Path:
 
 
 def train_arm(arm: str, steps: int, seed: int, out_root: Path,
-              valid_interval: int) -> None:
+              valid_interval: int, save_interval: int = 500) -> None:
     run = arm_dir(out_root, arm, seed)
     done = run / "checkpoint" / f"model-{steps}"
     if done.exists():
@@ -100,8 +100,8 @@ def train_arm(arm: str, steps: int, seed: int, out_root: Path,
            "-stop_after", str(steps),
            "-valid_interval", str(valid_interval), "-valid_batches", "4",
            # fine-grained checkpoints: background windows can be short,
-           # so a reaped run resumes losing <=500 steps
-           "-save_interval", "500", "-keep_last", "2",
+           # so a reaped run resumes losing <= save_interval steps
+           "-save_interval", str(save_interval), "-keep_last", "2",
            "-log_interval", "10", "-lm.eval.enabled", "0"]
     for flags in (GEOMETRY, COMPETE_FLAGS):
         for k, v in flags.items():
@@ -288,6 +288,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--valid-interval", type=int, default=250)
+    ap.add_argument("--save-interval", type=int, default=500)
     ap.add_argument("--analyze-batches", type=int, default=8)
     ap.add_argument("--out", default="results/r5")
     ap.add_argument("--analyze-only", action="store_true")
@@ -313,7 +314,7 @@ def main() -> None:
     if not args.analyze_only:
         for arm in arms:
             train_arm(arm, args.steps, args.seed, out_root,
-                      args.valid_interval)
+                      args.valid_interval, args.save_interval)
 
     sys.path.insert(0, str(REPO))
     results = {"steps": args.steps, "seed": args.seed,
